@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-similarity scorers (SURVEY.md §2.C J-1/J-2, §2.H), as native
+  * Column expressions over Spark's codegen'd `levenshtein` — no UDFs.
+  *
+  * The reference scores with rapidfuzz `ratio` / `token_sort_ratio` /
+  * `token_set_ratio` plus a keyword-Jaccard strategy (reference
+  * scripts/entity_matching.py:405-443, 155-170). rapidfuzz's `ratio` is
+  * indel-based; this engine deliberately defines its scorers on plain
+  * Levenshtein similarity — a cleanly specifiable, codegen-able and
+  * oracle-expressible (DuckDB `levenshtein`) metric with the same
+  * 0..100 scale, truncated (not rounded) like the reference's `int()`
+  * (scripts/entity_matching.py:170).
+  *
+  * Each scorer has a DuckDB twin in [[Similarity.sql]].
+  */
+object Similarity {
+
+  /** 100 * (1 - lev(a,b) / max(len)) truncated to int; 100 iff both empty. */
+  def ratio(a: Column, b: Column): Column = {
+    val denom = greatest(length(a), length(b), lit(1))
+    floor(lit(100) * (lit(1) - levenshtein(a, b).cast("double") / denom.cast("double"))).cast("int")
+  }
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Tokens sorted then re-joined — word order insensitivity. */
+  def tokenSortJoin(c: Column): Column = array_join(array_sort(tokens(c)), " ")
+
+  def tokenSortRatio(a: Column, b: Column): Column =
+    ratio(tokenSortJoin(a), tokenSortJoin(b))
+
+  /** Sorted distinct token array — precompute ONCE per side before a
+    * similarity join so the per-pair work is only set ops + levenshtein. */
+  def tokenSet(c: Column): Column = array_sort(array_distinct(tokens(c)))
+
+  /** token_set_ratio over precomputed [[tokenSet]] arrays: max ratio over
+    * {intersection, intersection+restA, intersection+restB} joins. */
+  def tokenSetRatioFromSets(ta: Column, tb: Column): Column = {
+    val inter = array_join(array_sort(array_intersect(ta, tb)), " ")
+    val restA = array_join(array_sort(array_except(ta, tb)), " ")
+    val restB = array_join(array_sort(array_except(tb, ta)), " ")
+    val t1 = trim(concat_ws(" ", inter, restA))
+    val t2 = trim(concat_ws(" ", inter, restB))
+    greatest(ratio(inter, t1), ratio(inter, t2), ratio(t1, t2))
+  }
+
+  def tokenSetRatio(a: Column, b: Column): Column =
+    tokenSetRatioFromSets(tokenSet(a), tokenSet(b))
+
+  /** Keyword Jaccard over precomputed (distinct) keyword arrays. */
+  def keywordScoreFromArrays(ka: Column, kb: Column): Column = {
+    val inter = size(array_intersect(ka, kb))
+    val union = size(array_union(ka, kb))
+    when(size(ka) === 0 || size(kb) === 0, 0)
+      .otherwise(floor(inter.cast("double") * 100 / union.cast("double")).cast("int"))
+  }
+
+  /** J-2: keyword Jaccard * 100, truncated; 0 if either keyword set is
+    * empty (reference scripts/entity_matching.py:155-170). */
+  def keywordScore(a: Column, b: Column): Column =
+    keywordScoreFromArrays(Names.keywordsArr(a), Names.keywordsArr(b))
+
+  // ───── DuckDB oracle twins ─────
+
+  object sql {
+    def ratio(a: String, b: String): String =
+      s"CAST(floor(100 * (1 - levenshtein($a, $b)::DOUBLE / greatest(length($a), length($b), 1)::DOUBLE)) AS INT)"
+
+    def tokenSortJoin(e: String): String =
+      s"array_to_string(list_sort(string_split($e, ' ')), ' ')"
+
+    def tokenSortRatio(a: String, b: String): String =
+      ratio(tokenSortJoin(a), tokenSortJoin(b))
+
+    def tokenSet(e: String): String =
+      s"list_sort(list_distinct(string_split($e, ' ')))"
+
+    /** Over precomputed tokenSet list columns `ta`/`tb`. */
+    def tokenSetRatioFromSets(ta: String, tb: String): String = {
+      val inter = s"array_to_string(list_sort(list_distinct(list_intersect($ta, $tb))), ' ')"
+      val restA = s"array_to_string(list_sort(list_filter($ta, x -> NOT list_contains($tb, x))), ' ')"
+      val restB = s"array_to_string(list_sort(list_filter($tb, x -> NOT list_contains($ta, x))), ' ')"
+      val t1 = s"trim(concat_ws(' ', $inter, $restA))"
+      val t2 = s"trim(concat_ws(' ', $inter, $restB))"
+      s"greatest(${ratio(inter, t1)}, ${ratio(inter, t2)}, ${ratio(t1, t2)})"
+    }
+
+    def tokenSetRatio(a: String, b: String): String =
+      tokenSetRatioFromSets(tokenSet(a), tokenSet(b))
+
+    /** Over precomputed (distinct) keyword list columns. */
+    def keywordScoreFromLists(ka: String, kb: String): String =
+      s"""(CASE WHEN length($ka) = 0 OR length($kb) = 0 THEN 0
+         |ELSE CAST(floor(length(list_distinct(list_intersect($ka, $kb)))::DOUBLE * 100 /
+         |  length(list_distinct(list_concat($ka, $kb)))::DOUBLE) AS INT) END)""".stripMargin
+
+    def keywordScore(a: String, b: String): String =
+      keywordScoreFromLists(Names.sql.keywordsList(a), Names.sql.keywordsList(b))
+  }
+}
