@@ -20,12 +20,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.NameQueries.queries ++
-      graft.queries.MatchQueries.queries
+      graft.queries.MatchQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.AnnQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.NameQueries.oracles ++
-      graft.queries.MatchQueries.oracles
+      graft.queries.MatchQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.AnnQueries.oracles
 }

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine hashing primitives for the dedup /
+  * fingerprinting operator family (north-star LLM-pipeline operators).
+  *
+  * Everything is built on md5 so the SAME 60-bit integer hash is
+  * computable in Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,15))::BIGINT`) — the oracle twins in
+  * [[Hashing.sql]] mirror each builder expression exactly. 15 hex chars
+  * = 60 bits keeps values positive in a signed 64-bit int in both
+  * engines.
+  */
+object Hashing {
+
+  /** 60-bit positive integer hash of a string column. */
+  def hash64(e: Column): Column =
+    conv(substring(md5(e.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens (documents corpus is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles; a document shorter than k tokens contributes its
+    * whole text as one shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array(text))
+  }
+
+  /** MinHash signature: element j = min over shingles s of
+    * hash64(j + ":" + s); H independent hash functions via seed prefix. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleArr,
+        s => hash64(concat(j.cast("string"), lit(":"), s)))))
+
+  /** LSH band key b over a signature: md5 of the comma-joined band slice
+    * (rows = sigLen / bands). */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    md5(array_join(slice(sig, band * rowsPerBand + 1, rowsPerBand), ",").cast("binary"))
+
+  /** Per-token 60-bit hashes — precompute once, then fold per-bit votes. */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => hash64(t))
+
+  /** SimHash from precomputed [[tokenHashes]], `bits` wide (bit j set iff
+    * the sum of ±1 votes from token-hash bit j is > 0). */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val terms = (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Character n-gram set (distinct, sorted) of the first `maxLen` chars;
+    * a string shorter than n contributes itself as one gram. */
+  def charNgrams(text: Column, n: Int, maxLen: Int): Column = {
+    val s = substring(text, 1, maxLen)
+    val len = length(s)
+    when(len >= n,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), len - (n - 1)), i => s.substr(i, lit(n))))))
+      .otherwise(array(s))
+  }
+
+  /** Jaccard * 100 (truncated int) between two DISTINCT arrays. */
+  def jaccard100(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, 0)
+      .otherwise(floor(inter.cast("double") * 100 / union.cast("double")).cast("int"))
+  }
+
+  /** Rolling polynomial fingerprint of the first `maxLen` chars:
+    * fold(acc*31 + ascii(char)) mod 1e9+7 (reference-style document
+    * fingerprinting; overflow-free under ANSI mode). */
+  def fingerprint(text: Column, maxLen: Int): Column = {
+    val s = substring(text, 1, maxLen)
+    val codes = transform(sequence(lit(1), greatest(length(s), lit(1))),
+      i => ascii(s.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+
+  // ───── DuckDB oracle twins ─────
+
+  object sql {
+    def hash64(e: String): String =
+      s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+    def tokens(text: String): String = s"string_split($text, ' ')"
+
+    def shingles(text: String, k: Int): String = {
+      val toks = tokens(text)
+      s"""(CASE WHEN len($toks) >= $k
+         | THEN list_transform(generate_series(0, len($toks) - $k),
+         |        i -> array_to_string(list_slice($toks, i + 1, i + $k), ' '))
+         | ELSE [$text] END)""".stripMargin
+    }
+
+    def minhashSignature(shingleArr: String, numHashes: Int): String =
+      s"""list_transform(generate_series(0, ${numHashes - 1}),
+         | j -> list_min(list_transform($shingleArr,
+         |        s -> ${hash64("(j::VARCHAR || ':' || s)")})))""".stripMargin
+
+    def bandKey(sig: String, band: Int, rowsPerBand: Int): String =
+      s"md5(array_to_string(list_slice($sig, ${band * rowsPerBand + 1}, ${band * rowsPerBand + rowsPerBand}), ','))"
+
+    def tokenHashes(text: String): String =
+      s"list_transform(${tokens(text)}, t -> ${hash64("t")})"
+
+    /** Over a precomputed list<bigint> column `h` (see [[tokenHashes]]). */
+    def simhashFromHashes(h: String, bits: Int): String = {
+      val terms = (0 until bits).map { j =>
+        val vote = s"list_sum(list_transform($h, x -> CASE WHEN (x >> $j) % 2 = 1 THEN 1 ELSE -1 END))"
+        s"(CASE WHEN $vote > 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+    }
+
+    def charNgrams(text: String, n: Int, maxLen: Int): String = {
+      val s = s"substr($text, 1, $maxLen)"
+      s"""(CASE WHEN length($s) >= $n
+         | THEN list_sort(list_distinct(list_transform(
+         |        generate_series(1, length($s) - ${n - 1}), i -> substr($s, i, $n))))
+         | ELSE [$s] END)""".stripMargin
+    }
+
+    def jaccard100(a: String, b: String): String =
+      s"""(CASE WHEN length(list_distinct(list_concat($a, $b))) = 0 THEN 0
+         | ELSE CAST(floor(length(list_distinct(list_intersect($a, $b)))::DOUBLE * 100 /
+         |   length(list_distinct(list_concat($a, $b)))::DOUBLE) AS INT) END)""".stripMargin
+
+    def fingerprint(text: String, maxLen: Int): String = {
+      val s = s"substr($text, 1, $maxLen)"
+      val codes = s"list_transform(generate_series(1, greatest(length($s), 1)), i -> ord(substr($s, i, 1))::BIGINT)"
+      s"list_reduce(list_prepend(0::BIGINT, $codes), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, as native array
+  * expressions (north-star similarity-search operators).
+  *
+  * Cross-engine FP determinism: every float element is cast to double
+  * BEFORE multiplication (float*float would round to float in Spark but
+  * not in the DuckDB twin), and accumulation is a sequential left fold in
+  * both engines (Spark `aggregate`, DuckDB `list_sum` over the transform
+  * — verified bitwise-identical), so cosine scores hash-match exactly.
+  */
+object Vectors {
+
+  /** Dot product with elementwise double promotion. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Cosine from precomputed norms (precompute once per side before a
+    * top-k join so the pair stage only does the dot product). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+
+  /** Deterministic pseudo-random hyperplane component (j-th plane, i-th
+    * dim) for sign-LSH bucketing — pure integer arithmetic, identically
+    * computable in SQL: ((i*2654435761 + j*40503) % 1997) - 998. */
+  def hyperplaneComponent(j: Int, i: Column): Column =
+    ((i.cast("long") * 2654435761L + lit(j.toLong * 40503L)) % 1997L - 998L).cast("double")
+
+  /** Sign-LSH bucket id over `bits` hyperplanes. */
+  def lshBucket(v: Column, bits: Int): Column = {
+    val terms = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), size(v)),
+          (x, i) => x.cast("double") * hyperplaneComponent(j, i)),
+        lit(0.0), (acc, p) => acc + p)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  // ───── DuckDB oracle twins ─────
+
+  object sql {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+    def norm(a: String): String = s"sqrt(${dot(a, a)})"
+
+    def cosineWithNorms(a: String, b: String, na: String, nb: String): String =
+      s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+
+    def lshBucket(v: String, bits: Int): String = {
+      val terms = (0 until bits).map { j =>
+        val comp = s"(((i * 2654435761 + ${j.toLong * 40503}) % 1997 - 998)::DOUBLE)"
+        val proj = s"list_sum(list_transform(generate_series(1, len($v)), i -> $v[i]::DOUBLE * $comp))"
+        s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }
+      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+    }
+  }
+}

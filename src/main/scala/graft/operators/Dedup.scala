@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deduplication operator family over a document corpus (north-star
+  * LLM-pipeline operators; the reference's key-level keep-first dedup —
+  * SURVEY.md §2 S-2/J-5 — generalized to content-level exact and
+  * near-duplicate detection).
+  *
+  * Scale design: everything is expressed as groupBy/join on derived hash
+  * keys — partial hash aggregation and shuffle on high-cardinality keys,
+  * no cross joins. MinHash-LSH candidate generation is
+  * explode(bands) → equi-join on band key, so the shuffle volume is
+  * O(docs × bands), and only bucket-colliding pairs are verified with the
+  * exact Jaccard — the standard way to make near-dup detection feasible
+  * at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep lowest id as keeper. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signature + band keys.
+    * Output: id, sig (array<long>), band_0..band_{bands-1}. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs
+      .withColumn("shingles", Hashing.shingles(col(textCol), shingleK))
+      .withColumn("sig", Hashing.minhashSignature(col("shingles"), numHashes))
+    (0 until bands).foldLeft(withSig) { (df, b) =>
+      df.withColumn(s"band_$b", Hashing.bandKey(col("sig"), b, rows))
+    }.select(col(idCol) +: col("shingles") +: col("sig") +:
+      (0 until bands).map(b => col(s"band_$b")): _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs, verified by exact shingle
+    * Jaccard >= minJaccard100. Output: id_a < id_b, jaccard100. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int, numHashes: Int, bands: Int,
+                   minJaccard100: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
+    val exploded = sigs.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+    val a = exploded.select(col("id").as("id_a"), col("band"))
+    val b = exploded.select(col("id").as("id_b"), col("band"))
+    val pairs = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shA = sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val shB = sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard100",
+        Hashing.jaccard100(array_distinct(col("sh_a")), array_distinct(col("sh_b"))))
+      .filter(col("jaccard100") >= minJaccard100)
+      .select(col("id_a"), col("id_b"), col("jaccard100"))
+  }
+
+  /** Per-document SimHash fingerprint. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
+    docs.withColumn("th", Hashing.tokenHashes(col(textCol)))
+      .select(col(idCol), Hashing.simhashFromHashes(col("th"), bits).as("simhash"))
+
+  /** Character-n-gram Jaccard between explicitly paired rows (the
+    * caller supplies the pairing join). */
+  def ngramJaccard(pairs: DataFrame, textA: String, textB: String,
+                   n: Int, maxLen: Int): DataFrame =
+    pairs.withColumn("ngram_jaccard100",
+      Hashing.jaccard100(
+        Hashing.charNgrams(col(textA), n, maxLen),
+        Hashing.charNgrams(col(textB), n, maxLen)))
+
+  /** Keep-first dedup on an arbitrary key (reference S-2 semantics). */
+  def keepFirst(df: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

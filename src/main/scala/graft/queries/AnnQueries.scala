@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.model.Tables
+import graft.operators.SimilaritySearch
+
+/** Similarity-search operators over the embeddings corpus. The LSH
+  * variant's bucketing is fully deterministic (integer hyperplanes), so
+  * even the approximate path has an exact DuckDB oracle.
+  */
+object AnnQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val Kk = 5
+  private val Bits = 4
+
+  private def queriesDf(s: SparkSession, d: String) =
+    t(s, d, "embeddings").filter(col("vec_id") < 8)
+
+  val queries: Map[String, Q] = Map(
+    // N-1: exact brute-force top-k cosine neighbors
+    "n1_ann_bruteforce" -> ((s, d) =>
+      SimilaritySearch.bruteForceTopK(queriesDf(s, d), t(s, d, "embeddings"),
+          "vec_id", "embedding", Kk)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // N-2: sign-LSH bucketed top-k (scale path; deterministic buckets)
+    "n2_ann_lsh" -> ((s, d) =>
+      SimilaritySearch.lshTopK(queriesDf(s, d), t(s, d, "embeddings"),
+          "vec_id", "embedding", Kk, Bits)
+        .orderBy(col("q_id"), col("rank")))
+  )
+
+  private def prepCte: String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS q_vec, ${Vectors.sql.norm("embedding")} AS q_norm
+       |      FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_vec, ${Vectors.sql.norm("embedding")} AS c_norm
+       |      FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "n1_ann_bruteforce" ->
+      s"""WITH $prepCte,
+         |s AS (SELECT q_id, c_id,
+         |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank FROM s)
+         |SELECT q_id, c_id, rank, cosine FROM r WHERE rank <= $Kk
+         |ORDER BY q_id, rank""".stripMargin,
+    "n2_ann_lsh" ->
+      s"""WITH $prepCte,
+         |qb AS (SELECT *, ${Vectors.sql.lshBucket("q_vec", Bits)} AS bucket FROM q),
+         |cb AS (SELECT *, ${Vectors.sql.lshBucket("c_vec", Bits)} AS bucket FROM c),
+         |s AS (SELECT q_id, c_id,
+         |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
+         |  FROM cb JOIN qb USING (bucket) WHERE q_id <> c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank FROM s)
+         |SELECT q_id, c_id, rank, cosine FROM r WHERE rank <= $Kk
+         |ORDER BY q_id, rank""".stripMargin
+  )
+}

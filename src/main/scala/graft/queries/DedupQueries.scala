@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, Vectors}
+import graft.model.Tables
+import graft.operators.Dedup
+
+/** Dedup operator family bound to the documents/embeddings corpus.
+  * Near-dup inputs are made non-trivial by unioning a deterministic
+  * mutated copy of each document/vector (id + 100000), so every query
+  * has a real positive set under the oracle hash-compare.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val K = 3       // shingle size
+  private val H = 16      // minhash functions
+  private val B = 4       // LSH bands (rows = 4)
+
+  /** documents ∪ exact copies (ids + 100000). */
+  private def docsWithCopies(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ tail-mutated copies (near-dups, not exact). */
+  private def docsWithMutations(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz qq ww")).as("text")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // D-1: exact dedup by content hash, keep-lowest-id
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(docsWithCopies(s, d), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+
+    // D-2a: MinHash signatures + band keys (shingle k=3, 16 hashes, 4 bands)
+    "d2_minhash_signature" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", K, H, B)
+        .select(col("doc_id"), array_join(col("sig"), ",").as("sig_csv"),
+          col("band_0"), col("band_1"), col("band_2"), col("band_3"))
+        .orderBy(col("doc_id"))),
+
+    // D-2b: LSH candidate pairs verified by exact shingle Jaccard >= 50
+    "d2_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D-3: 32-bit SimHash fingerprints
+    "d3_simhash" -> ((s, d) =>
+      Dedup.simhashes(t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", 32)
+        .orderBy(col("doc_id"))),
+
+    // D-4: character-3-gram Jaccard over adjacent doc pairs (first 60 chars)
+    "d4_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      Dedup.ngramJaccard(a.join(b, col("id_b") === col("id_a") + 1), "text_a", "text_b", 3, 60)
+        .select(col("id_a"), col("id_b"), col("ngram_jaccard100"))
+        .orderBy(col("id_a"))
+    }),
+
+    // D-5: embedding-cosine near-dup pairs (label-blocked, cutoff 0.9)
+    "d5_embedding_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val orig = e.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val mut = e.select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+          (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
+      val u = orig.unionByName(mut).withColumn("nrm", Vectors.norm(col("vec")))
+      val a = u.select(col("vec_id").as("id_a"), col("label"), col("vec").as("vec_a"), col("nrm").as("n_a"))
+      val b = u.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vec_b"), col("nrm").as("n_b"))
+      a.join(b, "label").filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Vectors.cosineWithNorms(col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
+        .filter(col("cosine") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  // ───── oracle SQL ─────
+
+  private val copiesSrc =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
+
+  private val mutationsSrc =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text || ' zz qq ww' FROM documents""".stripMargin
+
+  private def sigCte(src: String): String =
+    s"""sigs AS (
+       |  SELECT doc_id, shingles, ${Hashing.sql.minhashSignature("shingles", H)} AS sig
+       |  FROM (SELECT doc_id, ${Hashing.sql.shingles("text", K)} AS shingles FROM ($src)))""".stripMargin
+
+  private def bandCols: String =
+    (0 until B).map(b => s"${Hashing.sql.bandKey("sig", b, H / B)} AS band_$b").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         |FROM ($copiesSrc) GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "d2_minhash_signature" ->
+      s"""WITH ${sigCte("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, array_to_string(sig, ',') AS sig_csv, $bandCols
+         |FROM sigs ORDER BY doc_id""".stripMargin,
+    "d2_minhash_pairs" ->
+      s"""WITH ${sigCte(mutationsSrc)},
+         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id),
+         |joined AS (SELECT id_a, id_b,
+         |    ${Hashing.sql.jaccard100("list_distinct(sa.shingles)", "list_distinct(sb.shingles)")} AS jaccard100
+         |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard100 FROM joined
+         |WHERE jaccard100 >= 50 ORDER BY id_a, id_b""".stripMargin,
+    "d3_simhash" ->
+      s"""SELECT doc_id, ${Hashing.sql.simhashFromHashes("th", 32)} AS simhash
+         |FROM (SELECT doc_id, ${Hashing.sql.tokenHashes("text")} AS th FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      s"""SELECT id_a, id_b,
+         |  ${Hashing.sql.jaccard100(Hashing.sql.charNgrams("text_a", 3, 60), Hashing.sql.charNgrams("text_b", 3, 60))} AS ngram_jaccard100
+         |FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS text_a, b.text AS text_b
+         |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+         |ORDER BY id_a""".stripMargin,
+    "d5_embedding_neardup" -> {
+      val u =
+        """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+          |UNION ALL
+          |SELECT vec_id + 100000, label,
+          |  list_transform(generate_series(1, len(embedding)),
+          |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
+          |FROM embeddings""".stripMargin
+      s"""WITH u AS (SELECT vec_id, label, vec, ${Vectors.sql.norm("vec")} AS nrm FROM ($u))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${Vectors.sql.cosineWithNorms("a.vec", "b.vec", "a.nrm", "b.nrm")} AS cosine
+         |FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${Vectors.sql.cosineWithNorms("a.vec", "b.vec", "a.nrm", "b.nrm")} >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+}

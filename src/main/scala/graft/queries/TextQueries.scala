@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextStats}
+import graft.model.Tables
+
+/** Text-analysis + multimodal-metadata operators over the documents
+  * corpus (north-star LLM-pipeline family).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // T-1: wordlist classification (language-ID heuristic shape)
+    "t1_classify" -> ((s, d) => {
+      val hitCols = TextStats.classes.map { case (name, ws) =>
+        TextStats.wordlistHits(col("text"), ws).as(s"hits_$name")
+      }
+      t(s, d, "documents")
+        .select(col("doc_id") +: hitCols :+ TextStats.classify(col("text")).as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // T-2: heuristic quality score 0..100
+    "t2_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // T-3: token counting — whitespace + BPE-ish regex
+    "t3_token_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+          TextStats.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // T-4: rolling-hash document fingerprint (first 64 chars)
+    "t4_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Hashing.fingerprint(col("text"), 64).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // M-1: opaque binary column + typed metadata (multimodal plumbing)
+    "m1_binary_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_classify" -> {
+      val hitCols = TextStats.classes.map { case (name, ws) =>
+        s"${TextStats.sql.wordlistHits("text", ws)} AS hits_$name"
+      }.mkString(", ")
+      s"""SELECT doc_id, $hitCols, ${TextStats.sql.classify("text")} AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "t2_quality_score" ->
+      s"""SELECT doc_id, ${TextStats.sql.qualityScore("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_token_counts" ->
+      s"""SELECT doc_id, ${TextStats.sql.wsTokenCount("text")} AS ws_tokens,
+         |  ${TextStats.sql.bpeTokenCount("text")} AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, ${Hashing.sql.fingerprint("text", 64)} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
