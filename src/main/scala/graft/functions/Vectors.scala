@@ -39,12 +39,13 @@ object Vectors {
   def hyperplaneComponent(j: Int, i: Column): Column =
     ((i.cast("long") * 2654435761L + lit(j.toLong * 40503L)) % 1997L - 998L).cast("double")
 
-  /** Sign-LSH bucket id over `bits` hyperplanes. */
-  def lshBucket(v: Column, bits: Int): Column = {
+  /** Sign-LSH bucket id over `bits` hyperplanes; `table` selects an
+    * independent hyperplane family for OR-amplified multi-table LSH. */
+  def lshBucket(v: Column, bits: Int, table: Int = 0): Column = {
     val terms = (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(v, sequence(lit(1), size(v)),
-          (x, i) => x.cast("double") * hyperplaneComponent(j, i)),
+          (x, i) => x.cast("double") * hyperplaneComponent(table * bits + j, i)),
         lit(0.0), (acc, p) => acc + p)
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -62,9 +63,9 @@ object Vectors {
     def cosineWithNorms(a: String, b: String, na: String, nb: String): String =
       s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
 
-    def lshBucket(v: String, bits: Int): String = {
+    def lshBucket(v: String, bits: Int, table: Int = 0): String = {
       val terms = (0 until bits).map { j =>
-        val comp = s"(((i * 2654435761 + ${j.toLong * 40503}) % 1997 - 998)::DOUBLE)"
+        val comp = s"(((i * 2654435761 + ${(table.toLong * bits + j) * 40503L}) % 1997 - 998)::DOUBLE)"
         val proj = s"list_sum(list_transform(generate_series(1, len($v)), i -> $v[i]::DOUBLE * $comp))"
         s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
       }

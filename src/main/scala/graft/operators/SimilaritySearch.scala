@@ -42,18 +42,28 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
-  /** Approximate top-k: only candidates in the query's sign-LSH bucket
-    * are scored. */
+  /** Approximate top-k: only candidates sharing a sign-LSH bucket with
+    * the query in at least one of `tables` independent hyperplane
+    * families are scored (OR-amplification: more tables → higher recall,
+    * proportionally more candidates). */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
-    val q = prep(queries, idCol, vecCol, "q")
-      .withColumn("bucket", Vectors.lshBucket(col("q_vec"), bits))
-    val c = prep(corpus, idCol, vecCol, "c")
-      .withColumn("bucket", Vectors.lshBucket(col("c_vec"), bits))
-    val scored = c.join(broadcast(q), "bucket")
+              idCol: String, vecCol: String, k: Int, bits: Int,
+              tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, p: String): DataFrame = {
+      val withBuckets = df.withColumn("buckets",
+        array((0 until tables).map(t => Vectors.lshBucket(col(s"${p}_vec"), bits, t)): _*))
+      withBuckets.select(col("*"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        .drop("buckets")
+    }
+    val q = bucketed(prep(queries, idCol, vecCol, "q"), "q")
+    val c = bucketed(prep(corpus, idCol, vecCol, "c"), "c")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", Vectors.cosineWithNorms(
-        col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("c_id"), col("c_vec"), col("c_norm"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cosine", Vectors.cosineWithNorms(
+      col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
     rankTopK(scored, k)
   }
 

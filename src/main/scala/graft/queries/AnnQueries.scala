@@ -16,6 +16,7 @@ object AnnQueries {
 
   private val Kk = 5
   private val Bits = 4
+  private val NTables = 4
 
   private def queriesDf(s: SparkSession, d: String) =
     t(s, d, "embeddings").filter(col("vec_id") < 8)
@@ -27,10 +28,10 @@ object AnnQueries {
           "vec_id", "embedding", Kk)
         .orderBy(col("q_id"), col("rank"))),
 
-    // N-2: sign-LSH bucketed top-k (scale path; deterministic buckets)
+    // N-2: multi-table sign-LSH bucketed top-k (scale path; deterministic buckets)
     "n2_ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshTopK(queriesDf(s, d), t(s, d, "embeddings"),
-          "vec_id", "embedding", Kk, Bits)
+          "vec_id", "embedding", Kk, Bits, NTables)
         .orderBy(col("q_id"), col("rank")))
   )
 
@@ -49,15 +50,24 @@ object AnnQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, rank, cosine FROM r WHERE rank <= $Kk
          |ORDER BY q_id, rank""".stripMargin,
-    "n2_ann_lsh" ->
+    "n2_ann_lsh" -> {
+      val qb = (0 until NTables).map(tb =>
+        s"SELECT q_id, $tb AS tbl, ${Vectors.sql.lshBucket("q_vec", Bits, tb)} AS bucket FROM q")
+        .mkString("\nUNION ALL ")
+      val cb = (0 until NTables).map(tb =>
+        s"SELECT c_id, $tb AS tbl, ${Vectors.sql.lshBucket("c_vec", Bits, tb)} AS bucket FROM c")
+        .mkString("\nUNION ALL ")
       s"""WITH $prepCte,
-         |qb AS (SELECT *, ${Vectors.sql.lshBucket("q_vec", Bits)} AS bucket FROM q),
-         |cb AS (SELECT *, ${Vectors.sql.lshBucket("c_vec", Bits)} AS bucket FROM c),
-         |s AS (SELECT q_id, c_id,
+         |qb AS ($qb),
+         |cb AS ($cb),
+         |cand AS (SELECT DISTINCT q_id, c_id FROM cb JOIN qb USING (tbl, bucket)
+         |         WHERE q_id <> c_id),
+         |s AS (SELECT cand.q_id, cand.c_id,
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
-         |  FROM cb JOIN qb USING (bucket) WHERE q_id <> c_id),
+         |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, rank, cosine FROM r WHERE rank <= $Kk
          |ORDER BY q_id, rank""".stripMargin
+    }
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per identical content") {
+    val df = Seq((1L, "aa bb cc"), (2L, "dd ee ff"), (7L, "aa bb cc")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L)) // keeper 1 has 2 copies
+  }
+
+  test("minhash LSH finds planted near-dup, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base + " extra"
+    val other = "completely different words entirely unrelated content here now ok yes"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", 3, 16, 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("id", "text")
+    val m = Dedup.simhashes(df, "id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("keep-first dedup (reference ON CONFLICT DO NOTHING semantics)") {
+    val df = Seq(("a", 3L, "x3"), ("a", 1L, "x1"), ("b", 2L, "x2")).toDF("abn", "arrival", "v")
+    val out = Dedup.keepFirst(df, "abn", "arrival")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("a" -> "x1", "b" -> "x2"))
+  }
+
+  test("ngram jaccard: identical=100, disjoint=0") {
+    val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("text_a", "text_b")
+    val out = Dedup.ngramJaccard(pairs, "text_a", "text_b", 3, 60)
+      .select($"ngram_jaccard100").as[Int].collect().toSeq
+    assert(out == Seq(100, 0))
+  }
+}

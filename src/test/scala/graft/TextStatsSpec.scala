@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextStats}
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordlist hits count with multiplicity") {
+    val n = Seq("the cat and the dog").toDF("text")
+      .select(TextStats.wordlistHits($"text", Seq("the", "and"))).as[Int].head()
+    assert(n == 3)
+  }
+
+  test("classify: argmax with first-wins tie-break") {
+    def cls(s: String) =
+      Seq(s).toDF("text").select(TextStats.classify($"text")).as[String].head()
+    assert(cls("the a and of to") == "en")
+    assert(cls("query scan join") == "query")
+    assert(cls("xyzzy") == "en") // all-zero tie → first class
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("abc de2f 9 x!").toDF("text")
+      .select(TextStats.wsTokenCount($"text"), TextStats.bpeTokenCount($"text"))
+      .as[(Int, Int)].head()
+    assert(r._1 == 4)
+    assert(r._2 == 7) // abc | de | 2 | f | 9 | x | !
+  }
+
+  test("quality score bounded 0..100 over corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.select(TextStats.qualityScore($"text").as("q"))
+      .filter($"q" < 0 || $"q" > 100).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: deterministic, prefix-sensitive") {
+    val fps = Seq("abcdef", "abcdef", "abcdeg").toDF("text")
+      .select(Hashing.fingerprint($"text", 64)).as[Long].collect().toSeq
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

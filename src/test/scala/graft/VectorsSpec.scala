@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.operators.SimilaritySearch
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity=1, orthogonal=0, zero-norm guarded") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("a", "b")
+    val out = df.select(Vectors.cosine($"a", $"b")).as[Double].collect().toSeq
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+  }
+
+  test("brute-force top-k: self excluded, ranked desc, k respected") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = SimilaritySearch.bruteForceTopK(
+      e.filter($"vec_id" < 3), e, "vec_id", "embedding", 5).collect()
+    assert(out.length == 15)
+    assert(!out.exists(r => r.getLong(0) == r.getLong(1)))
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k: results are a subset of same-bucket exact ranking with decent recall") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", 5, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"LSH recall too low: $recall") // 4 tables × 16 buckets
+  }
+
+  test("IVF top-k: probing more clusters increases (or keeps) recall") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(p: Int) = {
+      val got = SimilaritySearch.ivfTopK(e.filter($"vec_id" < 10), e,
+        "vec_id", "embedding", "label", 5, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2); val r5 = recallAt(5)
+    assert(r5 >= r2)
+    assert(r5 > 0.3, s"IVF recall@5probes too low: $r5")
+  }
+}
