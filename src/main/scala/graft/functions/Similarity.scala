@@ -25,6 +25,33 @@ object Similarity {
     floor(lit(100) * (lit(1) - levenshtein(a, b).cast("double") / denom.cast("double"))).cast("int")
   }
 
+  /** [[ratio]] if it is >= `floorScore`, else NULL — computed with
+    * Spark's banded threshold levenshtein (O(n·k) with early exit
+    * instead of O(n²)), which is the hot path of the similarity join.
+    * Exactness: score >= f  ⟺  lev <= maxlen*(100-f)/100; the threshold
+    * is the integer floor of that bound, and an integer distance above
+    * the floor is above the bound, so the -1 early-exit can only fire
+    * for pairs the caller's qualify-at-floor would discard anyway. */
+  def ratioAtLeast(a: Column, b: Column, floorScore: Int): Column = {
+    val denom = greatest(length(a), length(b), lit(1))
+    val threshold = floor(denom.cast("double") * (100 - floorScore) / 100).cast("int")
+    val d = call_function("levenshtein", a, b, threshold)
+    when(d >= 0,
+      floor(lit(100) * (lit(1) - d.cast("double") / denom.cast("double"))).cast("int"))
+  }
+
+  /** token_set_ratio if >= `floorScore`, else NULL (all three component
+    * ratios banded; greatest ignores NULLs). */
+  def tokenSetRatioAtLeast(ta: Column, tb: Column, floorScore: Int): Column = {
+    val inter = array_join(array_sort(array_intersect(ta, tb)), " ")
+    val restA = array_join(array_sort(array_except(ta, tb)), " ")
+    val restB = array_join(array_sort(array_except(tb, ta)), " ")
+    val t1 = trim(concat_ws(" ", inter, restA))
+    val t2 = trim(concat_ws(" ", inter, restB))
+    greatest(ratioAtLeast(inter, t1, floorScore), ratioAtLeast(inter, t2, floorScore),
+      ratioAtLeast(t1, t2, floorScore))
+  }
+
   private def tokens(c: Column): Column = split(c, " ")
 
   /** Tokens sorted then re-joined — word order insensitivity. */

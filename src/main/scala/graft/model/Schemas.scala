@@ -75,4 +75,17 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fan a small single-file scan out across the session's parallelism —
+    * the testdata tables are one parquet row-group each, so a scan feeds
+    * ONE task regardless of maxPartitionBytes; compute-heavy per-row
+    * operators (minhash, simhash, vector math — interpreted
+    * higher-order-function lambdas) would otherwise run single-threaded.
+    * On a real multi-file 100 TB table this is a no-op decision: the
+    * scan already yields thousands of splits and the repartition should
+    * be skipped. */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n)
+  }
 }

@@ -30,7 +30,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs
+    val withSig = graft.model.Tables.spread(docs)
       .withColumn("shingles", Hashing.shingles(col(textCol), shingleK))
       .withColumn("sig", Hashing.minhashSignature(col("shingles"), numHashes))
     (0 until bands).foldLeft(withSig) { (df, b) =>
@@ -44,7 +44,11 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, bands: Int,
                    minJaccard100: Int): DataFrame = {
+    // The signature table feeds three plan subtrees (band explode + both
+    // sides of the shingle re-join); without a persist Spark recomputes
+    // the md5 minhash chain 3× — the dominant cost.
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sigs.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
     val a = exploded.select(col("id").as("id_a"), col("band"))
@@ -62,7 +66,7 @@ object Dedup {
 
   /** Per-document SimHash fingerprint. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
-    docs.withColumn("th", Hashing.tokenHashes(col(textCol)))
+    graft.model.Tables.spread(docs).withColumn("th", Hashing.tokenHashes(col(textCol)))
       .select(col(idCol), Hashing.simhashFromHashes(col("th"), bits).as("simhash"))
 
   /** Character-n-gram Jaccard between explicitly paired rows (the

@@ -49,13 +49,16 @@ object MatchJoin {
       .withColumn(s"${prefix}_kw", Names.keywordsArr(col(s"${prefix}_name")))
   }
 
-  /** Per-pair best qualifying score over precomputed side columns. */
+  /** Per-pair best qualifying score over precomputed side columns.
+    * Fuzzy scorers use the banded threshold levenshtein ([[Similarity
+    * .ratioAtLeast]]) — sub-floor pairs short-circuit to NULL, which is
+    * exactly what qualify-at-floor would do with the full scores. */
   private def pairScore(cutoff: Int): Column = {
     def qualify(s: Column, floor: Int) = when(s >= floor, s)
     val floorF = cutoff - 20
-    val sSort = qualify(Similarity.ratio(col("left_sorted"), col("right_sorted")), floorF)
-    val sSet = qualify(Similarity.tokenSetRatioFromSets(col("left_set"), col("right_set")), floorF)
-    val sRatio = qualify(Similarity.ratio(col("left_norm"), col("right_norm")), floorF)
+    val sSort = Similarity.ratioAtLeast(col("left_sorted"), col("right_sorted"), floorF)
+    val sSet = Similarity.tokenSetRatioAtLeast(col("left_set"), col("right_set"), floorF)
+    val sRatio = Similarity.ratioAtLeast(col("left_norm"), col("right_norm"), floorF)
     val sKw = qualify(Similarity.keywordScoreFromArrays(col("left_kw"), col("right_kw")), 30)
     coalesce(greatest(sSort, sSet, sRatio, sKw), lit(0))
   }

@@ -20,9 +20,11 @@ import graft.functions.Vectors
   */
 object SimilaritySearch {
 
-  private def prep(df: DataFrame, idCol: String, vecCol: String, p: String): DataFrame =
-    df.select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"${p}_vec"))
+  private def prep(df: DataFrame, idCol: String, vecCol: String, p: String): DataFrame = {
+    val base = if (p == "c") graft.model.Tables.spread(df) else df
+    base.select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"${p}_vec"))
       .withColumn(s"${p}_norm", Vectors.norm(col(s"${p}_vec")))
+  }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)

@@ -13,7 +13,7 @@ import graft.operators.Dedup
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
-  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def t(s: SparkSession, d: String, n: String) = Tables.spread(Tables.load(s, d, n))
 
   private val K = 3       // shingle size
   private val H = 16      // minhash functions

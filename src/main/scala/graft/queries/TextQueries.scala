@@ -10,7 +10,7 @@ import graft.model.Tables
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
-  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def t(s: SparkSession, d: String, n: String) = Tables.spread(Tables.load(s, d, n))
 
   val queries: Map[String, Q] = Map(
     // T-1: wordlist classification (language-ID heuristic shape)
