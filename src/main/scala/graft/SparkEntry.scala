@@ -12,9 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full t1'→t3' pipeline (stage → clean → fuzzy-match → unify). */
   def entry(spark: SparkSession): DataFrame =
-    queries("a2_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("u1_unified_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -23,7 +24,8 @@ object SparkEntry {
       graft.queries.MatchQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.AnnQueries.queries
+      graft.queries.AnnQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +35,6 @@ object SparkEntry {
       graft.queries.MatchQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.AnnQueries.oracles
+      graft.queries.AnnQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,29 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S-10/F-9..F-11: the reference's FastAPI read surface
+  * (fastapi_service/main.py:15-59) as DataFrame query builders over the
+  * unified table — the route-shadowing defect (SURVEY.md §2.K) is
+  * structurally impossible here since each query is its own function.
+  * Serialization to JSON happens at the caller's edge (`.toJSON`), not
+  * in the engine.
+  */
+object QueryApi {
+
+  /** GET /companies/{abn} — point lookup (F-9). */
+  def byKey(unified: DataFrame, abn: String): DataFrame =
+    unified.filter(col("abn") === lit(abn))
+
+  /** GET /companies/search?q= — case-insensitive substring over entity
+    * and matched company names (F-10). */
+  def search(unified: DataFrame, q: String): DataFrame =
+    unified.filter(
+      lower(col("entity_name")).contains(q.toLowerCase) ||
+        lower(col("company_name")).contains(q.toLowerCase))
+
+  /** GET /companies/by_state/{state} — equality filter (F-11). */
+  def byState(unified: DataFrame, state: String): DataFrame =
+    unified.filter(col("state") === lit(state))
+}

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Names
+import graft.operators.{Dedup, MatchJoin, Quality}
+
+/** The full reference pipeline re-expressed as dataflow:
+  * `[t1, t2] >> t3 >> t4` (airflow/dags/etl_pipeline.py:58) becomes
+  * plain DataFrame dependencies — t3 consumes t1/t2 outputs, t4 reads
+  * t3's; process/thread boundaries become stages and the driver-memory
+  * candidate list becomes a broadcast (SURVEY.md §3.1).
+  */
+object Pipeline {
+
+  /** t3' stage 1: candidate cleaning (reference scripts/
+    * entity_matching.py:323-358): non-empty-name predicate (F-4), title
+    * extraction (F-8), validity filter (F-5), normalization gate (F-6). */
+  def cleanCandidates(cc: DataFrame, idCol: String): DataFrame =
+    cc.filter(col("company_name").isNotNull &&
+        length(trim(col("company_name"))) >= 3)
+      .withColumn("extracted_name", Names.extractFromTitle(col("company_name")))
+      .filter(Names.isValidCompanyName(col("extracted_name")))
+      .withColumn("norm_check", Names.normalizeName(col("extracted_name")))
+      .filter(length(col("norm_check")) >= 3)
+      .drop("norm_check")
+
+  /** t3' stage 2+3: similarity join + unified assembly
+    * (reference :380-485). abr must carry the staging_abr columns; cc
+    * must carry (idCol, website_url, company_name, industry). Output =
+    * unified_companies minus the insert-time timestamp. */
+  def buildUnified(abr: DataFrame, cc: DataFrame, ccId: String, cutoff: Int): DataFrame = {
+    val cand = cleanCandidates(cc, ccId)
+    val matches = MatchJoin.broadcastJoin(
+      abr.select(col("abn"), col("entity_name")), "abn", "entity_name",
+      cand.select(col(ccId), col("extracted_name")), ccId, "extracted_name", cutoff)
+      .select(col("left_key").as("m_abn"), col("right_key").as("m_cand"),
+        col("merged_confidence"))
+    val ccCols = cand.select(col(ccId).as("cand_id"), col("website_url"),
+      col("extracted_name").as("company_name"), col("industry"))
+    val full = matches
+      .join(abr, col("m_abn") === col("abn"))
+      .join(broadcast(ccCols), col("m_cand") === col("cand_id"))
+      .select(col("abn"), col("entity_name"), col("entity_type"), col("entity_status"),
+        col("address"), col("postcode"), col("state"), col("start_date"),
+        col("website_url"), col("company_name"), col("industry"),
+        col("merged_confidence"))
+    // S-2/J-5: ON CONFLICT (abn) DO NOTHING — keep-first per abn
+    Dedup.keepFirst(full, "abn", "abn")
+  }
+
+  /** t4': quality report over the unified table (reference
+    * scripts/run_quality_checks.py → Quality operators). */
+  def qualityReport(unified: DataFrame): DataFrame =
+    Quality.conditionalCounts(unified, Seq(
+      "null_website" -> col("website_url").isNull,
+      "null_industry" -> col("industry").isNull,
+      "low_confidence" -> (col("merged_confidence") < 90),
+      "perfect" -> (col("merged_confidence") === 100)))
+}

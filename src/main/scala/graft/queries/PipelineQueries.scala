@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Names, Similarity}
+import graft.model.Tables
+import graft.pipeline.Pipeline
+
+/** U-1/U-2: the full t1'→t3'→t4' pipeline composed end-to-end on
+  * testdata stand-ins. Staging-table construction uses ONE set of SQL
+  * snippets applied via selectExpr on the Spark side and inlined in the
+  * DuckDB oracle, so both engines stage identical inputs; the candidate
+  * mix deliberately exercises every cleaning rule (extraction fallback,
+  * validity rejection, blank rejection, entity/noise normalization).
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private val cutoff = 80
+
+  /** staging_abr stand-in from customer (§1.2). */
+  private val abrCols = Seq(
+    "CAST(c_custkey AS STRING) AS abn",
+    "c_name AS entity_name",
+    "c_mktsegment AS entity_type",
+    "CASE WHEN c_acctbal >= 0 THEN 'Active' ELSE 'Cancelled' END AS entity_status",
+    "nullif(concat_ws(', ', CAST(c_nationkey AS STRING), lpad(CAST(c_nationkey * 37 AS STRING), 4, '0')), '') AS address",
+    "lpad(CAST(c_nationkey * 37 AS STRING), 4, '0') AS postcode",
+    "CAST(c_nationkey AS STRING) AS state",
+    "CAST(NULL AS DATE) AS start_date")
+
+  /** staging_commoncrawl stand-in: every 7th customer as a web title in
+    * five shapes — legal-suffix extractable, fallback-to-title, invalid
+    * (RSS-prefixed), blank (dropped by F-4), and entity/noise-laden. */
+  private val ccCols = Seq(
+    "c_custkey AS cc_id",
+    "concat('https://www.c', CAST(c_custkey AS STRING), '.com.au') AS website_url",
+    """CASE CAST(c_custkey % 5 AS INT)
+      | WHEN 0 THEN concat(c_name, ' Pty Ltd | Home')
+      | WHEN 1 THEN concat('The ', c_name, ' Group')
+      | WHEN 2 THEN concat('RSS ', c_name)
+      | WHEN 3 THEN '  '
+      | ELSE concat(c_name, ' & Associates (AU)')
+      |END AS company_name""".stripMargin,
+    """CASE CAST(c_custkey % 3 AS INT)
+      | WHEN 0 THEN 'Technology' WHEN 1 THEN 'Mining' ELSE NULL
+      |END AS industry""".stripMargin)
+
+  private def abrDf(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.load(s, d, "customer").selectExpr(abrCols: _*)
+      .orderBy(col("abn")).limit(10000))
+
+  private def ccDf(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+      .selectExpr(ccCols: _*)
+
+  /** Unified table memoized per sfDir — it feeds both U-1 and U-2. */
+  private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def unified(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate(s.hashCode + "|" + d,
+      Pipeline.buildUnified(abrDf(s, d), ccDf(s, d), "cc_id", cutoff)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  val queries: Map[String, Q] = Map(
+    "u1_unified_pipeline" -> ((s, d) => unified(s, d).orderBy(col("abn"))),
+    "u2_quality_report" -> ((s, d) => Pipeline.qualityReport(unified(s, d)))
+  )
+
+  // ───── oracle SQL ─────
+
+  private val abrSrc = s"SELECT ${abrCols.mkString(",\n  ")} FROM customer"
+  private val ccSrc =
+    s"SELECT ${ccCols.mkString(",\n  ")} FROM customer WHERE c_custkey % 7 = 0"
+
+  private def prepCte(alias: String, src: String, p: String, minNorm: Int): String =
+    s"""$alias AS (
+       |  SELECT ${p}_key, ${p}_name, ${p}_norm,
+       |    ${Similarity.sql.tokenSortJoin(s"${p}_norm")} AS ${p}_sorted,
+       |    ${Similarity.sql.tokenSet(s"${p}_norm")} AS ${p}_set,
+       |    ${Names.sql.keywordsList(s"${p}_name")} AS ${p}_kw
+       |  FROM (SELECT ${p}_key, ${p}_name, ${Names.sql.normalize(s"${p}_name")} AS ${p}_norm
+       |        FROM ($src)) WHERE length(${p}_norm) >= $minNorm)""".stripMargin
+
+  private val unifiedSql: String = {
+    val floorF = cutoff - 20
+    val cleaned =
+      s"""SELECT cc_id, website_url, industry, extracted FROM (
+         |  SELECT *, ${Names.sql.extractFromTitle("company_name")} AS extracted
+         |  FROM cc
+         |  WHERE company_name IS NOT NULL AND length(trim(company_name)) >= 3)
+         |WHERE ${Names.sql.isValid("extracted")}
+         |  AND length(${Names.sql.normalize("extracted")}) >= 3""".stripMargin
+    s"""WITH abr AS (SELECT * FROM ($abrSrc) ORDER BY abn LIMIT 10000),
+       |cc AS ($ccSrc),
+       |cleaned AS ($cleaned),
+       |${prepCte("lp", "SELECT abn AS left_key, entity_name AS left_name FROM abr", "left", 1)},
+       |${prepCte("rp", "SELECT cc_id AS right_key, extracted AS right_name FROM cleaned", "right", 3)},
+       |scored AS (SELECT left_key, right_key,
+       |  ${Similarity.sql.ratio("left_sorted", "right_sorted")} AS s_sort,
+       |  ${Similarity.sql.tokenSetRatioFromSets("left_set", "right_set")} AS s_set,
+       |  ${Similarity.sql.ratio("left_norm", "right_norm")} AS s_ratio,
+       |  ${Similarity.sql.keywordScoreFromLists("left_kw", "right_kw")} AS s_kw
+       |  FROM lp CROSS JOIN rp),
+       |best AS (SELECT left_key, right_key,
+       |  coalesce(greatest(
+       |    CASE WHEN s_sort >= $floorF THEN s_sort END,
+       |    CASE WHEN s_set >= $floorF THEN s_set END,
+       |    CASE WHEN s_ratio >= $floorF THEN s_ratio END,
+       |    CASE WHEN s_kw >= 30 THEN s_kw END), 0) AS score FROM scored),
+       |ranked AS (SELECT *, row_number() OVER (
+       |  PARTITION BY left_key ORDER BY score DESC, right_key ASC) AS rn FROM best),
+       |matches AS (SELECT left_key, right_key, score AS merged_confidence
+       |  FROM ranked WHERE rn = 1 AND score >= $cutoff)
+       |SELECT abr.abn, abr.entity_name, abr.entity_type, abr.entity_status,
+       |  abr.address, abr.postcode, abr.state, abr.start_date,
+       |  cleaned.website_url, cleaned.extracted AS company_name, cleaned.industry,
+       |  matches.merged_confidence
+       |FROM matches
+       |JOIN abr ON matches.left_key = abr.abn
+       |JOIN cleaned ON matches.right_key = cleaned.cc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "u1_unified_pipeline" ->
+      s"""SELECT * FROM ($unifiedSql) ORDER BY abn""".stripMargin,
+    "u2_quality_report" ->
+      s"""SELECT count(*) AS total,
+         |  count(CASE WHEN website_url IS NULL THEN 1 END) AS null_website,
+         |  count(CASE WHEN industry IS NULL THEN 1 END) AS null_industry,
+         |  count(CASE WHEN merged_confidence < 90 THEN 1 END) AS low_confidence,
+         |  count(CASE WHEN merged_confidence = 100 THEN 1 END) AS perfect
+         |FROM ($unifiedSql)""".stripMargin
+  )
+}

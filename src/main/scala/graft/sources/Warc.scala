@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S-1/F-1..F-3: Common Crawl WARC ingestion — the reference's
+  * thread-pooled HTTP fetch + warcio iteration
+  * (scripts/extract_commoncrawl.py:53-77) re-expressed as a
+  * `binaryFile` scan + per-partition record parsing: Spark gives one
+  * task per WARC file (the reference's 12-thread pool becomes the
+  * scheduler's file parallelism), and the Lock-guarded shared buffer
+  * (:100-134) disappears into partitioned writes.
+  */
+object Warc {
+
+  case class WarcRecord(file: String, rec_type: String, target_uri: String, body: String)
+
+  /** Read .warc / .warc.gz files into (file, rec_type, target_uri, body). */
+  def read(spark: SparkSession, pathGlob: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) => parseFile(path, bytes) })
+  }
+
+  private[sources] def parseFile(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val in = new ByteArrayInputStream(bytes)
+    val stream = if (path.endsWith(".gz")) new GZIPInputStream(in) else in
+    val reader = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
+    val records = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var line = reader.readLine()
+    while (line != null) {
+      if (line.startsWith("WARC/")) {
+        val headers = scala.collection.mutable.Map[String, String]()
+        var h = reader.readLine()
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
+          h = reader.readLine()
+        }
+        val len = headers.getOrElse("content-length", "0").toInt
+        val buf = new Array[Char](len)
+        var read = 0
+        while (read < len) {
+          val n = reader.read(buf, read, len - read)
+          if (n < 0) read = len else read += n
+        }
+        records += WarcRecord(path,
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          new String(buf))
+      }
+      line = reader.readLine()
+    }
+    records.iterator
+  }
+
+  /** The reference's t1 extraction chain over parsed WARC records:
+    * response filter (F-1), ".au" substring filter (F-2), regex
+    * title/meta projection (F-3, nulls when absent) — all native
+    * expressions (reference scripts/extract_commoncrawl.py:26-50,63-67). */
+  def extractCompanies(records: DataFrame): DataFrame =
+    records
+      .filter(col("rec_type") === "response")
+      .filter(col("target_uri").contains(".au"))
+      .select(
+        col("target_uri").as("website_url"),
+        nullif(trim(regexp_extract(col("body"), "(?is)<title[^>]*>(.*?)</title>", 1)), lit(""))
+          .as("company_name"),
+        nullif(trim(regexp_extract(col("body"),
+          "(?is)<meta\\s+name=[\"']industry[\"']\\s+content=[\"'](.*?)[\"']", 1)), lit(""))
+          .as("industry"))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.QueryApi
+import graft.operators.Multimodal
+import graft.pipeline.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val unified = graft.queries.PipelineQueries
+    .queries("u1_unified_pipeline")(spark, sf)
+
+  test("end-to-end pipeline produces matched unified rows with valid scores") {
+    val rows = unified.collect()
+    assert(rows.nonEmpty)
+    val scores = unified.select($"merged_confidence").as[Int].collect()
+    assert(scores.forall(s => s >= 80 && s <= 100))
+    // abn unique (ON CONFLICT DO NOTHING semantics)
+    assert(unified.select($"abn").distinct().count() == rows.length)
+  }
+
+  test("cleaning drops RSS-prefixed and blank candidates") {
+    val cleaned = Pipeline.cleanCandidates(
+      Seq(("RSS Feed Co", "u1"), ("  ", "u2"), ("Acme Pty Ltd", "u3"))
+        .toDF("company_name", "website_url"), "website_url")
+    assert(cleaned.select($"company_name").as[String].collect().toSeq == Seq("Acme Pty Ltd"))
+  }
+
+  test("query API: point lookup, substring search, state filter") {
+    val one = unified.limit(1).collect().head
+    val abn = one.getString(0)
+    assert(QueryApi.byKey(unified, abn).count() == 1)
+    assert(QueryApi.search(unified, "customer#").count() == unified.count())
+    val st = one.getString(6)
+    val byState = QueryApi.byState(unified, st)
+    assert(byState.count() > 0)
+    assert(byState.filter($"state" =!= st).count() == 0)
+  }
+
+  test("multimodal decode stub: typed metadata + stable features, frame sampling") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val meta = Multimodal.decode(docs, "doc_id", "payload").collect()
+    assert(meta.length == 50)
+    assert(meta.forall(m => m.feature.length == 16 && m.n_bytes > 0 && m.width >= 64))
+    val again = Multimodal.decode(docs, "doc_id", "payload").collect()
+    assert(meta.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+
+    val frames = Multimodal.sampleFrames(docs, "payload", 16, 32, 4)
+    assert(frames.count() > 0)
+    assert(frames.filter(length($"frame") > 16).count() == 0)
+  }
+}

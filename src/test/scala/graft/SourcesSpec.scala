@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.{AbrXml, Warc}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-src")
+
+  test("ABR XML: field navigation, attributes, date coalesce, address concat") {
+    val xml =
+      """<Transfer>
+        |<ABR recordLastUpdatedDate="20240101">
+        |  <ABN status="ACT" ABNStatusFromDate="20150701">51824753556</ABN>
+        |  <EntityType><EntityTypeInd>PRV</EntityTypeInd><EntityTypeText>Australian Private Company</EntityTypeText></EntityType>
+        |  <MainEntity>
+        |    <NonIndividualName type="MN"><NonIndividualNameText>ACME WIDGETS PTY LTD</NonIndividualNameText></NonIndividualName>
+        |    <BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000</Postcode></AddressDetails></BusinessAddress>
+        |  </MainEntity>
+        |  <GST status="ACT" GSTStatusFromDate="20000701"/>
+        |</ABR>
+        |<ABR>
+        |  <ABN status="CAN" ABNStatusFromDate="">41824753557</ABN>
+        |  <EntityType><EntityTypeText>Sole Trader</EntityTypeText></EntityType>
+        |  <MainEntity>
+        |    <NonIndividualName><NonIndividualNameText>BETA CO</NonIndividualNameText></NonIndividualName>
+        |    <BusinessAddress><AddressDetails><State>VIC</State></AddressDetails></BusinessAddress>
+        |  </MainEntity>
+        |  <GST status="NON" GSTStatusFromDate="20010301"/>
+        |</ABR>
+        |</Transfer>""".stripMargin
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("abr1.xml"), xml)
+    val rows = AbrXml.read(spark, dir.toString + "/abr1.xml")
+      .orderBy($"abn").collect()
+    assert(rows.length == 2)
+    val r0 = rows.find(_.getString(0) == "51824753556").get
+    assert(r0.getString(1) == "ACME WIDGETS PTY LTD")
+    assert(r0.getString(2) == "Australian Private Company")
+    assert(r0.getString(3) == "ACT")
+    assert(r0.getString(4) == "NSW, 2000")
+    assert(r0.getDate(7).toString == "2015-07-01")
+    val r1 = rows.find(_.getString(0) == "41824753557").get
+    assert(r1.getString(4) == "VIC")          // postcode absent → state only
+    assert(r1.getDate(7).toString == "2001-03-01") // empty ABN date → GST fallback
+  }
+
+  test("WARC: gz parse, response filter, .au filter, title/meta extraction") {
+    def rec(uri: String, body: String, typ: String = "response"): String = {
+      val content = body
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${content.length}\r\n\r\n$content\r\n\r\n"
+    }
+    val warc = rec("https://acme.com.au/", "<html><head><title>Acme Pty Ltd - Home</title>" +
+      "<meta name=\"industry\" content=\"Mining\"></head></html>") +
+      rec("https://other.com/", "<html><title>NotAu</title></html>") +
+      rec("https://skip.net.au/", "ignored", typ = "request") +
+      rec("https://no-title.org.au/", "<html><body>nothing</body></html>")
+    val dir = tmpDir()
+    val gz = dir.resolve("f.warc.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(warc.getBytes("UTF-8")); out.close()
+
+    val records = Warc.read(spark, gz.toString)
+    assert(records.count() == 4)
+    val companies = Warc.extractCompanies(records.toDF()).orderBy($"website_url").collect()
+    assert(companies.length == 2) // .au responses only
+    val acme = companies.find(_.getString(0).contains("acme")).get
+    assert(acme.getString(1) == "Acme Pty Ltd - Home")
+    assert(acme.getString(2) == "Mining")
+    val none = companies.find(_.getString(0).contains("no-title")).get
+    assert(none.isNullAt(1) && none.isNullAt(2))
+  }
+
+  test("CSV export sink roundtrip (S-9)") {
+    val dir = tmpDir().toString + "/csv"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("id", "v"))
+  }
+}
