@@ -33,12 +33,27 @@ object Hashing {
       .otherwise(array(text))
   }
 
-  /** MinHash signature: element j = min over shingles s of
-    * hash64(j + ":" + s); H independent hash functions via seed prefix. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+  /** Mersenne-31 prime for the minhash affine family. */
+  val M31 = 2147483647L
+
+  /** One md5 per shingle, reduced mod M31 — the base hashes from which
+    * all H minhash functions derive (16× fewer digests than hashing
+    * per (seed, shingle)). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => hash64(s) % M31)
+
+  /** MinHash signature from precomputed [[shingleHashes]]: element j =
+    * min over base hashes h of (A_j·h + B_j) mod M31, the classic
+    * affine universal-hash family (A_j = (j+1)·999983 mod M31,
+    * B_j = j·101; all arithmetic < 2^62, overflow-free under ANSI). */
+  def minhashFromHashes(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleArr,
-        s => hash64(concat(j.cast("string"), lit(":"), s)))))
+      j => array_min(transform(baseHashes,
+        h => ((j.cast("long") + 1) * 999983L % M31 * h + j.cast("long") * 101L) % M31)))
+
+  /** MinHash signature straight from a shingle array. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(shingleArr), numHashes)
 
   /** LSH band key b over a signature: md5 of the comma-joined band slice
     * (rows = sigLen / bands). */
@@ -104,10 +119,17 @@ object Hashing {
          | ELSE [$text] END)""".stripMargin
     }
 
-    def minhashSignature(shingleArr: String, numHashes: Int): String =
+    def shingleHashes(shingleArr: String): String =
+      s"list_transform($shingleArr, s -> ${hash64("s")} % 2147483647)"
+
+    /** Over a precomputed list<bigint> base-hash column. */
+    def minhashFromHashes(baseHashes: String, numHashes: Int): String =
       s"""list_transform(generate_series(0, ${numHashes - 1}),
-         | j -> list_min(list_transform($shingleArr,
-         |        s -> ${hash64("(j::VARCHAR || ':' || s)")})))""".stripMargin
+         | j -> list_min(list_transform($baseHashes,
+         |        h -> ((j + 1) * 999983 % 2147483647 * h + j * 101) % 2147483647)))""".stripMargin
+
+    def minhashSignature(shingleArr: String, numHashes: Int): String =
+      minhashFromHashes(shingleHashes(shingleArr), numHashes)
 
     def bandKey(sig: String, band: Int, rowsPerBand: Int): String =
       s"md5(array_to_string(list_slice($sig, ${band * rowsPerBand + 1}, ${band * rowsPerBand + rowsPerBand}), ','))"

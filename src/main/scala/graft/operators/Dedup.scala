@@ -32,7 +32,8 @@ object Dedup {
     val rows = numHashes / bands
     val withSig = graft.model.Tables.spread(docs)
       .withColumn("shingles", Hashing.shingles(col(textCol), shingleK))
-      .withColumn("sig", Hashing.minhashSignature(col("shingles"), numHashes))
+      .withColumn("sh", Hashing.shingleHashes(col("shingles")))
+      .withColumn("sig", Hashing.minhashFromHashes(col("sh"), numHashes))
     (0 until bands).foldLeft(withSig) { (df, b) =>
       df.withColumn(s"band_$b", Hashing.bandKey(col("sig"), b, rows))
     }.select(col(idCol) +: col("shingles") +: col("sig") +:

@@ -49,19 +49,17 @@ object MatchJoin {
       .withColumn(s"${prefix}_kw", Names.keywordsArr(col(s"${prefix}_name")))
   }
 
-  /** Per-pair best qualifying score over precomputed side columns.
-    * Fuzzy scorers use the banded threshold levenshtein ([[Similarity
-    * .ratioAtLeast]]) — sub-floor pairs short-circuit to NULL, which is
-    * exactly what qualify-at-floor would do with the full scores. */
-  private def pairScore(cutoff: Int): Column = {
-    def qualify(s: Column, floor: Int) = when(s >= floor, s)
-    val floorF = cutoff - 20
-    val sSort = Similarity.ratioAtLeast(col("left_sorted"), col("right_sorted"), floorF)
-    val sSet = Similarity.tokenSetRatioAtLeast(col("left_set"), col("right_set"), floorF)
-    val sRatio = Similarity.ratioAtLeast(col("left_norm"), col("right_norm"), floorF)
-    val sKw = qualify(Similarity.keywordScoreFromArrays(col("left_kw"), col("right_kw")), 30)
-    coalesce(greatest(sSort, sSet, sRatio, sKw), lit(0))
-  }
+  /** Per-pair best qualifying score over precomputed side columns,
+    * evaluated by the custom [[graft.plans.FuzzyBestScore]] expression —
+    * one allocation-light pass (banded early-exit levenshtein +
+    * merge-join set ops) instead of ~40 interpreted expression nodes.
+    * Bitwise-equivalent to the declarative chain in
+    * [[graft.functions.Similarity]] that the DuckDB oracle mirrors. */
+  private def pairScore(cutoff: Int): Column =
+    graft.plans.FuzzyBestScore.column(
+      col("left_sorted"), col("right_sorted"), col("left_norm"), col("right_norm"),
+      col("left_set"), col("right_set"), col("left_kw"), col("right_kw"),
+      cutoff - 20)
 
   private val outCols = Seq("left_key", "left_name", "right_key", "right_name")
 

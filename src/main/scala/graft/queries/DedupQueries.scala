@@ -98,8 +98,9 @@ object DedupQueries {
 
   private def sigCte(src: String): String =
     s"""sigs AS (
-       |  SELECT doc_id, shingles, ${Hashing.sql.minhashSignature("shingles", H)} AS sig
-       |  FROM (SELECT doc_id, ${Hashing.sql.shingles("text", K)} AS shingles FROM ($src)))""".stripMargin
+       |  SELECT doc_id, shingles, ${Hashing.sql.minhashFromHashes("sh", H)} AS sig
+       |  FROM (SELECT doc_id, shingles, ${Hashing.sql.shingleHashes("shingles")} AS sh
+       |        FROM (SELECT doc_id, ${Hashing.sql.shingles("text", K)} AS shingles FROM ($src))))""".stripMargin
 
   private def bandCols: String =
     (0 until B).map(b => s"${Hashing.sql.bandKey("sig", b, H / B)} AS band_$b").mkString(", ")
