@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.AnnQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.AnnQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

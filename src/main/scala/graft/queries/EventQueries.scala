@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** S-7 (JSON resource discovery) + event-time processing over the
+  * events stream table.
+  *
+  * NB: events.parquet stores TIMESTAMP(NANOS); under
+  * `spark.sql.legacy.parquet.nanosAsLong` Spark reads `ts` as bigint
+  * nanoseconds while DuckDB reads TIMESTAMP_NS — so every time-derived
+  * output is normalized to epoch MICROSECONDS (bigint) on both sides
+  * before compare.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** bigint nanos → timestamp (micros precision). */
+  private def tsCol = timestamp_micros((col("ts") / 1000).cast("long"))
+
+  val queries: Map[String, Q] = Map(
+    // S-7: JSON field extraction + filter + ordered projection
+    // (reference CKAN discovery: from_json + filter + orderBy,
+    // scripts/extract_abr.py:33-54)
+    "s7_json_discovery" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull && col("k") % 10 === 0 && col("event_type") === "click")
+        .select(col("event_id"), col("k"))
+        .orderBy(col("event_id"))),
+
+    // W-1: event-time tumbling-hour aggregation (the batch shape of the
+    // streaming windowed agg; output keyed by epoch-micros bucket)
+    "w1_event_window" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("bucket_us", unix_micros(date_trunc("HOUR", tsCol)))
+        .groupBy(col("bucket_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("bucket_us"), col("event_type"))),
+
+    // W-2: per-user ordered window — running event count + value rank
+    "w2_user_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("seq", row_number().over(byUser))
+        .withColumn("running_value",
+          round(sum(col("value")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .filter(col("seq") <= 3)
+        .select(col("user_id"), col("seq"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("seq"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s7_json_discovery" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type FROM events)
+        |WHERE k IS NOT NULL AND k % 10 = 0 AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "w1_event_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "w2_user_running" ->
+      """SELECT user_id, seq, event_id, running_value FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |  FROM events)
+        |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin
+  )
+}
