@@ -14,6 +14,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader, shuffle paths) so per-query
+    // timings measure the queries, not first-touch JIT.
+    try {
+      graft.model.Tables.all.foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(100).count()
+      }
+      spark.range(1000).selectExpr("md5(cast(id as string)) h")
+        .groupBy("h").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -61,15 +61,23 @@ object MatchJoin {
       col("left_set"), col("right_set"), col("left_kw"), col("right_kw"),
       cutoff - 20)
 
-  private val outCols = Seq("left_key", "left_name", "right_key", "right_name")
-
+  /** Per-left argmax with (score desc, right_key asc) tie-break and
+    * cutoff acceptance — as a partial-aggregating groupBy(max(struct))
+    * rather than a window: the accept filter runs BEFORE aggregation
+    * (exact: dropping sub-cutoff pairs cannot change a max that is
+    * >= cutoff, and a left row whose max is < cutoff disappears either
+    * way), and map-side combine collapses the N×M pair stream to one
+    * row per left key per partition before the only shuffle. A window
+    * formulation would shuffle and sort every scored pair. */
   private def argmaxAccept(scored: DataFrame, cutoff: Int): DataFrame = {
-    val w = Window.partitionBy(col("left_key"))
-      .orderBy(col("score").desc, col("right_key").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("score") >= cutoff)
-      .select(col("left_key"), col("left_name"), col("right_key"), col("right_name"),
-        col("score").as("merged_confidence"))
+    val packed = struct(col("score"), (-col("right_key")).as("neg_rk"),
+      col("right_key"), col("right_name"), col("left_name"))
+    scored.filter(col("score") >= cutoff)
+      .groupBy(col("left_key"))
+      .agg(max(packed).as("m"))
+      .select(col("left_key"), col("m.left_name").as("left_name"),
+        col("m.right_key").as("right_key"), col("m.right_name").as("right_name"),
+        col("m.score").as("merged_confidence"))
   }
 
   /** Broadcast (exact) variant. Result: left_key, left_name, right_key,
