@@ -33,7 +33,8 @@ object Dedup {
     val withSig = graft.model.Tables.spread(docs)
       .withColumn("shingles", Hashing.shingles(col(textCol), shingleK))
       .withColumn("sh", Hashing.shingleHashes(col("shingles")))
-      .withColumn("sig", Hashing.minhashFromHashes(col("sh"), numHashes))
+      // native expression — value-identical to Hashing.minhashFromHashes
+      .withColumn("sig", graft.plans.MinHashSig.column(col("sh"), numHashes))
     (0 until bands).foldLeft(withSig) { (df, b) =>
       df.withColumn(s"band_$b", Hashing.bandKey(col("sig"), b, rows))
     }.select(col(idCol) +: col("shingles") +: col("sig") +:

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expression: MinHash signature from precomputed
+  * per-shingle base hashes — value-identical to the declarative
+  * `transform(sequence(...), j -> array_min(transform(...)))` nest in
+  * graft.functions.Hashing (which the DuckDB oracle mirrors), but one
+  * tight primitive loop instead of H interpreted array traversals with
+  * per-element boxing: sig[j] = min over h of (A_j·h + B_j) mod M31,
+  * A_j = (j+1)·999983 mod M31, B_j = j·101, M31 = 2^31-1.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val sig = new Array[Long](numHashes)
+    val M = 2147483647L
+    var j = 0
+    while (j < numHashes) {
+      val a = (j + 1) * 999983L % M
+      val b = j * 101L
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val x = (a * hashes.getLong(i) + b) % M
+        if (x < min) min = x
+        i += 1
+      }
+      sig(j) = if (n == 0) 0L else min
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig {
+  def column(baseHashes: Column, numHashes: Int): Column =
+    ExprBridge.toColumn(MinHashSig(ExprBridge.toExpression(baseHashes), numHashes))
+}
