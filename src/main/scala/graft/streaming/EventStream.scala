@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Real-time processing surface beyond the reference's batch-incremental
+  * model (§2.I): event-time windowed aggregation with watermarks and
+  * custom sessionization state — the streaming shapes a 100 TB training
+  * -data pipeline needs for live ingestion, expressed on Structured
+  * Streaming so the SAME transformations run micro-batch or continuous.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation over an event stream with
+    * (ts: timestamp, event_type: string, value: double). Late events
+    * beyond the watermark are dropped by the engine, bounding state. */
+  def windowedAgg(events: DataFrame, watermark: String, window_ : String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(n: Long, total: Double)
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+  /** Per-user sessionization via mapGroupsWithState: accumulates counts
+    * and value per user, emitting the running session row each batch
+    * (the keep-first/seen-keys shape of SURVEY §2.I generalized).
+    * `timeoutMs > 0` arms a processing-time timeout that closes idle
+    * sessions and bounds state — for continuously-running deployments;
+    * leave it 0 under `Trigger.AvailableNow` (armed timeouts keep the
+    * bounded run scheduling wake-up batches forever). */
+  def sessionize(events: Dataset[Event], timeoutMs: Long = 0L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (timeoutMs > 0 && state.hasTimedOut) {
+            val s = state.getOption.getOrElse(SessionState(0, 0.0))
+            state.remove()
+            SessionOut(user, s.n, s.total, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { e => n += 1; total += e.value }
+            state.update(SessionState(n, total))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            SessionOut(user, n, total, closed = false)
+          }
+      }
+  }
+
+  /** Drive a streaming query over whatever is in `inputDir` right now
+    * into an in-memory table; returns after the data is processed. */
+  def runToMemory(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                  inputDir: String, queryName: String,
+                  build: DataFrame => DataFrame, outputMode: OutputMode): Unit = {
+    val q = build(spark.readStream.schema(schema).parquet(inputDir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

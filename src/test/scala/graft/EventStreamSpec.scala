@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(dir: String, rows: Seq[(Timestamp, String, Double)]): Unit =
+    rows.toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("watermarked windowed aggregation over a file-backed stream") {
+    val in = Files.createTempDirectory("graft-es").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    writeEvents(in, Seq(
+      (ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(7), "click", 4.0), (ts(8), "view", 8.0)))
+    val schema = spark.read.parquet(in).schema
+    EventStream.runToMemory(spark, schema, in, "win_out",
+      df => EventStream.windowedAgg(df, "10 minutes", "5 minutes"),
+      OutputMode.Append())
+    // append mode emits only watermark-closed windows; rerun with a late
+    // batch that advances the watermark past the first windows
+    writeEvents(in, Seq((Timestamp.valueOf("2024-01-01 10:30:00"), "click", 0.5)))
+    EventStream.runToMemory(spark, schema, in, "win_out2",
+      df => EventStream.windowedAgg(df, "10 minutes", "5 minutes"),
+      OutputMode.Append())
+    val rows = spark.table("win_out2")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:05:00", "click", 1L, 4.0)))
+    assert(rows.contains(("2024-01-01 10:05:00", "view", 1L, 8.0)))
+  }
+
+  test("stateful sessionization accumulates per-user state across batches") {
+    val in = Files.createTempDirectory("graft-ss").toString
+    def ev(u: Long, m: Int, v: Double) =
+      (u, Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), v)
+    Seq(ev(1, 1, 1.0), ev(1, 2, 2.0), ev(2, 1, 10.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    EventStream.runToMemory(spark, schema, in, "sess_out",
+      df => EventStream.sessionize(df.as[EventStream.Event]).toDF(),
+      OutputMode.Update())
+    val out = spark.table("sess_out")
+      .as[EventStream.SessionOut].collect().map(s => s.user_id -> s).toMap
+    assert(out(1L).n_events == 2 && out(1L).total_value == 3.0)
+    assert(out(2L).n_events == 1 && out(2L).total_value == 10.0)
+    assert(!out(1L).closed)
+  }
+}
