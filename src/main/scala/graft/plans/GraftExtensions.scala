@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's custom expressions: registers
+  *  - graft_fuzzy_score(left_sorted, right_sorted, left_norm,
+  *    right_norm, left_set, right_set, left_kw, right_kw [, floor]) —
+  *    the J-1 multi-strategy scorer ([[FuzzyBestScore]]);
+  *  - graft_minhash(base_hashes, num_hashes) — [[MinHashSig]];
+  * so `spark.sql(...)` pipelines can use them without the Scala DSL.
+  *
+  * Wire up either per-session ([[GraftExtensions.register]]) or at
+  * session build time via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private[plans] val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_fuzzy_score",
+      new ExpressionInfo(classOf[FuzzyBestScore].getName, "graft_fuzzy_score"),
+      (exprs: Seq[Expression]) => exprs match {
+        case args if args.length == 8 => FuzzyBestScore(args, 60)
+        case args if args.length == 9 =>
+          FuzzyBestScore(args.take(8), intLit(args(8), "floor"))
+        case args =>
+          throw new IllegalArgumentException(s"graft_fuzzy_score takes 8 or 9 args, got ${args.length}")
+      }),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(h, n) => MinHashSig(h, intLit(n, "num_hashes"))
+        case args =>
+          throw new IllegalArgumentException(s"graft_minhash takes 2 args, got ${args.length}")
+      }))
+
+  /** Imperative registration on an existing session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
