@@ -19,6 +19,16 @@ object Warc {
 
   case class WarcRecord(file: String, rec_type: String, target_uri: String, body: String)
 
+  /** S-6: the crawl-index source — a (possibly gzipped) text file of
+    * WARC paths, sliced to the first `maxFiles` in file order (the
+    * reference's `warc.paths.gz` fetch + `[:MAX_WARCS]`,
+    * scripts/extract_commoncrawl.py:13-14,82-84). `spark.read.text`
+    * decompresses .gz transparently; a single gzip member is one
+    * unsplittable partition, so line order is file order. */
+  def readIndex(spark: SparkSession, path: String, maxFiles: Int): DataFrame =
+    spark.read.text(path).limit(maxFiles)
+      .select(col("value").as("file_path"))
+
   /** Read .warc / .warc.gz files into (file, rec_type, target_uri, body). */
   def read(spark: SparkSession, pathGlob: String): Dataset[WarcRecord] = {
     import spark.implicits._

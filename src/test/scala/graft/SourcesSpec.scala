@@ -75,6 +75,16 @@ class SourcesSpec extends SparkSpec {
     assert(none.isNullAt(1) && none.isNullAt(2))
   }
 
+  test("gz path-index source: transparent gunzip, ordered slice (S-6)") {
+    val dir = tmpDir()
+    val gz = dir.resolve("warc.paths.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(gz))
+    out.write((1 to 10).map(i => s"crawl/seg$i.warc.gz").mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val paths = Warc.readIndex(spark, gz.toString, 3).as[String].collect().toSeq
+    assert(paths == Seq("crawl/seg1.warc.gz", "crawl/seg2.warc.gz", "crawl/seg3.warc.gz"))
+  }
+
   test("CSV export sink roundtrip (S-9)") {
     val dir = tmpDir().toString + "/csv"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
