@@ -149,7 +149,25 @@ object CoreQueries {
       t(s, d, "part")
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
-        .limit(100))
+        .limit(100)),
+
+    // beyond-reference breadth: hierarchical totals via ROLLUP
+    "g1_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(grouping(col("l_returnflag")), grouping(col("l_linestatus")),
+          coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))),
+
+    // beyond-reference breadth: relational INTERSECT / EXCEPT
+    "g2_setops" -> ((s, d) => {
+      val withOrders = t(s, d, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val both = rich.intersect(withOrders).withColumn("class", lit("rich_with_orders"))
+      val only = rich.except(withOrders).withColumn("class", lit("rich_no_orders"))
+      both.unionByName(only).orderBy(col("class"), col("c_custkey"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +243,21 @@ object CoreQueries {
         |ORDER BY source""".stripMargin,
     "o2_ordered_limit" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
-        |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 100""".stripMargin
+        |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 100""".stripMargin,
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
+        |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
+    "g2_setops" ->
+      """SELECT c_custkey, 'rich_with_orders' AS class FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT DISTINCT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'rich_no_orders' FROM (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT SELECT DISTINCT o_custkey FROM orders)
+        |ORDER BY class, c_custkey""".stripMargin
   )
 }
