@@ -56,7 +56,9 @@ object AbrXml {
       nullif(concat_ws(", ", state, post), lit("")).as("address"),
       post.as("postcode"),
       state.as("state"),
-      to_date(coalesce(nullif(trim(opt("ABN._ABNStatusFromDate")), lit("")),
+      // try_to_date: the reference lets Postgres null-reject bad dates
+      // (SURVEY §1.3) — ANSI to_date would abort the whole ingest instead
+      try_to_date(coalesce(nullif(trim(opt("ABN._ABNStatusFromDate")), lit("")),
         nullif(trim(opt("GST._GSTStatusFromDate")), lit(""))),
         "yyyyMMdd").as("start_date"))
       .filter(col("abn").isNotNull && length(col("abn")) > 0)

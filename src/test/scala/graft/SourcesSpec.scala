@@ -23,6 +23,10 @@ class SourcesSpec extends SparkSpec {
         |  <GST status="ACT" GSTStatusFromDate="20000701"/>
         |</ABR>
         |<ABR>
+        |  <ABN status="SUS" ABNStatusFromDate="not-a-date">61824753558</ABN>
+        |  <MainEntity><NonIndividualName><NonIndividualNameText>GAMMA TRUST</NonIndividualNameText></NonIndividualName></MainEntity>
+        |</ABR>
+        |<ABR>
         |  <ABN status="CAN" ABNStatusFromDate="">41824753557</ABN>
         |  <EntityType><EntityTypeText>Sole Trader</EntityTypeText></EntityType>
         |  <MainEntity>
@@ -36,7 +40,10 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(dir.resolve("abr1.xml"), xml)
     val rows = AbrXml.read(spark, dir.toString + "/abr1.xml")
       .orderBy($"abn").collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
+    val dirty = rows.find(_.getString(0) == "61824753558").get
+    assert(dirty.isNullAt(7)) // unparseable date → null, not an abort
+    assert(dirty.getString(1) == "GAMMA TRUST")
     val r0 = rows.find(_.getString(0) == "51824753556").get
     assert(r0.getString(1) == "ACME WIDGETS PTY LTD")
     assert(r0.getString(2) == "Australian Private Company")
