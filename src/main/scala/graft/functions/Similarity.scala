@@ -27,7 +27,9 @@ object Similarity {
 
   /** [[ratio]] if it is >= `floorScore`, else NULL — computed with
     * Spark's banded threshold levenshtein (O(n·k) with early exit
-    * instead of O(n²)), which is the hot path of the similarity join.
+    * instead of O(n²)). The similarity join's hot path uses the custom
+    * [[graft.plans.FuzzyBestScore]] expression instead; this is the
+    * declarative twin (property-checked equal in FuzzyBestScoreSpec).
     * Exactness: score >= f  ⟺  lev <= maxlen*(100-f)/100; the threshold
     * is the integer floor of that bound, and an integer distance above
     * the floor is above the bound, so the -1 early-exit can only fire
