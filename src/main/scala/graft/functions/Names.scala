@@ -32,7 +32,8 @@ object Names {
     """\|[^|]*$""",
     """\s*-\s*[^-]*$""",
     """&#\d+;""",
-    """&[A-Za-z]+;""")
+    """&[A-Za-z]+;""",
+    """\b(BREEDS?|PHOTOGRAPHER?|SERVICES?|PORTAL|CATALOG|SHOP)\b""")
 
   /** reference scripts/entity_matching.py:43-56 (declaration order) */
   val abbrevs: Seq[(String, String)] = Seq(

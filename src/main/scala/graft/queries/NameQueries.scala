@@ -19,10 +19,11 @@ object NameQueries {
     * (via expr) and DuckDB; exercises parens, articles, '&', pipe-tails,
     * dash-tails, HTML entities, brackets, PTY LTD / CO abbreviations. */
   private val titleSql: String =
-    """CASE CAST(p_partkey % 4 AS INT)
+    """CASE CAST(p_partkey % 5 AS INT)
       | WHEN 0 THEN concat(upper(p_name), ' Pty Ltd (Australia)')
       | WHEN 1 THEN concat('The ', p_name, ' Group & Co | Online Shop')
-      | WHEN 2 THEN concat(p_name, ' Holdings - Contact Us')
+      | WHEN 2 THEN concat(p_name, ' &quot;Holdings&quot; - Contact Us')
+      | WHEN 3 THEN concat(p_name, '&#8217;s Shop &middot; Catalog')
       | ELSE concat(p_name, ' &amp; Sons [est 1999]')
       |END""".stripMargin
 
