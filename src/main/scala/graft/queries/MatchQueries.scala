@@ -34,8 +34,9 @@ object MatchQueries {
   }
 
   private def rightDf(s: SparkSession, d: String) =
-    t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
-      .select(col("c_custkey").as("cand_key"), expr(candSql).as("cand_name"))
+    graft.model.Tables.spread(
+      t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("cand_key"), expr(candSql).as("cand_name")))
 
   /** j1's match table feeds two declared queries (the join itself and
     * the A-7 rate counters); memoized + persisted per sfDir so the

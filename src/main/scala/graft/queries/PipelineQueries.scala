@@ -50,8 +50,10 @@ object PipelineQueries {
       .orderBy(col("abn")).limit(10000))
 
   private def ccDf(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "customer").filter(col("c_custkey") % 7 === 0)
-      .selectExpr(ccCols: _*)
+    // spread: the single-row-group scan would otherwise run the whole
+    // regex-heavy cleaning chain on one task
+    Tables.spread(Tables.load(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+      .selectExpr(ccCols: _*))
 
   /** Unified table memoized per sfDir — it feeds both U-1 and U-2. */
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
