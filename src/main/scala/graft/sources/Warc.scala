@@ -80,7 +80,7 @@ object Warc {
       .filter(col("target_uri").contains(".au"))
       .select(
         col("target_uri").as("website_url"),
-        nullif(trim(regexp_extract(col("body"), "(?is)<title[^>]*>(.*?)</title>", 1)), lit(""))
+        nullif(trim(regexp_extract(col("body"), "(?is)<title>(.*?)</title>", 1)), lit(""))
           .as("company_name"),
         nullif(trim(regexp_extract(col("body"),
           "(?is)<meta\\s+name=[\"']industry[\"']\\s+content=[\"'](.*?)[\"']", 1)), lit(""))
