@@ -47,9 +47,9 @@ object AnnQueries {
          |s AS (SELECT q_id, c_id,
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
          |  FROM c CROSS JOIN q WHERE q_id <> c_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank FROM s)
-         |SELECT q_id, c_id, rank, cosine FROM r WHERE rank <= $Kk
-         |ORDER BY q_id, rank""".stripMargin,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin,
     "n2_ann_lsh" -> {
       val qb = (0 until NTables).map(tb =>
         s"SELECT q_id, $tb AS tbl, ${Vectors.sql.lshBucket("q_vec", Bits, tb)} AS bucket FROM q")
@@ -65,9 +65,9 @@ object AnnQueries {
          |s AS (SELECT cand.q_id, cand.c_id,
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
          |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank FROM s)
-         |SELECT q_id, c_id, rank, cosine FROM r WHERE rank <= $Kk
-         |ORDER BY q_id, rank""".stripMargin
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin
     }
   )
 }

@@ -66,7 +66,7 @@ object EventQueries {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
     "w2_user_running" ->
-      """SELECT user_id, seq, event_id, running_value FROM (
+      """SELECT user_id, CAST(seq AS INT) AS seq, event_id, running_value FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
         |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -182,9 +182,9 @@ object MatchQueries {
          |  ${Similarity.sql.ratio("left_sorted", "right_sorted")} AS score
          |  FROM lp CROSS JOIN rp),
          |ranked AS (SELECT *, row_number() OVER (
-         |  PARTITION BY left_key ORDER BY score DESC, right_key ASC) AS rank FROM scored)
-         |SELECT left_key, right_key, score, rank FROM ranked
-         |WHERE rank <= 5 ORDER BY left_key, rank""".stripMargin,
+         |  PARTITION BY left_key ORDER BY score DESC, right_key ASC) AS rank0 FROM scored)
+         |SELECT left_key, right_key, score, CAST(rank0 AS INT) AS rank FROM ranked
+         |WHERE rank0 <= 5 ORDER BY left_key, rank0""".stripMargin,
     "a7_match_rate" ->
       s"""WITH m AS (${similaritySql("lp CROSS JOIN rp").replace("ORDER BY left_key", "")}),
          |p AS (SELECT count(*) AS total_processed FROM ($leftSrc)

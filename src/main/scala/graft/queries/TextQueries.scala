@@ -56,7 +56,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "t1_classify" -> {
       val hitCols = TextStats.classes.map { case (name, ws) =>
-        s"${TextStats.sql.wordlistHits("text", ws)} AS hits_$name"
+        s"CAST(${TextStats.sql.wordlistHits("text", ws)} AS INT) AS hits_$name"
       }.mkString(", ")
       s"""SELECT doc_id, $hitCols, ${TextStats.sql.classify("text")} AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
@@ -65,14 +65,14 @@ object TextQueries {
       s"""SELECT doc_id, ${TextStats.sql.qualityScore("text")} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_token_counts" ->
-      s"""SELECT doc_id, ${TextStats.sql.wsTokenCount("text")} AS ws_tokens,
-         |  ${TextStats.sql.bpeTokenCount("text")} AS bpe_tokens
+      s"""SELECT doc_id, CAST(${TextStats.sql.wsTokenCount("text")} AS INT) AS ws_tokens,
+         |  CAST(${TextStats.sql.bpeTokenCount("text")} AS INT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id, ${Hashing.sql.fingerprint("text", 64)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_binary_meta" ->
-      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+      """SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -48,9 +48,11 @@ def main(sf_dir, out_dir):
         try:
             want = con.execute(sql)
             want_cols = [d[0] for d in want.description]
+            want_types = dict(zip(want_cols, [str(d[1]) for d in want.description]))
             want_rows = want.fetchall()
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [d[0] for d in got.description]
+            got_types = dict(zip(got_cols, [str(d[1]) for d in got.description]))
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -60,6 +62,12 @@ def main(sf_dir, out_dir):
         gc, gr = canon(got_rows, got_cols)
         if wc != gc:
             print(f"FAIL {name}: columns differ: oracle={wc} spark={gc}")
+            n_fail += 1
+            continue
+        type_diff = {c: (want_types[c], got_types[c]) for c in wc
+                     if want_types[c] != got_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: dtypes differ: {type_diff}")
             n_fail += 1
             continue
         if len(wr) != len(gr):
