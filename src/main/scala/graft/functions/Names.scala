@@ -54,8 +54,17 @@ object Names {
   val keywordStopwords: Seq[String] =
     Seq("PROPRIETARY", "LIMITED", "COMPANY", "CORPORATION", "AND", "THE")
 
-  /** F-6: full normalization chain; null/blank input → empty string. */
-  def normalizeName(c: Column): Column = {
+  /** F-6: full normalization; null/blank input → empty string. Hot form:
+    * ONE compact expression ([[graft.plans.NormalizeName]]) running the
+    * same precompiled pattern chain — Catalyst substitution duplicates a
+    * single node instead of a ~27-node chain, and evaluation converts
+    * UTF8String↔String once instead of per step. Value-identical to
+    * [[normalizeNameDeclarative]] (NamesSpec property-checks). */
+  def normalizeName(c: Column): Column = graft.plans.NameExprs.normalizeName(c)
+
+  /** F-6 as the declarative regexp_replace chain — the twin the DuckDB
+    * oracle SQL mirrors literally; kept for property tests. */
+  def normalizeNameDeclarative(c: Column): Column = {
     var s = upper(trim(coalesce(c, lit(""))))
     s = regexp_replace(s, """&AMP;""", "&")
     s = regexp_replace(s, """&QUOT;""", "\"")
@@ -69,8 +78,11 @@ object Names {
 
   /** F-7: keyword set as a SORTED DISTINCT array (the reference returns a
     * Python set; sorting pins determinism for the oracle compare). */
-  def keywordsArr(c: Column): Column = {
-    val toks = split(normalizeName(c), " ")
+  def keywordsArr(c: Column): Column = graft.plans.NameExprs.keywordsArr(c)
+
+  /** F-7 declarative twin. */
+  def keywordsArrDeclarative(c: Column): Column = {
+    val toks = split(normalizeNameDeclarative(c), " ")
     array_sort(array_distinct(filter(toks,
       w => length(w) >= 3 && !w.isin(keywordStopwords: _*))))
   }
@@ -90,7 +102,11 @@ object Names {
   /** F-8: try each title pattern (case-insensitive search); keep the first
     * whose trimmed capture is >=3 chars and not digits/punct-only, else
     * fall back to the original title. */
-  def extractFromTitle(title: Column): Column = {
+  def extractFromTitle(title: Column): Column =
+    graft.plans.NameExprs.extractFromTitle(title)
+
+  /** F-8 declarative twin. */
+  def extractFromTitleDeclarative(title: Column): Column = {
     val candidates = titlePatterns.map { p =>
       trim(regexp_extract(title, "(?i)" + p, 1))
     }
@@ -110,7 +126,11 @@ object Names {
     """^(?:RE:|LOG\s+IN|CONTACT\s+US)$""")
 
   /** F-5: validity predicate. */
-  def isValidCompanyName(c: Column): Column = {
+  def isValidCompanyName(c: Column): Column =
+    graft.plans.NameExprs.isValidCompanyName(c)
+
+  /** F-5 declarative twin. */
+  def isValidCompanyNameDeclarative(c: Column): Column = {
     val nonBlank = c.isNotNull && length(trim(c)) >= 3
     invalidStartPatterns.foldLeft(nonBlank) { (acc, p) =>
       acc && !c.rlike("(?i)" + p)

@@ -54,12 +54,21 @@ object MatchJoin {
     * one allocation-light pass (banded early-exit levenshtein +
     * merge-join set ops) instead of ~40 interpreted expression nodes.
     * Bitwise-equivalent to the declarative chain in
-    * [[graft.functions.Similarity]] that the DuckDB oracle mirrors. */
+    * [[graft.functions.Similarity]] that the DuckDB oracle mirrors.
+    *
+    * Accept-path floor raise (exact): downstream keeps only rows with
+    * score >= cutoff, and the score of such a row is the max over its
+    * qualifying strategies — a strategy scoring in [floor, cutoff) can
+    * neither survive the filter as the max nor change a max that is
+    * >= cutoff. Scoring with every strategy floor at `cutoff` therefore
+    * yields the identical accepted set and identical confidences while
+    * halving the levenshtein band and letting most pairs exit on the
+    * zero-allocation length gates. */
   private def pairScore(cutoff: Int): Column =
     graft.plans.FuzzyBestScore.column(
       col("left_sorted"), col("right_sorted"), col("left_norm"), col("right_norm"),
       col("left_set"), col("right_set"), col("left_kw"), col("right_kw"),
-      cutoff - 20)
+      cutoff, kwFloor = math.max(30, cutoff))
 
   /** Per-left argmax with (score desc, right_key asc) tie-break and
     * cutoff acceptance — as a partial-aggregating groupBy(max(struct))

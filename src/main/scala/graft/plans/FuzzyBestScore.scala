@@ -17,10 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * (token-sort / token-set / plain levenshtein-ratio qualifying at
   * `floorScore`, keyword-Jaccard qualifying at `kwFloor`, max of the
   * qualifiers, 0 when none qualify — see graft.operators.MatchJoin and
-  * the DuckDB oracle twins), but ~an order of magnitude cheaper per
-  * pair: banded early-exit levenshtein and merge-joins over the
-  * pre-sorted token arrays, no UTF-16 decoding and no intermediate
-  * collections.
+  * the DuckDB oracle twins), but orders of magnitude cheaper per pair:
+  *
+  *  - every strategy is gated by a length-difference bound computed
+  *    from `numBytes`/element counts BEFORE any byte copying — at an
+  *    accept-path floor most pairs exit with zero allocations;
+  *  - banded early-exit levenshtein (band = edits the floor allows);
+  *  - token-set / Jaccard merges run directly over the columnar
+  *    `ArrayData` (count-first; the three set-op strings are only
+  *    materialized for pairs whose length gates pass);
+  *  - strategies already beaten by the running best are re-gated at
+  *    `best + 1` — returning -1 for scores <= best, which the max
+  *    would discard anyway (adaptive floor).
   *
   * Byte-level processing is exact because every scorer input comes out
   * of the normalization chain, which strips to `[A-Za-z0-9 ]` — ASCII
@@ -47,19 +55,28 @@ case class FuzzyBestScore(children: Seq[Expression], floorScore: Int, kwFloor: I
     val v6 = c(6).eval(input); val v7 = c(7).eval(input)
     if (v0 == null || v1 == null || v2 == null || v3 == null ||
       v4 == null || v5 == null || v6 == null || v7 == null) return 0
-    val leftSorted = v0.asInstanceOf[UTF8String].getBytes
-    val rightSorted = v1.asInstanceOf[UTF8String].getBytes
 
     var best = 0
-    def consider(s: Int, floor: Int): Unit = if (s >= floor && s > best) best = s
-
-    consider(ratioAtLeast(leftSorted, rightSorted, floorScore), floorScore)
+    // strategy floors rise with the running best: a score <= best can
+    // never change the max, so asking the scorer to refuse below
+    // best + 1 is exact and narrows its levenshtein band.
+    var s = ratioAtLeastU8(v0.asInstanceOf[UTF8String], v1.asInstanceOf[UTF8String], floorScore)
+    if (s > best) best = s
     if (best < 100) {
-      consider(tokenSetRatioAtLeast(byteArrays(v4), byteArrays(v5), floorScore), floorScore)
-      consider(ratioAtLeast(v2.asInstanceOf[UTF8String].getBytes,
-        v3.asInstanceOf[UTF8String].getBytes, floorScore), floorScore)
+      s = tokenSetRatioAtLeast(v4.asInstanceOf[ArrayData], v5.asInstanceOf[ArrayData],
+        math.max(floorScore, best + 1))
+      if (s > best) best = s
+      if (best < 100) {
+        s = ratioAtLeastU8(v2.asInstanceOf[UTF8String], v3.asInstanceOf[UTF8String],
+          math.max(floorScore, best + 1))
+        if (s > best) best = s
+      }
     }
-    consider(jaccard100(byteArrays(v6), byteArrays(v7)), kwFloor)
+    if (best < 100) {
+      // jaccard <= 100 can only tie a best of 100, never raise the max
+      s = jaccard100(v6.asInstanceOf[ArrayData], v7.asInstanceOf[ArrayData])
+      if (s >= kwFloor && s > best) best = s
+    }
     best
   }
 
@@ -71,27 +88,25 @@ object FuzzyBestScore {
 
   def column(leftSorted: Column, rightSorted: Column, leftNorm: Column, rightNorm: Column,
              leftSet: Column, rightSet: Column, leftKw: Column, rightKw: Column,
-             floorScore: Int): Column = {
+             floorScore: Int, kwFloor: Int = 30): Column = {
     val exprs = Seq(leftSorted, rightSorted, leftNorm, rightNorm,
       leftSet, rightSet, leftKw, rightKw).map(ExprBridge.toExpression)
-    ExprBridge.toColumn(FuzzyBestScore(exprs, floorScore))
+    ExprBridge.toColumn(FuzzyBestScore(exprs, floorScore, kwFloor))
   }
 
-  private def byteArrays(v: Any): Array[Array[Byte]] = {
-    val arr = v.asInstanceOf[ArrayData]
-    Array.tabulate(arr.numElements())(i =>
-      if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes)
+  /** floor(100*(1-maxD/ml)) feasibility gate: can ANY pair with lengths
+    * (la, lb) reach `floorScore`? Edits >= |la-lb|, so the band bound
+    * decides from lengths alone. */
+  @inline private def lengthGate(la: Int, lb: Int, floorScore: Int): Boolean = {
+    val ml = math.max(math.max(la, lb), 1)
+    math.abs(la - lb) <= ml * (100 - floorScore) / 100
   }
 
-  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    a.length - b.length
+  /** Zero-copy variant over UTF8String: gates on numBytes before
+    * touching the payload. */
+  def ratioAtLeastU8(a: UTF8String, b: UTF8String, floorScore: Int): Int = {
+    if (!lengthGate(a.numBytes, b.numBytes, floorScore)) return -1
+    ratioAtLeast(a.getBytes, b.getBytes, floorScore)
   }
 
   /** floor(100*(1 - lev/maxlen)) if >= floorScore else -1; banded DP with
@@ -148,45 +163,77 @@ object FuzzyBestScore {
     if (prev(lb) <= maxD) prev(lb) else -1
   }
 
+  @inline private def elem(a: ArrayData, i: Int): UTF8String = {
+    val s = if (a.isNullAt(i)) null else a.getUTF8String(i)
+    if (s == null) UTF8String.EMPTY_UTF8 else s
+  }
+
+  /** ByteBuf join-length simulator: appending a token of `tok` bytes to
+    * a buffer currently `len` bytes long. */
+  @inline private def appendLen(len: Int, tok: Int): Int =
+    if (len > 0) len + 1 + tok else tok
+
+  private def joinNonEmptyLen(a: Int, b: Int): Int =
+    if (a == 0) b else if (b == 0) a else a + 1 + b
+
   /** token_set_ratio over pre-sorted distinct token arrays; -1 if below
-    * floor. Merge-join set ops into flat byte buffers. */
-  def tokenSetRatioAtLeast(ta: Array[Array[Byte]], tb: Array[Array[Byte]],
-                           floorScore: Int): Int = {
-    var total = 0
-    ta.foreach(total += _.length + 1)
-    tb.foreach(total += _.length + 1)
-    val inter = new ByteBuf(total)
-    val restA = new ByteBuf(total)
-    val restB = new ByteBuf(total)
+    * floor. Pass 1 merge-counts the three set-op string lengths straight
+    * off the ArrayData and length-gates all three component ratios; the
+    * strings themselves are only built (pass 2) for surviving pairs. */
+  def tokenSetRatioAtLeast(ta: ArrayData, tb: ArrayData, floorScore: Int): Int = {
+    val na = ta.numElements(); val nb = tb.numElements()
+    // pass 1: merge-count joined byte lengths
     var i = 0; var j = 0
-    while (i < ta.length && j < tb.length) {
-      val c = compareBytes(ta(i), tb(j))
-      if (c == 0) { inter.append(ta(i)); i += 1; j += 1 }
-      else if (c < 0) { restA.append(ta(i)); i += 1 }
-      else { restB.append(tb(j)); j += 1 }
+    var lInter = 0; var lRestA = 0; var lRestB = 0
+    while (i < na && j < nb) {
+      val x = elem(ta, i); val y = elem(tb, j)
+      val c = x.binaryCompare(y)
+      if (c == 0) { lInter = appendLen(lInter, x.numBytes); i += 1; j += 1 }
+      else if (c < 0) { lRestA = appendLen(lRestA, x.numBytes); i += 1 }
+      else { lRestB = appendLen(lRestB, y.numBytes); j += 1 }
     }
-    while (i < ta.length) { restA.append(ta(i)); i += 1 }
-    while (j < tb.length) { restB.append(tb(j)); j += 1 }
+    while (i < na) { lRestA = appendLen(lRestA, elem(ta, i).numBytes); i += 1 }
+    while (j < nb) { lRestB = appendLen(lRestB, elem(tb, j).numBytes); j += 1 }
+    val lt1 = joinNonEmptyLen(lInter, lRestA)
+    val lt2 = joinNonEmptyLen(lInter, lRestB)
+    val g01 = lengthGate(lInter, lt1, floorScore)
+    val g02 = lengthGate(lInter, lt2, floorScore)
+    val g12 = lengthGate(lt1, lt2, floorScore)
+    if (!g01 && !g02 && !g12) return -1
+    // pass 2: materialize the three strings for the surviving pair
+    val inter = new ByteBuf(lInter)
+    val restA = new ByteBuf(lRestA)
+    val restB = new ByteBuf(lRestB)
+    i = 0; j = 0
+    while (i < na && j < nb) {
+      val x = elem(ta, i); val y = elem(tb, j)
+      val c = x.binaryCompare(y)
+      if (c == 0) { inter.append(x); i += 1; j += 1 }
+      else if (c < 0) { restA.append(x); i += 1 }
+      else { restB.append(y); j += 1 }
+    }
+    while (i < na) { restA.append(elem(ta, i)); i += 1 }
+    while (j < nb) { restB.append(elem(tb, j)); j += 1 }
     val s0 = inter.bytes
     val t1 = joinNonEmpty(s0, restA.bytes)
     val t2 = joinNonEmpty(s0, restB.bytes)
     var best = -1
-    def c(x: Int): Unit = if (x > best) best = x
-    c(ratioAtLeast(s0, t1, floorScore))
-    c(ratioAtLeast(s0, t2, floorScore))
-    c(ratioAtLeast(t1, t2, floorScore))
+    if (g01) { val x = ratioAtLeast(s0, t1, floorScore); if (x > best) best = x }
+    if (g02) { val x = ratioAtLeast(s0, t2, floorScore); if (x > best) best = x }
+    if (g12) { val x = ratioAtLeast(t1, t2, floorScore); if (x > best) best = x }
     best
   }
 
   private final class ByteBuf(capacity: Int) {
     private val buf = new Array[Byte](capacity)
     private var len = 0
-    def append(tok: Array[Byte]): Unit = {
+    def append(tok: UTF8String): Unit = {
       if (len > 0) { buf(len) = ' '; len += 1 }
-      System.arraycopy(tok, 0, buf, len, tok.length)
-      len += tok.length
+      tok.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+      len += tok.numBytes
     }
-    def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    def bytes: Array[Byte] =
+      if (len == buf.length) buf else java.util.Arrays.copyOf(buf, len)
   }
 
   private def joinNonEmpty(a: Array[Byte], b: Array[Byte]): Array[Byte] =
@@ -200,17 +247,19 @@ object FuzzyBestScore {
       out
     }
 
-  /** Jaccard*100 truncated over sorted distinct arrays; 0 if either empty. */
-  def jaccard100(ka: Array[Array[Byte]], kb: Array[Array[Byte]]): Int = {
-    if (ka.isEmpty || kb.isEmpty) return 0
+  /** Jaccard*100 truncated over sorted distinct arrays; 0 if either
+    * empty. Merge runs straight over the ArrayData — no materialization. */
+  def jaccard100(ka: ArrayData, kb: ArrayData): Int = {
+    val na = ka.numElements(); val nb = kb.numElements()
+    if (na == 0 || nb == 0) return 0
     var i = 0; var j = 0; var inter = 0
-    while (i < ka.length && j < kb.length) {
-      val c = compareBytes(ka(i), kb(j))
+    while (i < na && j < nb) {
+      val c = elem(ka, i).binaryCompare(elem(kb, j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
-    val union = ka.length + kb.length - inter
+    val union = na + nb - inter
     (inter.toLong * 100 / union).toInt
   }
 }

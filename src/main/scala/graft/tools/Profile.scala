@@ -2,9 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.Names
 import graft.model.Tables
 
+/** Stage-level profiling of the bench hotspots; each measurement runs
+  * twice so driver-side planning+codegen (first run) separates from
+  * executor time (second run).
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -16,35 +19,29 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    def time2(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val df = f
+      val t0 = System.nanoTime(); val n1 = df.count()
+      val t1 = System.nanoTime(); val n2 = df.count()
+      val t2 = System.nanoTime()
+      println(f"PROF $name%-28s run1=${(t1 - t0) / 1e9}%7.2f  run2=${(t2 - t1) / 1e9}%7.2f  rows=$n1")
     }
     spark.read.parquet(s"$d/customer.parquet").count()
-    val ccCols = Seq(
-      "c_custkey AS cc_id",
-      """CASE CAST(c_custkey % 5 AS INT)
-        | WHEN 0 THEN concat(c_name, ' Pty Ltd | Home')
-        | WHEN 1 THEN concat('The ', c_name, ' Group')
-        | WHEN 2 THEN concat('RSS ', c_name)
-        | WHEN 3 THEN '  '
-        | ELSE concat(c_name, ' & Associates (AU)')
-        |END AS company_name""".stripMargin)
-    val customer = spark.read.parquet(s"$d/customer.parquet")
-    val cc = Tables.spread(customer.filter(col("c_custkey") % 7 === 0).selectExpr(ccCols: _*))
-    time("cc base") { cc.count() }
-    val f4 = cc.filter(col("company_name").isNotNull && length(trim(col("company_name"))) >= 3)
-    time("f4 filter") { f4.count() }
-    val ex = f4.withColumn("extracted_name", Names.extractFromTitle(col("company_name")))
-    time("extract") { ex.filter(length(col("extracted_name")) >= 0).count() }
-    val pinned = Tables.spread(ex)
-    val valid = pinned.filter(Names.isValidCompanyName(col("extracted_name")))
-    time("validity") { valid.count() }
-    val norm = valid.withColumn("nc", Names.normalizeName(col("extracted_name")))
-      .filter(length(col("nc")) >= 3)
-    time("norm gate") { norm.count() }
-    time("norm gate again") { norm.count() }
+
+    // ── j1 stages ──
+    val queries = graft.queries.MatchQueries.queries
+    time2("j1_similarity_join") { queries("j1_similarity_join")(spark, d) }
+    time2("j3_topk_candidates") { queries("j3_topk_candidates")(spark, d) }
+    time2("j1_blocked_join") { queries("j1_blocked_join")(spark, d) }
+    time2("a6_argmax") { graft.queries.CoreQueries.queries("a6_argmax")(spark, d) }
+
+    // ── u1 stages ──
+    time2("u1_unified") { graft.queries.PipelineQueries.queries("u1_unified_pipeline")(spark, d) }
+
+    // ── dedup / ann ──
+    time2("d2_minhash_pairs") { graft.queries.DedupQueries.queries("d2_minhash_pairs")(spark, d) }
+    time2("n2_ann_lsh") { graft.queries.AnnQueries.queries("n2_ann_lsh")(spark, d) }
+    time2("d1_exact_dedup") { graft.queries.DedupQueries.queries("d1_exact_dedup")(spark, d) }
     spark.stop()
   }
 }

@@ -64,4 +64,36 @@ class NamesSpec extends SparkSpec {
     assert(valid("Acme Pty Ltd"))
     assert(!valid("ab"))
   }
+
+  test("native name expressions equal their declarative twins on a corpus") {
+    // the oracle SQL mirrors the declarative chains literally, so the
+    // compact native expressions must be value-identical to them
+    import org.scalacheck.Gen
+    val word = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n,
+      Gen.frequency(8 -> Gen.alphaChar, 1 -> Gen.numChar, 1 -> Gen.oneOf('&', '-', '|', '(', ')', '+', '.'))))
+    val name = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val decorated = Gen.frequency(
+      5 -> name,
+      2 -> name.map(n => s"The $n Pty Ltd (AU) | Home"),
+      1 -> name.map(n => s"RSS $n"),
+      1 -> name.map(n => s"$n &amp; Co - Contact"),
+      1 -> Gen.oneOf("", "  ", "123-456", "Acme Pty Ltd - Widgets", "\tTabbed Name\t"))
+    val gen = Gen.listOfN(400, decorated).sample.get
+    val corpus = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_name".as("x")).limit(500)
+      .unionByName(gen.toDF("x"))
+    val bad = corpus.select($"x",
+        Names.normalizeName($"x").as("n_nat"),
+        Names.normalizeNameDeclarative($"x").as("n_dec"),
+        Names.keywordsArr($"x").as("k_nat"),
+        Names.keywordsArrDeclarative($"x").as("k_dec"),
+        Names.extractFromTitle($"x").as("e_nat"),
+        Names.extractFromTitleDeclarative($"x").as("e_dec"),
+        Names.isValidCompanyName($"x").as("v_nat"),
+        Names.isValidCompanyNameDeclarative($"x").as("v_dec"))
+      .filter($"n_nat" =!= $"n_dec" || ($"k_nat" =!= $"k_dec") ||
+        !($"e_nat" <=> $"e_dec") || $"v_nat" =!= $"v_dec")
+      .collect()
+    assert(bad.isEmpty, s"native != declarative on: ${bad.take(5).mkString("; ")}")
+  }
 }
