@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product with elementwise double promotion. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product with elementwise double promotion — native expression
+    * ([[graft.plans.VecDot]]), bit-identical to [[dotDeclarative]]
+    * (same promote-then-multiply, same sequential fold order;
+    * VectorsSpec property-checks). */
+  def dot(a: Column, b: Column): Column = graft.plans.VecExprs.dot(a, b)
+
+  /** Declarative twin the DuckDB oracle mirrors. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -38,6 +44,11 @@ object Vectors {
     * computable in SQL: ((i*2654435761 + j*40503) % 1997) - 998. */
   def hyperplaneComponent(j: Int, i: Column): Column =
     ((i.cast("long") * 2654435761L + lit(j.toLong * 40503L)) % 1997L - 998L).cast("double")
+
+  /** All `tables` sign-LSH bucket ids at once (native single-pass
+    * expression; element t == [[lshBucket]](v, bits, t)). */
+  def lshBucketsAll(v: Column, bits: Int, tables: Int): Column =
+    graft.plans.VecExprs.lshBuckets(v, bits, tables)
 
   /** Sign-LSH bucket id over `bits` hyperplanes; `table` selects an
     * independent hyperplane family for OR-amplified multi-table LSH. */

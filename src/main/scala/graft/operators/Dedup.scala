@@ -26,23 +26,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Per-document MinHash signature + band keys.
-    * Output: id, sig (array<long>), band_0..band_{bands-1}. */
+    * Output: id, sh (array<long> shingle hashes), sig (array<long>),
+    * band_0..band_{bands-1}. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val withSig = graft.model.Tables.spread(docs)
-      .withColumn("shingles", Hashing.shingles(col(textCol), shingleK))
-      .withColumn("sh", Hashing.shingleHashes(col("shingles")))
-      // native expression — value-identical to Hashing.minhashFromHashes
+      // native expressions — value-identical to the declarative
+      // shingles→shingleHashes→minhashFromHashes chain (DedupSpec twins)
+      .withColumn("sh", graft.plans.ShingleHashes64.column(col(textCol), shingleK))
       .withColumn("sig", graft.plans.MinHashSig.column(col("sh"), numHashes))
     (0 until bands).foldLeft(withSig) { (df, b) =>
       df.withColumn(s"band_$b", Hashing.bandKey(col("sig"), b, rows))
-    }.select(col(idCol) +: col("shingles") +: col("sig") +:
+    }.select(col(idCol) +: col("sh") +: col("sig") +:
       (0 until bands).map(b => col(s"band_$b")): _*)
   }
 
-  /** MinHash-LSH near-dup candidate pairs, verified by exact shingle
-    * Jaccard >= minJaccard100. Output: id_a < id_b, jaccard100. */
+  /** MinHash-LSH near-dup candidate pairs, verified by exact Jaccard
+    * >= minJaccard100 over the (distinct) shingle-hash sets — the same
+    * value as shingle-string Jaccard up to md5%M31 collisions, which
+    * both engines compute identically. Output: id_a < id_b, jaccard100. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, bands: Int,
                    minJaccard100: Int): DataFrame = {
@@ -57,8 +60,8 @@ object Dedup {
     val b = exploded.select(col("id").as("id_b"), col("band"))
     val pairs = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val shA = sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val shB = sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    val shA = sigs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard100",
         Hashing.jaccard100(array_distinct(col("sh_a")), array_distinct(col("sh_b"))))

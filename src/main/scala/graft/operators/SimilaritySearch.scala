@@ -53,7 +53,7 @@ object SimilaritySearch {
               tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, p: String): DataFrame = {
       val withBuckets = df.withColumn("buckets",
-        array((0 until tables).map(t => Vectors.lshBucket(col(s"${p}_vec"), bits, t)): _*))
+        Vectors.lshBucketsAll(col(s"${p}_vec"), bits, tables))
       withBuckets.select(col("*"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
         .drop("buckets")
     }

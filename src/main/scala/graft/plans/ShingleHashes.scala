@@ -1,0 +1,84 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expression: word-k-shingle 60-bit hashes in one
+  * pass — value-identical to the declarative
+  * `shingleHashes(shingles(text, k))` chain in graft.functions.Hashing
+  * (which the DuckDB oracle mirrors):
+  *
+  *   split(text, " ") → k-shingles joined with " " (a doc shorter than
+  *   k tokens contributes its whole text as one shingle) → per shingle
+  *   conv(substr(md5(s),1,15),16,10) % (2^31-1)
+  *
+  * The declarative form runs through interpreted higher-order-function
+  * lambdas — one boxed array_join(slice(...)) plus an md5→hex→conv
+  * string round-trip PER SHINGLE (~2M digests at sf0.1). Here: one
+  * tokenize, a reused MessageDigest, and the 60-bit value read straight
+  * off the first 7.5 digest bytes (== parsing the first 15 hex chars).
+  */
+case class ShingleHashes64(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    import ShingleHashes64._
+    val text = v.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val md = digest.get()
+    if (toks.length >= k) {
+      val n = toks.length - k + 1
+      val out = new Array[Long](n)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = hash60(md, sb.toString) % M31
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array(hash60(md, text) % M31))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes64 {
+  val M31 = 2147483647L
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 parsed base-16 == top 60 bits of the
+    * digest: bytes 0..6 whole, high nibble of byte 7. */
+  private def hash60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  def column(text: Column, k: Int): Column =
+    ExprBridge.toColumn(ShingleHashes64(ExprBridge.toExpression(text), k))
+}

@@ -70,13 +70,18 @@ object CoreQueries {
         .orderBy(col("l_orderkey"))),
 
     // A-6: argmax per group with pinned tie-break (reference scripts/entity_matching.py:402-443)
+    // A-6 as a partial-aggregating argmax: max(struct(price, -key, ...))
+    // with map-side combine — same rows as the row_number()==1 window
+    // the oracle runs, but no shuffle-and-sort of the whole table into
+    // |l_returnflag| tasks (3 here — catastrophic skew at scale).
     "a6_argmax" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val packed = struct(col("l_extendedprice"), (-col("l_orderkey")).as("nk"),
+        (-col("l_linenumber")).as("nl"), col("l_orderkey"))
       t(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(packed).as("m"))
+        .select(col("l_returnflag"), col("m.l_orderkey").as("l_orderkey"),
+          col("m.l_extendedprice").as("l_extendedprice"))
         .orderBy(col("l_returnflag"))
     }),
 

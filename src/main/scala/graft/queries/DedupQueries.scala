@@ -98,8 +98,8 @@ object DedupQueries {
 
   private def sigCte(src: String): String =
     s"""sigs AS (
-       |  SELECT doc_id, shingles, ${Hashing.sql.minhashFromHashes("sh", H)} AS sig
-       |  FROM (SELECT doc_id, shingles, ${Hashing.sql.shingleHashes("shingles")} AS sh
+       |  SELECT doc_id, sh, ${Hashing.sql.minhashFromHashes("sh", H)} AS sig
+       |  FROM (SELECT doc_id, ${Hashing.sql.shingleHashes("shingles")} AS sh
        |        FROM (SELECT doc_id, ${Hashing.sql.shingles("text", K)} AS shingles FROM ($src))))""".stripMargin
 
   private def bandCols: String =
@@ -119,7 +119,7 @@ object DedupQueries {
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id),
          |joined AS (SELECT id_a, id_b,
-         |    ${Hashing.sql.jaccard100("list_distinct(sa.shingles)", "list_distinct(sb.shingles)")} AS jaccard100
+         |    ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS jaccard100
          |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard100 FROM joined
          |WHERE jaccard100 >= 50 ORDER BY id_a, id_b""".stripMargin,

@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native shingle-hash expression equals declarative chain") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").limit(200)
+      .unionByName(Seq("", "one", "one two", "a  b", " lead trail ").toDF("text"))
+    for (k <- Seq(1, 3, 7)) {
+      val bad = texts.select(
+          graft.plans.ShingleHashes64.column($"text", k).as("nat"),
+          graft.functions.Hashing.shingleHashes(
+            graft.functions.Hashing.shingles($"text", k)).as("dec"))
+        .filter($"nat" =!= $"dec").count()
+      assert(bad == 0, s"shingle hashes diverge at k=$k")
+    }
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -18,6 +18,24 @@ class VectorsSpec extends SparkSpec {
     assert(out(2) == 0.0)
   }
 
+  test("native dot / lsh buckets bitwise-equal declarative twins") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
+      .select($"vec_id", $"embedding")
+    val shifted = e.select($"vec_id",
+      reverse($"embedding").as("other"))
+    val pairs = e.join(shifted, "vec_id")
+    val badDot = pairs.select(
+        Vectors.dot($"embedding", $"other").as("nat"),
+        Vectors.dotDeclarative($"embedding", $"other").as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(badDot == 0, "native dot diverges from declarative fold")
+    val badLsh = e.select(
+        Vectors.lshBucketsAll($"embedding", 4, 3).as("nat"),
+        array((0 until 3).map(t => Vectors.lshBucket($"embedding", 4, t)): _*).as("dec"))
+      .filter($"nat" =!= $"dec").count()
+    assert(badLsh == 0, "native lsh buckets diverge from declarative")
+  }
+
   test("brute-force top-k: self excluded, ranked desc, k respected") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = SimilaritySearch.bruteForceTopK(
