@@ -62,9 +62,14 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     val shA = sigs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val shB = sigs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    pairs.join(shA, "id_a").join(shB, "id_b")
+    // Enrich by streaming the corpus against the broadcast (small) pair
+    // list — the wide shingle-hash arrays never shuffle. At 100 TB the
+    // candidate-pair list is orders of magnitude smaller than the
+    // corpus; if it ever outgrows broadcast, the fallback is a shuffle
+    // join on id where still only pair-matched rows move.
+    shB.join(broadcast(shA.join(broadcast(pairs), "id_a")), "id_b")
       .withColumn("jaccard100",
-        Hashing.jaccard100(array_distinct(col("sh_a")), array_distinct(col("sh_b"))))
+        graft.plans.JaccardLong100.column(col("sh_a"), col("sh_b")))
       .filter(col("jaccard100") >= minJaccard100)
       .select(col("id_a"), col("id_b"), col("jaccard100"))
   }

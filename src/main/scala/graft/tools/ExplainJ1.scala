@@ -7,8 +7,12 @@ object ExplainJ1 {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.queries.MatchQueries.queries("j1_blocked_join")(spark, "/root/testdata/sf0.01")
-    df.explain("formatted")
+    graft.queries.MatchQueries.queries("j1_similarity_join")(spark, "/root/testdata/sf0.01")
+      .explain("formatted")
+    graft.operators.Dedup.minhashPairs(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text", 3, 16, 4, 50).explain("formatted")
     spark.stop()
   }
 }

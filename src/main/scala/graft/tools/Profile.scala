@@ -4,10 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
-/** Stage-level profiling of the bench hotspots; each measurement runs
-  * twice so driver-side planning+codegen (first run) separates from
-  * executor time (second run).
-  */
+/** Stage-level profiling of the bench hotspots. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,29 +16,55 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time2(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-      val df = f
-      val t0 = System.nanoTime(); val n1 = df.count()
-      val t1 = System.nanoTime(); val n2 = df.count()
-      val t2 = System.nanoTime()
-      println(f"PROF $name%-28s run1=${(t1 - t0) / 1e9}%7.2f  run2=${(t2 - t1) / 1e9}%7.2f  rows=$n1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROF $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
     spark.read.parquet(s"$d/customer.parquet").count()
-
-    // ── j1 stages ──
-    val queries = graft.queries.MatchQueries.queries
-    time2("j1_similarity_join") { queries("j1_similarity_join")(spark, d) }
-    time2("j3_topk_candidates") { queries("j3_topk_candidates")(spark, d) }
-    time2("j1_blocked_join") { queries("j1_blocked_join")(spark, d) }
-    time2("a6_argmax") { graft.queries.CoreQueries.queries("a6_argmax")(spark, d) }
+    spark.read.parquet(s"$d/documents.parquet").count()
 
     // ── u1 stages ──
-    time2("u1_unified") { graft.queries.PipelineQueries.queries("u1_unified_pipeline")(spark, d) }
+    val ccCols = Seq(
+      "c_custkey AS cc_id",
+      "concat('https://www.c', CAST(c_custkey AS STRING), '.com.au') AS website_url",
+      """CASE CAST(c_custkey % 5 AS INT)
+        | WHEN 0 THEN concat(c_name, ' Pty Ltd | Home')
+        | WHEN 1 THEN concat('The ', c_name, ' Group')
+        | WHEN 2 THEN concat('RSS ', c_name)
+        | WHEN 3 THEN '  '
+        | ELSE concat(c_name, ' & Associates (AU)')
+        |END AS company_name""".stripMargin,
+      "CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'Technology' WHEN 1 THEN 'Mining' ELSE NULL END AS industry")
+    val customer = spark.read.parquet(s"$d/customer.parquet")
+    val cc = Tables.spread(customer.filter(col("c_custkey") % 7 === 0).selectExpr(ccCols: _*))
+    val abr = Tables.spread(customer.selectExpr(
+      "CAST(c_custkey AS STRING) AS abn", "c_name AS entity_name",
+      "c_mktsegment AS entity_type", "'Active' AS entity_status",
+      "'' AS address", "'' AS postcode", "'' AS state", "CAST(NULL AS DATE) AS start_date")
+      .orderBy(col("abn")).limit(10000))
+    time("u1 cleanCandidates") {
+      graft.pipeline.Pipeline.cleanCandidates(cc, "cc_id").count()
+    }
+    time("u1 buildUnified full") {
+      graft.pipeline.Pipeline.buildUnified(abr, cc, "cc_id", 80).count()
+    }
 
-    // ── dedup / ann ──
-    time2("d2_minhash_pairs") { graft.queries.DedupQueries.queries("d2_minhash_pairs")(spark, d) }
-    time2("n2_ann_lsh") { graft.queries.AnnQueries.queries("n2_ann_lsh")(spark, d) }
-    time2("d1_exact_dedup") { graft.queries.DedupQueries.queries("d1_exact_dedup")(spark, d) }
+    // ── d2 stages ──
+    val docs = Tables.spread(spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")))
+    val docs2 = docs.unionByName(docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz qq ww")).as("text")))
+    time("d2 signatures only") {
+      graft.operators.Dedup.minhashSignatures(docs2, "doc_id", "text", 3, 16, 4).count()
+    }
+    time("d2 pairs full") {
+      graft.operators.Dedup.minhashPairs(docs2, "doc_id", "text", 3, 16, 4, 50).count()
+    }
+
+    // ── j3 ──
+    time("j3 full") {
+      graft.queries.MatchQueries.queries("j3_topk_candidates")(spark, d).count()
+    }
     spark.stop()
   }
 }

@@ -24,6 +24,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native long-array jaccard equals declarative distinct jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+      .select($"doc_id", graft.plans.ShingleHashes64.column($"text", 3).as("sh"))
+    val pairs = docs.join(
+      docs.select(($"doc_id" + 1).as("doc_id"), $"sh".as("sh2")), "doc_id")
+    val bad = pairs.select(
+        graft.plans.JaccardLong100.column($"sh", $"sh2").as("nat"),
+        graft.functions.Hashing.jaccard100(
+          array_distinct($"sh"), array_distinct($"sh2")).as("dec"))
+      .filter($"nat" =!= $"dec").count()
+    assert(bad == 0, "native jaccard diverges from declarative")
+  }
+
   test("native shingle-hash expression equals declarative chain") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select($"text").limit(200)
