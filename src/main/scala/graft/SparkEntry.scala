@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.AnnQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.AnnQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.ScaleQueries.oracles
 }

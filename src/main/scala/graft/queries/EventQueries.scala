@@ -52,6 +52,29 @@ object EventQueries {
         .filter(col("seq") <= 3)
         .select(col("user_id"), col("seq"), col("event_id"), col("running_value"))
         .orderBy(col("user_id"), col("seq"))
+    }),
+
+    // W-3: gap-based sessionization (the batch/window twin of
+    // streaming/EventStream's mapGroupsWithState sessionizer): a new
+    // session starts after a >30 min silence; all time math on integer
+    // nanos, bounds emitted as epoch micros via integer division.
+    "w3_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapNs = 30L * 60L * 1000000000L
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) DIV 1000").as("start_us"),
+          expr("max(ts) DIV 1000").as("end_us"))
+        .orderBy(col("user_id"), col("session_seq"))
     })
   )
 
@@ -72,6 +95,20 @@ object EventQueries {
         |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
         |  FROM events)
-        |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin
+        |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin,
+    "w3_sessionize" ->
+      """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(tns) // 1000 AS start_us, max(tns) // 1000 AS end_us
+        |FROM (
+        |  SELECT user_id, event_id, tns,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |      CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
+        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) > 1800000000000
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
   )
 }
