@@ -109,8 +109,11 @@ object MatchJoin {
     val freq = rTok.groupBy("tok").count().filter(col("count") <= maxTokenFreq).drop("count")
     val rBlocked = rTok.join(broadcast(freq), "tok")
     val lTok = l.withColumn("tok", explode(col("left_kw")))
+    // No pair dedup: a pair sharing t tokens is scored t times with the
+    // SAME score, and the downstream per-left max is duplicate-blind —
+    // re-scoring the few multi-token collisions is far cheaper than
+    // shuffling the wide prep rows through a distinct.
     val pairs = lTok.join(rBlocked, "tok").drop("tok")
-      .dropDuplicates("left_key", "right_key")
     argmaxAccept(pairs.withColumn("score", pairScore(cutoff)), cutoff)
   }
 
@@ -124,7 +127,9 @@ object MatchJoin {
     val w = Window.partitionBy(col("left_key"))
       .orderBy(col("score").desc, col("right_key").asc)
     l.crossJoin(broadcast(r))
-      .withColumn("score", Similarity.ratio(col("left_sorted"), col("right_sorted")))
+      // exact native ratio (no qualifying floor — ranking needs true
+      // scores); value-identical to Similarity.ratio (MatchJoinSpec)
+      .withColumn("score", graft.plans.RatioScore.column(col("left_sorted"), col("right_sorted")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("left_key"), col("right_key"), col("score"), col("rank"))

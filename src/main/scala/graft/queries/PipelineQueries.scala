@@ -50,8 +50,8 @@ object PipelineQueries {
       .orderBy(col("abn")).limit(10000))
 
   private def ccDf(s: SparkSession, d: String): DataFrame =
-    // spread: the single-row-group scan would otherwise run the whole
-    // regex-heavy cleaning chain on one task
+    // spread below the (pushed-down) cleaning predicates: the
+    // single-row-group scan would otherwise evaluate them on one task
     Tables.spread(Tables.load(s, d, "customer").filter(col("c_custkey") % 7 === 0)
       .selectExpr(ccCols: _*))
 

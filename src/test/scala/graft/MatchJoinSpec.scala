@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{concat, lit}
 import graft.operators.MatchJoin
 
 /** Fixture bands per FIXTURES.md §A: auto-match per scorer, keyword-only
@@ -62,5 +63,18 @@ class MatchJoinSpec extends SparkSpec {
     assert(tk.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
     val scores = tk.map(_.getInt(2)).toSeq
     assert(scores == scores.sorted.reverse)
+  }
+
+  test("native exact ratio equals declarative ratio on a corpus") {
+    val names = spark.read.parquet(s"$sf/customer.parquet").limit(1000)
+      .select($"c_name".as("a"),
+        concat(lit("The "), $"c_name", lit(" Pty | x")).as("b"))
+      .select(graft.functions.Names.normalizeName($"a").as("na"),
+        graft.functions.Names.normalizeName($"b").as("nb"))
+    val bad = names.select(
+        graft.plans.RatioScore.column($"na", $"nb").as("nat"),
+        graft.functions.Similarity.ratio($"na", $"nb").as("dec"))
+      .filter($"nat" =!= $"dec").count()
+    assert(bad == 0, "native ratio diverges from declarative levenshtein ratio")
   }
 }
