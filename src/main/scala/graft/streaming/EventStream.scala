@@ -55,6 +55,30 @@ object EventStream {
       }
   }
 
+  case class Keyed(key: String, payload: String)
+
+  /** Streaming keep-first dedup on an arbitrary key — the streaming
+    * form of the reference's `ON CONFLICT (abn) DO NOTHING` sink
+    * (SURVEY §2 S-2/J-5): flatMapGroupsWithState keeps a seen-marker
+    * per key and emits only each key's first arrival across ALL
+    * micro-batches (dropDuplicates would re-admit a key once its state
+    * ages out; this never does while state lives). Within a batch,
+    * first arrival in stream order wins. State is one boolean per key —
+    * at 100 TB bound it with a key-space partition or TTL policy. */
+  def dedupKeepFirst(rows: Dataset[Keyed]): Dataset[Keyed] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            it.take(1)
+          }
+      }
+  }
+
   /** Drive a streaming query over whatever is in `inputDir` right now
     * into an in-memory table; returns after the data is processed. */
   def runToMemory(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,

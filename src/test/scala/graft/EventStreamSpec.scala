@@ -38,6 +38,22 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:05:00", "view", 1L, 8.0)))
   }
 
+  test("streaming keep-first dedup emits one row per key") {
+    val in = Files.createTempDirectory("graft-sd").toString
+    Seq(("a", "a1"), ("b", "b1"), ("a", "a2"), ("c", "c1"), ("b", "b2"))
+      .toDF("key", "payload").coalesce(1).write.mode("append").parquet(in)
+    Seq(("a", "a3"), ("d", "d1"))
+      .toDF("key", "payload").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    EventStream.runToMemory(spark, schema, in, "dedup_out",
+      df => EventStream.dedupKeepFirst(df.as[EventStream.Keyed]).toDF(),
+      OutputMode.Append())
+    val out = spark.table("dedup_out").as[EventStream.Keyed].collect()
+    assert(out.map(_.key).sorted.toSeq == Seq("a", "b", "c", "d"))
+    val byKey = out.map(k => k.key -> k.payload).toMap
+    assert(byKey("c") == "c1" && byKey("d") == "d1")
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     val in = Files.createTempDirectory("graft-ss").toString
     def ev(u: Long, m: Int, v: Double) =
