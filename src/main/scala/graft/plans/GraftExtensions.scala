@@ -47,7 +47,42 @@ object GraftExtensions {
         case Seq(h, n) => MinHashSig(h, intLit(n, "num_hashes"))
         case args =>
           throw new IllegalArgumentException(s"graft_minhash takes 2 args, got ${args.length}")
+      }),
+    unary("graft_normalize_name", classOf[NormalizeName].getName, NormalizeName),
+    unary("graft_keywords", classOf[KeywordsArr].getName, KeywordsArr),
+    unary("graft_extract_title", classOf[ExtractFromTitle].getName, ExtractFromTitle),
+    unary("graft_valid_name", classOf[IsValidCompanyName].getName, IsValidCompanyName),
+    binary("graft_ratio", classOf[RatioScore].getName, RatioScore),
+    binary("graft_jaccard_long", classOf[JaccardLong100].getName, JaccardLong100),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes64].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, k) => ShingleHashes64(t, intLit(k, "k"))
+        case args =>
+          throw new IllegalArgumentException(s"graft_shingle_hashes takes 2 args, got ${args.length}")
+      }),
+    ("graft_lsh_buckets",
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, bits, tables) =>
+          LshBuckets(v, intLit(bits, "bits"), intLit(tables, "tables"))
+        case args =>
+          throw new IllegalArgumentException(s"graft_lsh_buckets takes 3 args, got ${args.length}")
       }))
+
+  private def unary(name: String, cls: String, mk: Expression => Expression) =
+    (name, new ExpressionInfo(cls, name),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => mk(c)
+        case args => throw new IllegalArgumentException(s"$name takes 1 arg, got ${args.length}")
+      })
+
+  private def binary(name: String, cls: String, mk: (Expression, Expression) => Expression) =
+    (name, new ExpressionInfo(cls, name),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => mk(a, b)
+        case args => throw new IllegalArgumentException(s"$name takes 2 args, got ${args.length}")
+      })
 
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =

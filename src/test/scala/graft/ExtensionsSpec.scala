@@ -21,6 +21,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig.head == 999983L * 5)
   }
 
+  test("name/hash/vector expressions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_normalize_name('The Acme Group Pty Ltd | Home') AS norm,
+        |  graft_keywords('Acme Widget Co of The Widget') AS kw,
+        |  graft_extract_title('Acme Pty Ltd - Best Widgets') AS title,
+        |  graft_valid_name('RSS Feed') AS v,
+        |  graft_ratio('ACME', 'ACMA') AS r,
+        |  graft_jaccard_long(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  size(graft_shingle_hashes('a b c d', 3)) AS nsh,
+        |  size(graft_lsh_buckets(array(1.0F, -2.0F), 4, 3)) AS nb""".stripMargin).head()
+    assert(row.getString(0) == "ACME PROPRIETARY LIMITED")
+    assert(row.getSeq[String](1) == Seq("ACME", "WIDGET"))
+    assert(row.getString(2) == "Acme Pty Ltd")
+    assert(!row.getBoolean(3))
+    assert(row.getInt(4) == 75)
+    assert(row.getInt(5) == 50)
+    assert(row.getInt(6) == 2)
+    assert(row.getInt(7) == 3)
+  }
+
   test("floor argument controls qualification") {
     GraftExtensions.register(spark)
     // score floor 90: a ~66 ratio pair with no token/keyword overlap → 0
