@@ -130,8 +130,10 @@ object MatchJoin {
       // exact native ratio (no qualifying floor — ranking needs true
       // scores); value-identical to Similarity.ratio (MatchJoinSpec)
       .withColumn("score", graft.plans.RatioScore.column(col("left_sorted"), col("right_sorted")))
+      // slim BEFORE the window: the rank shuffle+sort moves only
+      // (key, key, score), not the prep payload columns
+      .select(col("left_key"), col("right_key"), col("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("left_key"), col("right_key"), col("score"), col("rank"))
   }
 }

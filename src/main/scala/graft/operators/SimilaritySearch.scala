@@ -28,7 +28,10 @@ object SimilaritySearch {
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // slim BEFORE the window: the rank shuffle+sort moves (ids, cosine),
+    // never the embedding payloads
+    scored.select(col("q_id"), col("c_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"), col("cosine"))
   }
 
