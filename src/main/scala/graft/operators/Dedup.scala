@@ -74,10 +74,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard100"))
   }
 
-  /** Per-document SimHash fingerprint. */
+  /** Per-document SimHash fingerprint (native kernels, value-identical
+    * to the declarative tokenHashes→simhashFromHashes chain — DedupSpec). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
-    graft.model.Tables.spread(docs).withColumn("th", Hashing.tokenHashes(col(textCol)))
-      .select(col(idCol), Hashing.simhashFromHashes(col("th"), bits).as("simhash"))
+    graft.model.Tables.spread(docs)
+      .withColumn("th", graft.plans.ShingleHashes64.tokenColumn(col(textCol)))
+      .select(col(idCol), graft.plans.SimHash64.column(col("th"), bits).as("simhash"))
+
+  /** SimHash near-dup search: LSH-for-hamming banding — split the
+    * `bits`-wide fingerprint into `bands` equal bit-slices, candidates
+    * share at least one exact slice at the same position, then verify
+    * bit_count(xor) <= maxHamming. Keeps `bits` below 63 so values stay
+    * positive and bit-slicing shifts agree across engines. Guaranteed
+    * recall for pairs with fewer than `bands` differing bits
+    * (pigeonhole); probabilistic above. Shuffle volume O(docs × bands),
+    * never O(docs²). Output: id_a < id_b, hamming. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bits < 63 && bits % bands == 0)
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    // persist: both sides of the band self-join read the fingerprints —
+    // without it the tokenize+digest pass over the corpus runs twice.
+    // One long per doc; negligible storage at any scale.
+    val sims = simhashes(docs, idCol, textCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sims.select(col(idCol).as("id"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("simhash"), b * bandBits) bitwiseAND lit(mask)).as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("sim_a"),
+      col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("sim_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a") bitwiseXOR col("sim_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Character-n-gram Jaccard between explicitly paired rows (the
     * caller supplies the pairing join). */

@@ -26,10 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenize, a reused MessageDigest, and the 60-bit value read straight
   * off the first 7.5 digest bytes (== parsing the first 15 hex chars).
   */
-case class ShingleHashes64(child: Expression, k: Int)
+case class ShingleHashes64(child: Expression, k: Int, modM31: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @inline private def reduce(h: Long): Long =
+    if (modM31) h % ShingleHashes64.M31 else h
 
   override protected def nullSafeEval(v: Any): Any = {
     import ShingleHashes64._
@@ -49,16 +52,58 @@ case class ShingleHashes64(child: Expression, k: Int)
           sb.append(toks(i + j))
           j += 1
         }
-        out(i) = hash60(md, sb.toString) % M31
+        out(i) = reduce(hash60(md, sb.toString))
         i += 1
       }
       new GenericArrayData(out)
     } else {
-      new GenericArrayData(Array(hash60(md, text) % M31))
+      new GenericArrayData(Array(reduce(hash60(md, text))))
     }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash from per-token 60-bit hashes, `bits` wide — value-identical
+  * to the declarative fold in graft.functions.Hashing.simhashFromHashes
+  * (bit j set iff the ±1 votes from token-hash bit j sum positive; all
+  * inputs are positive 60-bit values, so `>>` agrees with the
+  * declarative arithmetic shift), one pass per token instead of `bits`
+  * interpreted array traversals. */
+case class SimHash64(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  def column(hashes: Column, bits: Int): Column =
+    ExprBridge.toColumn(SimHash64(ExprBridge.toExpression(hashes), bits))
 }
 
 object ShingleHashes64 {
@@ -81,4 +126,8 @@ object ShingleHashes64 {
 
   def column(text: Column, k: Int): Column =
     ExprBridge.toColumn(ShingleHashes64(ExprBridge.toExpression(text), k))
+
+  /** k=1, no M31 reduction == graft.functions.Hashing.tokenHashes. */
+  def tokenColumn(text: Column): Column =
+    ExprBridge.toColumn(ShingleHashes64(ExprBridge.toExpression(text), 1, modM31 = false))
 }

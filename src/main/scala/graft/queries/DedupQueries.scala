@@ -57,6 +57,13 @@ object DedupQueries {
           "doc_id", "text", 32)
         .orderBy(col("doc_id"))),
 
+    // D-6: SimHash near-dup search — banded hamming-LSH join, verified
+    // by bit_count(xor) <= 4 (48-bit fingerprint, 3 bands of 16 bits)
+    "d6_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(docsWithMutations(s, d), "doc_id", "text",
+          bits = 48, bands = 3, maxHamming = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // D-4: character-3-gram Jaccard over adjacent doc pairs (first 60 chars)
     "d4_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -127,6 +134,20 @@ object DedupQueries {
       s"""SELECT doc_id, ${Hashing.sql.simhashFromHashes("th", 32)} AS simhash
          |FROM (SELECT doc_id, ${Hashing.sql.tokenHashes("text")} AS th FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "d6_simhash_neardup" ->
+      s"""WITH sims AS (
+         |  SELECT doc_id, ${Hashing.sql.simhashFromHashes("th", 48)} AS simhash
+         |  FROM (SELECT doc_id, ${Hashing.sql.tokenHashes("text")} AS th FROM ($mutationsSrc))),
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bv
+         |  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM cand
+         |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""SELECT id_a, id_b,
          |  ${Hashing.sql.jaccard100(Hashing.sql.charNgrams("text_a", 3, 60), Hashing.sql.charNgrams("text_b", 3, 60))} AS ngram_jaccard100

@@ -51,6 +51,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native simhash kernels equal declarative chain") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").limit(200)
+      .unionByName(Seq("", "one", "a b c").toDF("text"))
+    val bad = texts.select(
+        graft.plans.SimHash64.column(
+          graft.plans.ShingleHashes64.tokenColumn($"text"), 48).as("nat"),
+        graft.functions.Hashing.simhashFromHashes(
+          graft.functions.Hashing.tokenHashes($"text"), 48).as("dec"))
+      .filter($"nat" =!= $"dec").count()
+    assert(bad == 0, "native simhash diverges from declarative")
+  }
+
+  test("simhash near-dup: planted mutation found, unrelated not") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val df = Seq((1L, base), (2L, base + " tail mut"),
+      (3L, "totally different content with other words entirely now")).toDF("id", "text")
+    val pairs = Dedup.simhashNearDup(df, "id", "text", 48, 4, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
