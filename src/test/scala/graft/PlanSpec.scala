@@ -37,6 +37,27 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast join in:\n$p")
   }
 
+  test("j1: accept filter is the join condition, not a post-join filter") {
+    // the >= cutoff accept must run INSIDE the broadcast nested-loop
+    // join so only surviving pairs materialize (regression guard for
+    // the accept-path floor-raise optimization)
+    val p = SparkEntry.queries("j1_similarity_join")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Cross, (fuzzybestscore("),
+      s"expected fuzzybestscore >= cutoff as the cross-join condition in:\n$p")
+  }
+
+  test("d2 pairs: corpus side is streamed, pair list broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val p = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 50)
+      .queryExecution.executedPlan.toString
+    // the two enrichment joins must be broadcast-hash with the pair
+    // list as the build side — the wide shingle arrays never shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast enrichment joins in:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
