@@ -16,38 +16,29 @@ object Pipeline {
   /** t3' stage 1: candidate cleaning (reference scripts/
     * entity_matching.py:323-358): non-empty-name predicate (F-4), title
     * extraction (F-8), validity filter (F-5), normalization gate (F-6). */
-  def cleanCandidates(cc: DataFrame, idCol: String): DataFrame = {
-    val extracted = cc
-      .filter(col("company_name").isNotNull &&
+  def cleanCandidates(cc: DataFrame, idCol: String): DataFrame =
+    cc.filter(col("company_name").isNotNull &&
         length(trim(col("company_name"))) >= 3)
       .withColumn("extracted_name", Names.extractFromTitle(col("company_name")))
-    // Exchange barrier: predicate pushdown would otherwise substitute the
-    // title-extraction expression (a dozen regex nodes) into every one of
-    // the six validity predicates and the normalization gate below — a
-    // combinatorial codegen blowup that costs seconds of Janino compile
-    // per consumer. A tiny round-robin shuffle pins `extracted_name` as a
-    // materialized column. (At scale this is the same exchange you would
-    // add anyway to rebalance after a selective filter.)
-    val pinned = graft.model.Tables.spread(extracted)
-    pinned
+      // Catalyst substitutes extracted_name into the pushed-down
+      // predicates below — harmless since F-5..F-8 are single compact
+      // expression nodes (graft.plans.NameExprs), not regex chains; no
+      // pinning exchange needed.
       .filter(Names.isValidCompanyName(col("extracted_name")))
       .withColumn("norm_check", Names.normalizeName(col("extracted_name")))
       .filter(length(col("norm_check")) >= 3)
       .drop("norm_check")
-  }
 
   /** t3' stage 2+3: similarity join + unified assembly
     * (reference :380-485). abr must carry the staging_abr columns; cc
     * must carry (idCol, website_url, company_name, industry). Output =
     * unified_companies minus the insert-time timestamp. */
   def buildUnified(abr: DataFrame, cc: DataFrame, ccId: String, cutoff: Int): DataFrame = {
-    // persist: the cleaned candidate table is small but its expression
-    // tree (title-extract + validity + normalization regex chains,
-    // re-inlined by CollapseProject into every consumer) is enormous —
-    // two consumers would each pay a multi-second codegen compile plus
-    // re-evaluation; one materialization pays it once.
+    // No persist: the cleaned candidate table feeds two consumers, but
+    // the cleaning stage is a narrow map of compact expressions —
+    // recomputing it is cheaper than a persist stage (measured both
+    // ways; the candidate side is the small side by construction).
     val cand = cleanCandidates(cc, ccId)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = MatchJoin.broadcastJoin(
       abr.select(col("abn"), col("entity_name")), "abn", "entity_name",
       cand.select(col(ccId), col("extracted_name")), ccId, "extracted_name", cutoff)
