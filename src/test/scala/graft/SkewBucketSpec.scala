@@ -32,6 +32,25 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("partitioned layout prunes partitions under an equality filter") {
+    // the reference's B-tree-on-state index analog (SURVEY §4): lay the
+    // unified table out partitioned by the filter column and the scan
+    // reads only the matching directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_name", "CAST(c_nationkey AS STRING) AS state")
+      .write.mode("overwrite").partitionBy("state").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("state") === "7")
+    val expect = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_nationkey") === 7).count()
+    assert(q.count() == expect)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(state"),
+      s"expected partition filter in scan:\n$scan")
+    assert(scan.contains("(state") && scan.contains("= 7)"),
+      s"equality should prune to the state=7 directory:\n$scan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")
