@@ -25,6 +25,20 @@ object ScaleQueries {
           "l_returnflag", "l_quantity", saltBuckets = 16)
         .orderBy(col("l_returnflag"))),
 
+    // Approximate aggregates — the sketches any 100 TB analytics layer
+    // leans on (HLL++ distinct counts, GK-sketch percentiles): one scan,
+    // partial+final aggregation, fixed-size state per partition.
+    // Declared WITHOUT an oracle (sketch internals differ per engine —
+    // DuckDB's approx_count_distinct uses a different HLL construction,
+    // so hash-parity is undefined by design); the spec bounds the
+    // estimates against exact values instead.
+    "x3_approx_stats" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+        count(lit(1)).as("n"))),
+
     // Salted fact×dim join (dimension replicated per salt, fact salted):
     // same rows as the plain equi-join + aggregation.
     "x2_salted_join" -> ((s, d) => {

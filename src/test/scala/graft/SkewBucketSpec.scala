@@ -51,6 +51,20 @@ class SkewBucketSpec extends SparkSpec {
       s"equality should prune to the state=7 directory:\n$scan")
   }
 
+  test("approx aggregates land within tolerance of exact values") {
+    val df = graft.queries.ScaleQueries.queries("x3_approx_stats")(spark, sf).head()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exactOrders = li.select($"l_orderkey").distinct().count()
+    val exactParts = li.select($"l_partkey").distinct().count()
+    assert(math.abs(df.getLong(0) - exactOrders).toDouble / exactOrders < 0.05,
+      s"HLL orders ${df.getLong(0)} vs exact $exactOrders")
+    assert(math.abs(df.getLong(1) - exactParts).toDouble / exactParts < 0.05,
+      s"HLL parts ${df.getLong(1)} vs exact $exactParts")
+    val exactMedian = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.001).head
+    assert(math.abs(df.getDouble(2) - exactMedian) / exactMedian < 0.02,
+      s"approx median ${df.getDouble(2)} vs $exactMedian")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")
