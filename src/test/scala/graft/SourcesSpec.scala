@@ -92,6 +92,34 @@ class SourcesSpec extends SparkSpec {
     assert(paths == Seq("crawl/seg1.warc.gz", "crawl/seg2.warc.gz", "crawl/seg3.warc.gz"))
   }
 
+  test("ZIP ingest edge: expand members, read XMLs, ledger manifest (S-4)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def abrXml(abn: String, name: String) =
+      s"""<Transfer><ABR><ABN status="ACT" ABNStatusFromDate="20150701">$abn</ABN>
+         |<MainEntity><NonIndividualName><NonIndividualNameText>$name</NonIndividualNameText></NonIndividualName></MainEntity>
+         |</ABR></Transfer>""".stripMargin
+    val dir = tmpDir()
+    val zip = dir.resolve("bulk1.zip")
+    val zout = new ZipOutputStream(Files.newOutputStream(zip))
+    for ((member, abn, name) <- Seq(
+        ("part1.xml", "51824753556", "ACME PTY LTD"),
+        ("part2.xml", "61824753558", "BETA CO"))) {
+      zout.putNextEntry(new ZipEntry(member))
+      zout.write(abrXml(abn, name).getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+    val staging = dir.resolve("staging").toString
+    val manifest = graft.sources.AbrZip.expand(spark, zip.toString, staging)
+      .collect()
+    assert(manifest.length == 2)
+    assert(manifest.forall(_.getLong(2) > 0))
+    val rows = graft.sources.AbrXml.read(spark, s"$staging/*")
+      .orderBy($"abn").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("51824753556", "61824753558"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("ACME PTY LTD", "BETA CO"))
+  }
+
   test("CSV export sink roundtrip (S-9)") {
     val dir = tmpDir().toString + "/csv"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
