@@ -56,21 +56,27 @@ class FuzzyBestScoreSpec extends SparkSpec {
       .withColumn("right_set", Similarity.tokenSet(col("right_norm")))
       .withColumn("left_kw", Names.keywordsArr(col("ln")))
       .withColumn("right_kw", Names.keywordsArr(col("rn")))
-    val native = FuzzyBestScore.column(
-      col("left_sorted"), col("right_sorted"), col("left_norm"), col("right_norm"),
-      col("left_set"), col("right_set"), col("left_kw"), col("right_kw"), 60)
-    val declarative = {
-      def q(s: org.apache.spark.sql.Column, f: Int) = when(s >= f, s)
-      coalesce(greatest(
-        q(Similarity.ratio(col("left_sorted"), col("right_sorted")), 60),
-        q(Similarity.tokenSetRatioFromSets(col("left_set"), col("right_set")), 60),
-        q(Similarity.ratio(col("left_norm"), col("right_norm")), 60),
-        q(Similarity.keywordScoreFromArrays(col("left_kw"), col("right_kw")), 30)), lit(0))
+    // floor 60 = the historical qualify floor; (80, 80) = the raised
+    // accept-path floors the similarity join actually runs with
+    for ((floor, kwFloor) <- Seq((60, 30), (80, 80))) {
+      val native = FuzzyBestScore.column(
+        col("left_sorted"), col("right_sorted"), col("left_norm"), col("right_norm"),
+        col("left_set"), col("right_set"), col("left_kw"), col("right_kw"),
+        floor, kwFloor)
+      val declarative = {
+        def q(s: org.apache.spark.sql.Column, f: Int) = when(s >= f, s)
+        coalesce(greatest(
+          q(Similarity.ratio(col("left_sorted"), col("right_sorted")), floor),
+          q(Similarity.tokenSetRatioFromSets(col("left_set"), col("right_set")), floor),
+          q(Similarity.ratio(col("left_norm"), col("right_norm")), floor),
+          q(Similarity.keywordScoreFromArrays(col("left_kw"), col("right_kw")), kwFloor)), lit(0))
+      }
+      val diff = df.select(col("ln"), col("rn"), native.as("nat"), declarative.as("dec"))
+        .filter(col("nat") =!= col("dec"))
+      val bad = diff.collect()
+      assert(bad.isEmpty,
+        s"native != declarative at floor=$floor/kw=$kwFloor on: ${bad.take(5).mkString("; ")}")
     }
-    val diff = df.select(col("ln"), col("rn"), native.as("nat"), declarative.as("dec"))
-      .filter(col("nat") =!= col("dec"))
-    val bad = diff.collect()
-    assert(bad.isEmpty, s"native != declarative on: ${bad.take(5).mkString("; ")}")
   }
 
   test("normalize is idempotent on generated strings") {
