@@ -58,4 +58,22 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring($binCol, frame_idx * $stride + 1, $frameSize)"))
       .filter(length(col("frame")) > 0)
+
+  /** Resize: shrink a binary payload by an integer factor (every k-th
+    * byte). STUB standing in for a real image resampler — the
+    * Spark-side shape is the point: a narrow per-partition map over the
+    * binary column, output schema (id, resized payload, old/new sizes),
+    * no shuffle, no driver materialization. */
+  def resize(df: DataFrame, idCol: String, binCol: String, factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        // ??? real resampler goes here; deterministic decimation stub
+        val out = Array.tabulate(math.max(1, bytes.length / factor))(i => bytes(i * factor))
+        (id, out, bytes.length.toLong, out.length.toLong)
+      })
+      .toDF(idCol, "resized", "orig_bytes", "resized_bytes")
+  }
 }

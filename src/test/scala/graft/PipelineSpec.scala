@@ -50,5 +50,12 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(docs, "payload", 16, 32, 4)
     assert(frames.count() > 0)
     assert(frames.filter(length($"frame") > 16).count() == 0)
+
+    val resized = Multimodal.resize(docs, "doc_id", "payload", 4).collect()
+    assert(resized.length == 50)
+    assert(resized.forall { r =>
+      val (orig, out) = (r.getLong(2), r.getLong(3))
+      out == math.max(1, orig / 4)
+    })
   }
 }
