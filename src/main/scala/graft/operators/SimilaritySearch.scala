@@ -72,6 +72,36 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** IVF with DETERMINISTIC centroids: per-cluster, per-dimension exact
+    * medians (order statistics are partition-order-independent, and
+    * Spark `percentile(0.5)` interpolates identically to DuckDB
+    * `median` — bitwise), so this ANN variant carries a full oracle
+    * unlike the FP-mean [[ivfTopK]]. Probe the `nProbe` nearest
+    * centroids by cosine, score only vectors in probed clusters. */
+  def ivfMedianTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, clusterCol: String,
+                    dim: Int, k: Int, nProbe: Int): DataFrame = {
+    val centroids = corpus.groupBy(col(clusterCol).as("cluster"))
+      .agg(array((0 until dim).map(i =>
+        percentile(element_at(col(vecCol), i + 1).cast("double"), lit(0.5))): _*).as("centroid"))
+    val q = prep(queries, idCol, vecCol, "q")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", Vectors.cosineWithNorms(
+        col("q_vec"), col("centroid"), col("q_norm"), Vectors.norm(col("centroid"))))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cluster").asc)))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cluster"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      col(clusterCol).as("cluster"))
+      .withColumn("c_norm", Vectors.norm(col("c_vec")))
+    val scored = c.join(broadcast(probes), "cluster")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Vectors.cosineWithNorms(
+        col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style coarse quantization: centroids = per-cluster mean vectors
     * (computed from a labeled/assigned corpus), probe = nearest
     * `nProbe` centroids, score only vectors in probed clusters.

@@ -32,6 +32,13 @@ object AnnQueries {
     "n2_ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshTopK(queriesDf(s, d), t(s, d, "embeddings"),
           "vec_id", "embedding", Kk, Bits, NTables)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // N-3: IVF with deterministic median centroids (probe 3 of 10
+    // label-clusters) — the coarse-quantization scale path, oracle-exact
+    "n3_ann_ivf" -> ((s, d) =>
+      SimilaritySearch.ivfMedianTopK(queriesDf(s, d), t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", dim = 64, k = Kk, nProbe = 3)
         .orderBy(col("q_id"), col("rank")))
   )
 
@@ -65,6 +72,28 @@ object AnnQueries {
          |s AS (SELECT cand.q_id, cand.c_id,
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
          |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN c ON cand.c_id = c.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin
+    },
+    "n3_ann_ivf" -> {
+      val medians = (1 to 64)
+        .map(i => s"median(embedding[$i]::DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH $prepCte,
+         |cent AS (SELECT label AS cluster, $medians AS centroid
+         |         FROM embeddings GROUP BY 1),
+         |cn AS (SELECT cluster, centroid, ${Vectors.sql.norm("centroid")} AS cnorm FROM cent),
+         |probes AS (SELECT q_id, cluster FROM (
+         |  SELECT q_id, cluster, row_number() OVER (PARTITION BY q_id ORDER BY
+         |    ${Vectors.sql.cosineWithNorms("q_vec", "centroid", "q_norm", "cnorm")} DESC,
+         |    cluster ASC) AS pr
+         |  FROM q CROSS JOIN cn) WHERE pr <= 3),
+         |cc AS (SELECT c_id, c_vec, c_norm, label AS cluster
+         |       FROM embeddings JOIN c ON vec_id = c_id),
+         |s AS (SELECT probes.q_id, cc.c_id,
+         |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
+         |  FROM cc JOIN probes USING (cluster) JOIN q ON probes.q_id = q.q_id
+         |  WHERE probes.q_id <> cc.c_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
          |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
          |ORDER BY q_id, rank0""".stripMargin

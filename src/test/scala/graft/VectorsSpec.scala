@@ -58,6 +58,19 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.3, s"LSH recall too low: $recall") // 4 tables × 16 buckets
   }
 
+  test("IVF median-centroid variant: decent recall vs brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.ivfMedianTopK(e.filter($"vec_id" < 10), e,
+        "vec_id", "embedding", "label", 64, 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // synthetic labels are not geometric clusters, so the floor is the
+    // probe fraction (3 of 10 clusters); real clustered data does better
+    assert(recall > 0.25, s"IVF median recall too low: $recall")
+  }
+
   test("IVF top-k: probing more clusters increases (or keeps) recall") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
