@@ -164,6 +164,27 @@ object CoreQueries {
         .orderBy(grouping(col("l_returnflag")), grouping(col("l_linestatus")),
           coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))),
 
+    // beyond-reference breadth: 3-way join + grouped top-k (TPC-H Q3
+    // shape). Revenue in integer 1e-4 units — exact in any aggregation
+    // order, so the top-10 cut cannot flake on FP partition noise.
+    "g3_multijoin_topk" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val revE4 = (round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(revE4).as("revenue_e4"), count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue_e4").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
     // beyond-reference breadth: relational INTERSECT / EXCEPT
     "g2_setops" -> ((s, d) => {
       val withOrders = t(s, d, "orders").select(col("o_custkey").as("c_custkey")).distinct()
@@ -255,6 +276,16 @@ object CoreQueries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
         |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
+    "g3_multijoin_topk" ->
+      """SELECT o_orderkey,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY 1 ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "g2_setops" ->
       """SELECT c_custkey, 'rich_with_orders' AS class FROM (
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
