@@ -27,7 +27,10 @@ object DumpPlans {
       "a2_pricing_summary" -> "Partial (map-side) + final hash aggregation — one narrow shuffled row per group per partition.",
       "a6_argmax" -> "Argmax as partial-agg max(struct(...)) — no per-group global sort; the oracle runs the equivalent row_number window.",
       "n1_ann_bruteforce" -> "Query set broadcast, corpus streamed once; rank window sees only (ids, cosine).",
-      "x1_salted_agg" -> "Two-stage salted aggregation: hot keys split over salt buckets in stage 1, tiny re-merge by key in stage 2.")
+      "x1_salted_agg" -> "Two-stage salted aggregation: hot keys split over salt buckets in stage 1, tiny re-merge by key in stage 2.",
+      "d6_simhash_neardup" -> "Banded hamming-LSH: fingerprints persisted once, candidates from an equi-join on exact 16-bit slices, bit_count(xor) verification — O(docs x bands) shuffle, never O(docs^2).",
+      "n3_ann_ivf" -> "IVF: median centroids from one groupBy, probes broadcast, corpus equi-joined on cluster id only — no corpus-wide scoring.",
+      "g3_multijoin_topk" -> "3-way join with selective filters pushed to each scan; grouped integer revenue with partial aggregation; TakeOrdered top-10.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
