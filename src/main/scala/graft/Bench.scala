@@ -14,14 +14,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (codegen, parquet reader, shuffle paths) so per-query
-    // timings measure the queries, not first-touch JIT.
+    // Warm the JVM (codegen, parquet reader, shuffle paths, custom
+    // expression kernels) so per-query timings measure the queries, not
+    // first-touch JIT of the hot eval loops.
     try {
       graft.model.Tables.all.foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").limit(100).count()
       }
       spark.range(1000).selectExpr("md5(cast(id as string)) h")
         .groupBy("h").count().count()
+      graft.plans.GraftExtensions.register(spark)
+      spark.range(2000).selectExpr(
+          "graft_normalize_name(concat('The X', id, ' Pty Ltd | Home')) AS n",
+          "graft_keywords(concat('Acme Widget ', id)) AS kw",
+          "graft_shingle_hashes(concat('a b c d e f g ', id), 3) AS sh",
+          "graft_lsh_buckets(array(CAST(id AS FLOAT), 1.0F, -2.0F), 4, 2) AS b")
+        .selectExpr("graft_fuzzy_score(n, n, n, n, kw, kw, kw, kw, 80) AS s",
+          "graft_minhash(sh, 16) AS sig", "graft_jaccard_long(sh, sh) AS j", "b")
+        .count()
     } catch { case _: Throwable => () }
     // sorted order: deterministic run order across builds, so shared
     // memoized intermediates (the match table, the unified table) are
