@@ -65,6 +65,17 @@ class NamesSpec extends SparkSpec {
     assert(!valid("ab"))
   }
 
+  test("null inputs: normalize→'', keywords→[], extract→null, valid→false") {
+    val row = Seq(Option.empty[String]).toDF("x")
+      .select(Names.normalizeName($"x"), Names.keywordsArr($"x"),
+        Names.extractFromTitle($"x"), Names.isValidCompanyName($"x"))
+      .head()
+    assert(row.getString(0) == "")
+    assert(row.getSeq[String](1).isEmpty)
+    assert(row.isNullAt(2))
+    assert(!row.getBoolean(3))
+  }
+
   test("native name expressions equal their declarative twins on a corpus") {
     // the oracle SQL mirrors the declarative chains literally, so the
     // compact native expressions must be value-identical to them
