@@ -54,6 +54,23 @@ object TextStats {
   }
 
   /** Whitespace token count. */
+  /** PII patterns for training-data scrubbing — RE2-safe (no
+    * backreferences/lookaround) so Spark's Java regex and DuckDB's RE2
+    * agree on every match. Order matters: emails first (a phone regex
+    * could otherwise eat digits inside an address). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** Redact emails then phones. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
+  /** Occurrence counts (for audit trails / scrub-rate metrics). */
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(regexp_replace(text, emailRe, "<EMAIL>"),
+      lit(phoneRe), lit(0))).as("n_phones"))
+
   def wsTokenCount(text: Column): Column = size(split(text, "\\s+"))
 
   /** BPE-ish token count: runs of letters, runs of digits, single other
@@ -91,6 +108,13 @@ object TextStats {
       val meanLen = s"least(1.0, ($sumLen / greatest($nTok, 1.0)) / 6.0)"
       s"CAST(floor(100 * ($volume * 0.4 + $stopRatio * 0.3 + $meanLen * 0.3)) AS INT)"
     }
+
+    def redactPii(text: String): String =
+      s"regexp_replace(regexp_replace($text, ${lit1(emailRe)}, '<EMAIL>', 'g'), ${lit1(phoneRe)}, '<PHONE>', 'g')"
+
+    def piiCounts(text: String): (String, String) = (
+      s"CAST(len(regexp_extract_all($text, ${lit1(emailRe)})) AS INT)",
+      s"CAST(len(regexp_extract_all(regexp_replace($text, ${lit1(emailRe)}, '<EMAIL>', 'g'), ${lit1(phoneRe)})) AS INT)")
 
     def wsTokenCount(text: String): String =
       s"len(string_split_regex($text, '\\s+'))"

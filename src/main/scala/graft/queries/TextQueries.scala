@@ -12,6 +12,11 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.spread(Tables.load(s, d, n))
 
+  /** Deterministic PII decoration — identical SQL text on both sides. */
+  private val piiDecor =
+    "concat('Contact u', CAST(doc_id AS STRING), '@example.com or +61 4', " +
+      "lpad(CAST(doc_id * 7 % 100000000 AS STRING), 8, '0'), ' re: ', substr(text, 1, 80))"
+
   val queries: Map[String, Q] = Map(
     // T-1: wordlist classification (language-ID heuristic shape)
     "t1_classify" -> ((s, d) => {
@@ -43,6 +48,16 @@ object TextQueries {
         .select(col("doc_id"), Hashing.fingerprint(col("text"), 64).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // T-5: PII redaction (training-data scrubbing) — documents decorated
+    // with deterministic synthetic emails/phones via the SAME SQL text
+    // both engines run, then redacted + audited
+    "t5_redact" -> ((s, d) => {
+      val (ne, np) = TextStats.piiCounts(col("text"))
+      t(s, d, "documents").selectExpr("doc_id", s"$piiDecor AS text")
+        .select(col("doc_id"), TextStats.redactPii(col("text")).as("redacted"), ne, np)
+        .orderBy(col("doc_id"))
+    }),
+
     // M-1: opaque binary column + typed metadata (multimodal plumbing)
     "m1_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
@@ -71,6 +86,13 @@ object TextQueries {
     "t4_fingerprint" ->
       s"""SELECT doc_id, ${Hashing.sql.fingerprint("text", 64)} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_redact" -> {
+      val (ne, np) = TextStats.sql.piiCounts("text")
+      s"""SELECT doc_id, ${TextStats.sql.redactPii("text")} AS redacted,
+         |  $ne AS n_emails, $np AS n_phones
+         |FROM (SELECT doc_id, $piiDecor AS text FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin

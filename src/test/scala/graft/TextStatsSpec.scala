@@ -41,4 +41,19 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("PII redaction: emails and phones scrubbed, counts audited") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +61 412 345 678 or 0299998888 today",
+      "clean text with no pii at all").toDF("text")
+    val (ne, np) = TextStats.piiCounts($"text")
+    val rows = df.select(TextStats.redactPii($"text").as("r"), ne, np).collect()
+    assert(rows(0).getString(0) == "mail <EMAIL> now")
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 0)
+    assert(rows(1).getString(0) == "call <PHONE> or <PHONE> today")
+    assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 2)
+    assert(rows(2).getString(0) == "clean text with no pii at all")
+    assert(rows(2).getInt(1) == 0 && rows(2).getInt(2) == 0)
+  }
 }
