@@ -54,6 +54,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("seq"))
     }),
 
+    // W-4: the same sessionization via Spark's NATIVE session_window
+    // aggregation (merging windows, no manual lag/running-sum) — the
+    // operator a streaming deployment would use; oracle replicates the
+    // session-formation rule (new session iff gap >= 30 min, end =
+    // last event + gap) in SQL
+    "w4_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(session_window(col("ets"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // W-3: gap-based sessionization (the batch/window twin of
     // streaming/EventStream's mapGroupsWithState sessionizer): a new
     // session starts after a >30 min silence; all time math on integer
@@ -96,6 +112,20 @@ object EventQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
         |  FROM events)
         |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin,
+    "w4_session_window" ->
+      """SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, us,
+        |      CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) IS NULL
+        |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) >= 1800000000
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events)))
+        |GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "w3_sessionize" ->
       """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |  count(*) AS n_events, min(tns) // 1000 AS start_us, max(tns) // 1000 AS end_us
