@@ -115,7 +115,9 @@ object Similarity {
       val restB = s"array_to_string(list_sort(list_filter($tb, x -> NOT list_contains($ta, x))), ' ')"
       val t1 = s"trim(concat_ws(' ', $inter, $restA))"
       val t2 = s"trim(concat_ws(' ', $inter, $restB))"
-      s"greatest(${ratio(inter, t1)}, ${ratio(inter, t2)}, ${ratio(t1, t2)})"
+      // DuckDB greatest() promotes INTEGER args to BIGINT; Spark's stays
+      // int — re-cast so both engines declare int32
+      s"CAST(greatest(${ratio(inter, t1)}, ${ratio(inter, t2)}, ${ratio(t1, t2)}) AS INT)"
     }
 
     def tokenSetRatio(a: String, b: String): String =

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine-reproducible approximate aggregates.
+  *
+  * The engine-internal sketches (Spark's HLL++ `approx_count_distinct`,
+  * GK `percentile_approx`) give no cross-engine parity: their internals
+  * differ per implementation, so two correct engines produce different
+  * estimates. For an auditable pipeline (and for this repo's DuckDB
+  * hash-gate) we instead use:
+  *
+  *  - '''KMV (bottom-k minimum values) distinct-count estimate''' over a
+  *    60-bit md5 hash: both engines hash identically
+  *    (`conv(substr(md5(x),1,15),16,10)` == DuckDB
+  *    `('0x'||substr(md5(x),1,15))::BIGINT`), so the bottom-k set — and
+  *    therefore the estimate `(k-1) * 2^60 / h_k` — is bit-identical.
+  *    Estimator: Bar-Yossef et al., "Counting distinct elements in a
+  *    data stream" (RANDOM 2002); standard error ~ 1/sqrt(k).
+  *  - '''exact median''' via `percentile(col, 0.5)` (linear-interpolation
+  *    rule matches DuckDB `median` bitwise for even/odd counts).
+  *
+  * Scale shape: the KMV inner plan is `distinct → TakeOrdered(k)`.
+  * The map side partially deduplicates (hash-aggregate) before the
+  * exchange, so the shuffle carries O(n_distinct) longs — never the raw
+  * rows — and the top-k is a per-partition heap merge, not a global
+  * sort. At 100 TB with very high key cardinality, pre-filter
+  * `h < cap` with a conservative cap (e.g. from a prior round's
+  * estimate × 4) to bound the exchange further; correctness is
+  * unaffected as long as cap keeps ≥ k hashes alive.
+  */
+object Sketches {
+
+  /** 60-bit md5-derived hash of a key column (same value in DuckDB —
+    * first 7.5 digest bytes, always positive, < 2^60). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private val TWO_POW_60 = 1152921504606846976.0 // exact in double
+
+  /** One-row DataFrame `(est: double)` — KMV distinct-count estimate of
+    * `keyCol` with sketch size k. Duplicates collapse before the top-k
+    * (same key → same hash), so the multiset input is handled exactly
+    * as the estimator requires. */
+  def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.select(hash60(col(keyCol)).as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
+      // fewer than k distinct hashes survive the limit → the sketch saw
+      // every key, so the count IS the answer (also keeps small-SF tests
+      // exact). Otherwise: (k-1) * 2^60 is an exact double (k small) and
+      // the single division is IEEE-754-identical across engines — no
+      // rounding needed for bitwise parity.
+      .select(when(col("c") < k, col("c").cast("double"))
+        .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as("est"))
+
+  /** DuckDB twin of [[kmvDistinctEstimate]], for oracle SQL assembly. */
+  def kmvOracleSql(table: String, keyCol: String, k: Int): String =
+    s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS est FROM (
+       |  SELECT h FROM (
+       |    SELECT DISTINCT ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    FROM $table)
+       |  ORDER BY h LIMIT $k)""".stripMargin
+}

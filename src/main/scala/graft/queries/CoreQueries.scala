@@ -278,8 +278,8 @@ object CoreQueries {
         |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
     "g3_multijoin_topk" ->
       """SELECT o_orderkey,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  count(*) AS n_lines
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

@@ -74,18 +74,34 @@ object DedupQueries {
         .orderBy(col("id_a"))
     }),
 
-    // D-5: embedding-cosine near-dup pairs (label-blocked, cutoff 0.9)
+    // D-5: embedding-cosine near-dup pairs, blocked on deterministic
+    // multi-table sign-LSH buckets (the honest scale path: a raw corpus
+    // has no label column to block on). Candidate generation is
+    // O(vectors × tables) bucket rows; cosine is verified only on
+    // bucket collisions; pair enrichment shuffle-joins the slim
+    // (id_a, id_b) list back to vectors on id — no wide payloads in
+    // the candidate shuffle. OR-amplified recall (4 tables × 8 bits)
+    // is measured in DedupSpec; see SCALE.md.
     "d5_embedding_neardup" -> ((s, d) => {
+      val Bits = 8; val NTables = 4
       val e = t(s, d, "embeddings")
-      val orig = e.select(col("vec_id"), col("label"),
+      val orig = e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val mut = e.select((col("vec_id") + 100000).as("vec_id"), col("label"),
+      val mut = e.select((col("vec_id") + 100000).as("vec_id"),
         zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
           (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
-      val u = orig.unionByName(mut).withColumn("nrm", Vectors.norm(col("vec")))
-      val a = u.select(col("vec_id").as("id_a"), col("label"), col("vec").as("vec_a"), col("nrm").as("n_a"))
-      val b = u.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vec_b"), col("nrm").as("n_b"))
-      a.join(b, "label").filter(col("id_a") < col("id_b"))
+      val u = orig.unionByName(mut)
+        .withColumn("nrm", Vectors.norm(col("vec")))
+      val banded = u.select(col("vec_id"),
+        posexplode(Vectors.lshBucketsAll(col("vec"), Bits, NTables)).as(Seq("tbl", "bucket")))
+      val pairs = banded.as("ba").join(banded.as("bb"),
+          col("ba.tbl") === col("bb.tbl") && col("ba.bucket") === col("bb.bucket") &&
+            col("ba.vec_id") < col("bb.vec_id"))
+        .select(col("ba.vec_id").as("id_a"), col("bb.vec_id").as("id_b"))
+        .distinct()
+      val ua = u.select(col("vec_id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
+      val ub = u.select(col("vec_id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
+      pairs.join(ua, "id_a").join(ub, "id_b")
         .withColumn("cosine", Vectors.cosineWithNorms(col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
         .filter(col("cosine") >= 0.9)
         .select(col("id_a"), col("id_b"), col("cosine"))
@@ -155,18 +171,26 @@ object DedupQueries {
          |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
          |ORDER BY id_a""".stripMargin,
     "d5_embedding_neardup" -> {
+      val Bits = 8; val NTables = 4
       val u =
-        """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+        """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
           |UNION ALL
-          |SELECT vec_id + 100000, label,
+          |SELECT vec_id + 100000,
           |  list_transform(generate_series(1, len(embedding)),
           |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
           |FROM embeddings""".stripMargin
-      s"""WITH u AS (SELECT vec_id, label, vec, ${Vectors.sql.norm("vec")} AS nrm FROM ($u))
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${Vectors.sql.cosineWithNorms("a.vec", "b.vec", "a.nrm", "b.nrm")} AS cosine
-         |FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${Vectors.sql.cosineWithNorms("a.vec", "b.vec", "a.nrm", "b.nrm")} >= 0.9
+      val banded = (0 until NTables).map(tb =>
+        s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
+        .mkString("\nUNION ALL ")
+      s"""WITH u AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm FROM ($u)),
+         |banded AS ($banded),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  ${Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")} AS cosine
+         |FROM pairs JOIN u ua ON ua.vec_id = id_a JOIN u ub ON ub.vec_id = id_b
+         |WHERE ${Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")} >= 0.9
          |ORDER BY id_a, id_b""".stripMargin
     }
   )

@@ -130,12 +130,13 @@ object MatchQueries {
   private val rightSrc =
     s"SELECT c_custkey AS right_key, $candSql AS right_name FROM customer WHERE c_custkey % 7 = 0"
 
+  // outer CAST: DuckDB greatest() widens INTEGER to BIGINT, Spark's does not
   private def scoredCols(floor: Int): String =
-    s"""coalesce(greatest(
+    s"""CAST(coalesce(greatest(
        |  CASE WHEN s_sort >= $floor THEN s_sort END,
        |  CASE WHEN s_set >= $floor THEN s_set END,
        |  CASE WHEN s_ratio >= $floor THEN s_ratio END,
-       |  CASE WHEN s_kw >= 30 THEN s_kw END), 0)""".stripMargin
+       |  CASE WHEN s_kw >= 30 THEN s_kw END), 0) AS INT)""".stripMargin
 
   private def rawScores: String =
     s"""SELECT left_key, left_name, right_key, right_name,

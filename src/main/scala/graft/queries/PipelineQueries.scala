@@ -103,11 +103,11 @@ object PipelineQueries {
        |  ${Similarity.sql.keywordScoreFromLists("left_kw", "right_kw")} AS s_kw
        |  FROM lp CROSS JOIN rp),
        |best AS (SELECT left_key, right_key,
-       |  coalesce(greatest(
+       |  CAST(coalesce(greatest(
        |    CASE WHEN s_sort >= $floorF THEN s_sort END,
        |    CASE WHEN s_set >= $floorF THEN s_set END,
        |    CASE WHEN s_ratio >= $floorF THEN s_ratio END,
-       |    CASE WHEN s_kw >= 30 THEN s_kw END), 0) AS score FROM scored),
+       |    CASE WHEN s_kw >= 30 THEN s_kw END), 0) AS INT) AS score FROM scored),
        |ranked AS (SELECT *, row_number() OVER (
        |  PARTITION BY left_key ORDER BY score DESC, right_key ASC) AS rn FROM best),
        |matches AS (SELECT left_key, right_key, score AS merged_confidence

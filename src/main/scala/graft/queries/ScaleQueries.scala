@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.Skew
+import graft.operators.{Sketches, Skew}
 
 /** Skew-handling operators under the oracle gate: the salted forms must
   * produce EXACTLY the rows of their unsalted equivalents (which is what
@@ -26,18 +26,24 @@ object ScaleQueries {
         .orderBy(col("l_returnflag"))),
 
     // Approximate aggregates — the sketches any 100 TB analytics layer
-    // leans on (HLL++ distinct counts, GK-sketch percentiles): one scan,
-    // partial+final aggregation, fixed-size state per partition.
-    // Declared WITHOUT an oracle (sketch internals differ per engine —
-    // DuckDB's approx_count_distinct uses a different HLL construction,
-    // so hash-parity is undefined by design); the spec bounds the
-    // estimates against exact values instead.
-    "x3_approx_stats" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
-        count(lit(1)).as("n"))),
+    // leans on — via DETERMINISTIC cross-engine constructions (see
+    // operators/Sketches): KMV bottom-k distinct estimates over 60-bit
+    // md5 (bit-identical in DuckDB, err ~1/sqrt(k)) + exact
+    // interpolated median. Engine-internal HLL++/GK sketches remain
+    // available (Spark built-ins) and are bounds-tested in
+    // SkewBucketSpec, but the oracled query uses the auditable form.
+    "x3_approx_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val orders = Sketches.kmvDistinctEstimate(li, "l_orderkey", 256)
+        .withColumnRenamed("est", "kmv_orders")
+      val parts = Sketches.kmvDistinctEstimate(li, "l_partkey", 256)
+        .withColumnRenamed("est", "kmv_parts")
+      val exact = li.agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        count(lit(1)).as("n"))
+      // three 1-row aggregates: the cross joins are trivially broadcast
+      orders.crossJoin(parts).crossJoin(exact)
+    }),
 
     // Salted fact×dim join (dimension replicated per salt, fact salted):
     // same rows as the plain equi-join + aggregation.
@@ -60,6 +66,12 @@ object ScaleQueries {
     "x2_salted_join" ->
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY s_name""".stripMargin
+        |GROUP BY 1 ORDER BY s_name""".stripMargin,
+    "x3_approx_stats" ->
+      s"""SELECT o.est AS kmv_orders, p.est AS kmv_parts, s.median_price, s.n
+         |FROM (${Sketches.kmvOracleSql("lineitem", "l_orderkey", 256)}) o
+         |CROSS JOIN (${Sketches.kmvOracleSql("lineitem", "l_partkey", 256)}) p
+         |CROSS JOIN (SELECT median(l_extendedprice) AS median_price, count(*) AS n
+         |            FROM lineitem) s""".stripMargin
   )
 }

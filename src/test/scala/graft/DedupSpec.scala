@@ -92,6 +92,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> "x1", "b" -> "x2"))
   }
 
+  test("minhash pair enrichment: shuffle fallback equals broadcast path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    val withMut = docs.unionByName(
+      docs.select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" zz qq")).as("text")))
+    def run(limit: Long) =
+      Dedup.minhashPairs(withMut, "doc_id", "text", 3, 16, 4, 50, broadcastPairLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L) // force the over-limit path
+    assert(viaBroadcast.nonEmpty, "no candidate pairs found at all")
+    assert(viaShuffle == viaBroadcast, "shuffle fallback diverges from broadcast path")
+  }
+
+  test("d5 LSH-bucket blocking recalls the planted near-dup pairs") {
+    // the oracle only proves both engines agree on the blocked result;
+    // this bounds what the blocking GIVES UP vs the exhaustive pair set
+    val sfDir = sf
+    val blocked = graft.queries.DedupQueries.queries("d5_embedding_neardup")(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // ground truth: every vec is near-dup of its +100000 mutation
+    val planted = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id").as[Long].collect().map(i => (i, i + 100000L)).toSet
+    val recall = (planted intersect blocked).size.toDouble / planted.size
+    assert(recall >= 0.95, s"LSH blocking recall $recall below 0.95 (found ${blocked.size} pairs)")
+  }
+
   test("ngram jaccard: identical=100, disjoint=0") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("text_a", "text_b")
     val out = Dedup.ngramJaccard(pairs, "text_a", "text_b", 3, 60)

@@ -52,17 +52,24 @@ class SkewBucketSpec extends SparkSpec {
   }
 
   test("approx aggregates land within tolerance of exact values") {
+    // x3's KMV estimates: k=256 → std err ~1/16, so 15% ≈ 2.4σ bound;
+    // when n_distinct < k the sketch degrades to the exact count.
     val df = graft.queries.ScaleQueries.queries("x3_approx_stats")(spark, sf).head()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exactOrders = li.select($"l_orderkey").distinct().count()
     val exactParts = li.select($"l_partkey").distinct().count()
-    assert(math.abs(df.getLong(0) - exactOrders).toDouble / exactOrders < 0.05,
-      s"HLL orders ${df.getLong(0)} vs exact $exactOrders")
-    assert(math.abs(df.getLong(1) - exactParts).toDouble / exactParts < 0.05,
-      s"HLL parts ${df.getLong(1)} vs exact $exactParts")
+    assert(math.abs(df.getDouble(0) - exactOrders) / exactOrders < 0.15,
+      s"KMV orders ${df.getDouble(0)} vs exact $exactOrders")
+    assert(math.abs(df.getDouble(1) - exactParts) / exactParts < 0.15,
+      s"KMV parts ${df.getDouble(1)} vs exact $exactParts")
     val exactMedian = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.001).head
     assert(math.abs(df.getDouble(2) - exactMedian) / exactMedian < 0.02,
-      s"approx median ${df.getDouble(2)} vs $exactMedian")
+      s"exact median ${df.getDouble(2)} vs approxQuantile $exactMedian")
+    // the engine-internal HLL++ sketch stays available for non-audited
+    // paths — bound it here since x3 no longer exercises it
+    val hll = li.agg(approx_count_distinct($"l_orderkey", 0.01)).head().getLong(0)
+    assert(math.abs(hll - exactOrders).toDouble / exactOrders < 0.05,
+      s"HLL orders $hll vs exact $exactOrders")
   }
 
   test("bucketed tables join without a shuffle exchange") {

@@ -46,14 +46,19 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_types = dict(zip(want_cols, [str(d[1]) for d in want.description]))
-            want_rows = want.fetchall()
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_types = dict(zip(got_cols, [str(d[1]) for d in got.description]))
-            got_rows = got.fetchall()
+            # Fetch both sides through Arrow: DB-API `description` lumps
+            # HUGEINT and BIGINT together as NUMBER, so DuckDB's integer-sum
+            # widening (sum(BIGINT) -> int128) was invisible here while the
+            # driver's type-aware hash caught it (round-2 g3 finding). Arrow
+            # schema types (int64 vs decimal128(38,0)) expose it.
+            want_tbl = con.execute(sql).arrow()
+            want_cols = list(want_tbl.schema.names)
+            want_types = {n: str(want_tbl.schema.field(n).type) for n in want_cols}
+            want_rows = [tuple(d[c] for c in want_cols) for d in want_tbl.to_pylist()]
+            got_tbl = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").arrow()
+            got_cols = list(got_tbl.schema.names)
+            got_types = {n: str(got_tbl.schema.field(n).type) for n in got_cols}
+            got_rows = [tuple(d[c] for c in got_cols) for d in got_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
