@@ -33,8 +33,11 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
   }
 
-  private[operators] def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+  private[operators] def stubDecode(id: Long, rawBytes: Array[Byte]): MediaMeta = {
     // ??? real codec goes here; deterministic fake derived from content:
+    // (null payloads decode as empty — a real codec would route them to
+    // a quarantine column instead of throwing mid-partition)
+    val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
     val n = bytes.length
     val h = java.util.Arrays.hashCode(bytes)
     val fmt = Seq("png", "jpeg", "wav", "mp4")(math.floorMod(h, 4))
@@ -69,9 +72,14 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        // ??? real resampler goes here; deterministic decimation stub
-        val out = Array.tabulate(math.max(1, bytes.length / factor))(i => bytes(i * factor))
+      .mapPartitions(_.map { case (id, rawBytes) =>
+        // ??? real resampler goes here; deterministic decimation stub.
+        // Degenerate payloads (null / empty) resize to empty rather than
+        // indexing past the end of the array.
+        val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
+        val out =
+          if (bytes.isEmpty) Array.emptyByteArray
+          else Array.tabulate(math.max(1, bytes.length / factor))(i => bytes(i * factor))
         (id, out, bytes.length.toLong, out.length.toLong)
       })
       .toDF(idCol, "resized", "orig_bytes", "resized_bytes")

@@ -19,19 +19,30 @@ object AbrZip {
 
   /** Expand every member of every ZIP under `zipGlob` into `outDir`.
     * Returns the member manifest (zip, member, bytes written) — also the
-    * natural input to the S-3 processed-files ledger. */
+    * natural input to the S-3 processed-files ledger.
+    *
+    * Collision safety: members land under a per-archive subdirectory
+    * (hash of the zip path — two ZIPs with identically-named members
+    * cannot overwrite each other), and each member file name carries a
+    * hash of the RAW member path before sanitization (`a/b.xml` vs
+    * `a_b.xml` stay distinct). Callers wanting run isolation should
+    * stage into a fresh directory — [[readZipped]] does. */
   def expand(spark: SparkSession, zipGlob: String, outDir: String): DataFrame = {
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val bin = spark.read.format("binaryFile").load(zipGlob)
       .select(col("path"), col("content"))
     bin.as[(String, Array[Byte])].mapPartitions(_.flatMap { case (zipPath, bytes) =>
+      val zipDir = f"$outDir/zip_${zipPath.hashCode & 0xffffffffL}%08x"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zipDir))
       val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
       Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
         .filterNot(_.isDirectory)
         .map { entry =>
-          val safeName = entry.getName.replaceAll("[/\\\\]", "_")
-          val target = s"$outDir/$safeName"
+          val raw = entry.getName
+          val safeName =
+            f"m${raw.hashCode & 0xffffffffL}%08x_${raw.replaceAll("[/\\\\]", "_")}"
+          val target = s"$zipDir/$safeName"
           val out = new BufferedOutputStream(new FileOutputStream(target))
           val buf = new Array[Byte](64 * 1024)
           var n = 0L
@@ -40,15 +51,17 @@ object AbrZip {
             out.write(buf, 0, r); n += r; r = zin.read(buf)
           }
           out.close()
-          (zipPath, entry.getName, n)
+          (zipPath, raw, n)
         }.toList
     }).toDF("zip", "member", "bytes")
   }
 
   /** Full S-4 lifecycle: expand ZIPs, then read the member XMLs into
-    * the staging_abr shape. */
+    * the staging_abr shape. Stages into a FRESH unique subdirectory per
+    * run so stale members from prior runs can never leak into the scan. */
   def readZipped(spark: SparkSession, zipGlob: String, stagingDir: String): DataFrame = {
-    expand(spark, zipGlob, stagingDir).count() // materialize the expansion
-    AbrXml.read(spark, s"$stagingDir/*")
+    val runDir = s"$stagingDir/run_${java.util.UUID.randomUUID().toString.take(8)}"
+    expand(spark, zipGlob, runDir).count() // materialize the expansion
+    AbrXml.read(spark, s"$runDir/*/*")
   }
 }

@@ -55,16 +55,19 @@ object EventStream {
       }
   }
 
-  case class Keyed(key: String, payload: String)
+  case class Keyed(key: String, seq: Long, payload: String)
 
   /** Streaming keep-first dedup on an arbitrary key — the streaming
     * form of the reference's `ON CONFLICT (abn) DO NOTHING` sink
     * (SURVEY §2 S-2/J-5): flatMapGroupsWithState keeps a seen-marker
     * per key and emits only each key's first arrival across ALL
     * micro-batches (dropDuplicates would re-admit a key once its state
-    * ages out; this never does while state lives). Within a batch,
-    * first arrival in stream order wins. State is one boolean per key —
-    * at 100 TB bound it with a key-space partition or TTL policy. */
+    * ages out; this never does while state lives). Within a micro-batch
+    * the groupByKey shuffle gives NO intra-group ordering, so "first"
+    * needs an explicit arrival sequence: the lowest `seq` (Kafka
+    * offset, ingest timestamp, file+row index) wins, deterministically.
+    * State is one boolean per key — at 100 TB bound it with a key-space
+    * partition or TTL policy. */
   def dedupKeepFirst(rows: Dataset[Keyed]): Dataset[Keyed] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.key)
@@ -74,7 +77,7 @@ object EventStream {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            it.take(1)
+            Iterator.single(it.minBy(_.seq))
           }
       }
   }

@@ -38,12 +38,14 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:05:00", "view", 1L, 8.0)))
   }
 
-  test("streaming keep-first dedup emits one row per key") {
+  test("streaming keep-first dedup emits one row per key, lowest seq wins") {
     val in = Files.createTempDirectory("graft-sd").toString
-    Seq(("a", "a1"), ("b", "b1"), ("a", "a2"), ("c", "c1"), ("b", "b2"))
-      .toDF("key", "payload").coalesce(1).write.mode("append").parquet(in)
-    Seq(("a", "a3"), ("d", "d1"))
-      .toDF("key", "payload").coalesce(1).write.mode("append").parquet(in)
+    // seq makes the within-batch winner deterministic (groupByKey gives
+    // no intra-group ordering after the shuffle)
+    Seq(("a", 1L, "a1"), ("b", 2L, "b1"), ("a", 3L, "a2"), ("c", 4L, "c1"), ("b", 5L, "b2"))
+      .toDF("key", "seq", "payload").coalesce(1).write.mode("append").parquet(in)
+    Seq(("a", 6L, "a3"), ("d", 7L, "d1"))
+      .toDF("key", "seq", "payload").coalesce(1).write.mode("append").parquet(in)
     val schema = spark.read.parquet(in).schema
     EventStream.runToMemory(spark, schema, in, "dedup_out",
       df => EventStream.dedupKeepFirst(df.as[EventStream.Keyed]).toDF(),
@@ -51,7 +53,7 @@ class EventStreamSpec extends SparkSpec {
     val out = spark.table("dedup_out").as[EventStream.Keyed].collect()
     assert(out.map(_.key).sorted.toSeq == Seq("a", "b", "c", "d"))
     val byKey = out.map(k => k.key -> k.payload).toMap
-    assert(byKey("c") == "c1" && byKey("d") == "d1")
+    assert(byKey == Map("a" -> "a1", "b" -> "b1", "c" -> "c1", "d" -> "d1"))
   }
 
   test("stateful sessionization accumulates per-user state across batches") {

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.JdbcUpsertSink
+
+/** S-2 sink parity: the reference's Postgres `ON CONFLICT (abn) DO
+  * NOTHING` upsert (scripts/extract_abr.py:57-66), proven against an
+  * embedded Derby target via the MERGE dialect. */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftupsert;create=true"
+
+  private def freshTable(name: String): Unit =
+    JdbcUpsertSink.withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        try st.executeUpdate(s"DROP TABLE $name") catch { case _: Exception => () }
+        st.executeUpdate(
+          s"""CREATE TABLE $name (
+             |  abn VARCHAR(64) PRIMARY KEY,
+             |  entity_name VARCHAR(256))""".stripMargin)
+      } finally st.close()
+    }
+
+  private def readAll(name: String): Map[String, String] =
+    JdbcUpsertSink.withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT abn, entity_name FROM $name")
+        val b = Map.newBuilder[String, String]
+        while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+        b.result()
+      } finally st.close()
+    }
+
+  test("writeIfAbsent inserts new keys and leaves existing rows untouched") {
+    freshTable("t1")
+    val first = Seq(("1", "Alpha Pty Ltd"), ("2", "Beta Pty Ltd"))
+      .toDF("abn", "entity_name").repartition(4)
+    JdbcUpsertSink.writeIfAbsent(first, url, "t1", "abn")
+    assert(readAll("t1") == Map("1" -> "Alpha Pty Ltd", "2" -> "Beta Pty Ltd"))
+
+    // overlapping re-run: existing keys keep their ORIGINAL values
+    // (DO NOTHING), new key lands
+    val second = Seq(("1", "Alpha RENAMED"), ("3", "Gamma Pty Ltd"))
+      .toDF("abn", "entity_name").repartition(4)
+    JdbcUpsertSink.writeIfAbsent(second, url, "t1", "abn")
+    assert(readAll("t1") == Map(
+      "1" -> "Alpha Pty Ltd", "2" -> "Beta Pty Ltd", "3" -> "Gamma Pty Ltd"))
+  }
+
+  test("duplicate keys across partitions collapse to one row per key") {
+    freshTable("t2")
+    // every key appears in several partitions — the concurrent-insert
+    // race the 23505 fallback exists for
+    val df = (1 to 200).map(i => (s"k${i % 40}", s"v$i"))
+      .toDF("abn", "entity_name").repartition(8)
+    JdbcUpsertSink.writeIfAbsent(df, url, "t2", "abn")
+    val got = readAll("t2")
+    assert(got.size == 40, s"expected 40 distinct keys, got ${got.size}")
+    assert(got.keySet == (0 until 40).map(i => s"k$i").toSet)
+  }
+
+  test("batched path survives batchSize smaller than the partition") {
+    freshTable("t3")
+    val df = (1 to 57).map(i => (s"b$i", s"v$i")).toDF("abn", "entity_name")
+      .repartition(2)
+    JdbcUpsertSink.writeIfAbsent(df, url, "t3", "abn", batchSize = 10)
+    assert(readAll("t3").size == 57)
+  }
+
+  test("postgres dialect emits the reference's ON CONFLICT form") {
+    val sql = JdbcUpsertSink.upsertSql("postgresql", "staging_abr",
+      Seq("abn", "entity_name"), "abn", "VARCHAR(64)")
+    assert(sql == "INSERT INTO staging_abr (abn, entity_name) VALUES (?, ?) " +
+      "ON CONFLICT (abn) DO NOTHING")
+  }
+}

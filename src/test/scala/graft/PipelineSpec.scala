@@ -58,4 +58,15 @@ class PipelineSpec extends SparkSpec {
       out == math.max(1, orig / 4)
     })
   }
+
+  test("multimodal stubs survive degenerate payloads (empty / null)") {
+    val docs = Seq((1L, Array.emptyByteArray), (2L, null: Array[Byte]),
+      (3L, "ok payload".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val meta = Multimodal.decode(docs, "doc_id", "payload")
+      .collect().map(m => m.id -> m.n_bytes).toMap
+    assert(meta == Map(1L -> 0L, 2L -> 0L, 3L -> 10L))
+    val resized = Multimodal.resize(docs, "doc_id", "payload", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(resized(1L) == 0L && resized(2L) == 0L && resized(3L) == 2L)
+  }
 }

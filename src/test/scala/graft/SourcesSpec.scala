@@ -99,25 +99,38 @@ class SourcesSpec extends SparkSpec {
          |<MainEntity><NonIndividualName><NonIndividualNameText>$name</NonIndividualNameText></NonIndividualName></MainEntity>
          |</ABR></Transfer>""".stripMargin
     val dir = tmpDir()
-    val zip = dir.resolve("bulk1.zip")
-    val zout = new ZipOutputStream(Files.newOutputStream(zip))
-    for ((member, abn, name) <- Seq(
-        ("part1.xml", "51824753556", "ACME PTY LTD"),
-        ("part2.xml", "61824753558", "BETA CO"))) {
-      zout.putNextEntry(new ZipEntry(member))
-      zout.write(abrXml(abn, name).getBytes("UTF-8"))
-      zout.closeEntry()
+    def writeZip(file: java.nio.file.Path, members: Seq[(String, String, String)]): Unit = {
+      val zout = new ZipOutputStream(Files.newOutputStream(file))
+      for ((member, abn, name) <- members) {
+        zout.putNextEntry(new ZipEntry(member))
+        zout.write(abrXml(abn, name).getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+      zout.close()
     }
-    zout.close()
+    // collision bait: both ZIPs carry a member named part1.xml, and zip1
+    // carries 'a/b.xml' vs 'a_b.xml' (same name after sanitization)
+    writeZip(dir.resolve("bulk1.zip"), Seq(
+      ("part1.xml", "51824753556", "ACME PTY LTD"),
+      ("a/b.xml", "11111111111", "SLASH CO"),
+      ("a_b.xml", "22222222222", "UNDERSCORE CO")))
+    writeZip(dir.resolve("bulk2.zip"), Seq(
+      ("part1.xml", "61824753558", "BETA CO")))
     val staging = dir.resolve("staging").toString
-    val manifest = graft.sources.AbrZip.expand(spark, zip.toString, staging)
+    val manifest = graft.sources.AbrZip.expand(spark, s"$dir/*.zip", staging)
       .collect()
-    assert(manifest.length == 2)
+    assert(manifest.length == 4)
     assert(manifest.forall(_.getLong(2) > 0))
-    val rows = graft.sources.AbrXml.read(spark, s"$staging/*")
+    val rows = graft.sources.AbrXml.read(spark, s"$staging/*/*")
       .orderBy($"abn").collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("51824753556", "61824753558"))
-    assert(rows.map(_.getString(1)).toSeq == Seq("ACME PTY LTD", "BETA CO"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("11111111111", "22222222222", "51824753556", "61824753558"))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("SLASH CO", "UNDERSCORE CO", "ACME PTY LTD", "BETA CO"))
+    // readZipped stages into a fresh run dir: the pre-existing staging
+    // files above must not leak into its scan
+    val viaLifecycle = graft.sources.AbrZip.readZipped(spark, s"$dir/*.zip", staging)
+    assert(viaLifecycle.count() == 4)
   }
 
   test("CSV export sink roundtrip (S-9)") {
