@@ -30,7 +30,9 @@ object DumpPlans {
       "x1_salted_agg" -> "Two-stage salted aggregation: hot keys split over salt buckets in stage 1, tiny re-merge by key in stage 2.",
       "d6_simhash_neardup" -> "Banded hamming-LSH: fingerprints persisted once, candidates from an equi-join on exact 16-bit slices, bit_count(xor) verification — O(docs x bands) shuffle, never O(docs^2).",
       "n3_ann_ivf" -> "IVF: median centroids from one groupBy, probes broadcast, corpus equi-joined on cluster id only — no corpus-wide scoring.",
-      "g3_multijoin_topk" -> "3-way join with selective filters pushed to each scan; grouped integer revenue with partial aggregation; TakeOrdered top-10.")
+      "g3_multijoin_topk" -> "3-way join with selective filters pushed to each scan; grouped integer revenue with partial aggregation; TakeOrdered top-10.",
+      "d5_embedding_neardup" -> "LSH-bucket blocking (no label column needed): per-vector buckets from one native-kernel pass, self-equi-join on (table, bucket), distinct slim (id,id) pairs, vectors re-joined by id only for colliding pairs — cosine never runs on the cross product.",
+      "x3_approx_stats" -> "KMV bottom-k distinct: map-side partial dedup bounds the exchange to O(n_distinct) longs, TakeOrdered(k) replaces any global sort; the three 1-row aggregates cross-join via broadcast.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

@@ -65,6 +65,41 @@ object Profile {
     time("j3 full") {
       graft.queries.MatchQueries.queries("j3_topk_candidates")(spark, d).count()
     }
+
+    // ── d5 stages (LSH-bucket-blocked embedding near-dup) ──
+    val emb = Tables.spread(spark.read.parquet(s"$d/embeddings.parquet"))
+    time("d5 prep (vec+nrm+buckets)") {
+      emb.select(col("vec_id"),
+          graft.functions.Vectors.lshBucketsAll(
+            org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")), 8, 4).as("b"))
+        .count()
+    }
+    time("d5 full") {
+      graft.queries.DedupQueries.queries("d5_embedding_neardup")(spark, d).count()
+    }
+    time("d5 full (2nd)") {
+      graft.queries.DedupQueries.queries("d5_embedding_neardup")(spark, d).count()
+    }
+
+    // ── x3 (KMV + median) ──
+    time("x3 kmv only") {
+      graft.operators.Sketches.kmvDistinctEstimate(
+        spark.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", 256).count()
+    }
+    time("x3 full") {
+      graft.queries.ScaleQueries.queries("x3_approx_stats")(spark, d).count()
+    }
+
+    // ── u1/a7/u2 shared-intermediate check ──
+    time("u1 query (memoized)") {
+      graft.queries.PipelineQueries.queries("u1_unified_pipeline")(spark, d).count()
+    }
+    time("u2 after u1 (cache hit)") {
+      graft.queries.PipelineQueries.queries("u2_quality_report")(spark, d).count()
+    }
+    time("a7 (match memo)") {
+      graft.queries.MatchQueries.queries("a7_match_rate")(spark, d).count()
+    }
     spark.stop()
   }
 }
