@@ -133,6 +133,33 @@ class SourcesSpec extends SparkSpec {
     assert(viaLifecycle.count() == 4)
   }
 
+  test("ingest fetcher seam stages objects for the ZIP/XML readers") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = tmpDir()
+    val zip = dir.resolve("remote-bulk.zip")
+    val zout = new ZipOutputStream(Files.newOutputStream(zip))
+    zout.putNextEntry(new ZipEntry("part1.xml"))
+    zout.write(
+      """<Transfer><ABR><ABN status="ACT" ABNStatusFromDate="20150701">51824753556</ABN>
+        |<MainEntity><NonIndividualName><NonIndividualNameText>ACME PTY LTD</NonIndividualNameText></NonIndividualName></MainEntity>
+        |</ABR></Transfer>""".stripMargin.getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    // same-basename URIs from different "remote" directories must not
+    // collide in the staging dir
+    val other = dir.resolve("elsewhere")
+    Files.createDirectories(other)
+    Files.copy(zip, other.resolve("remote-bulk.zip"))
+    val staging = dir.resolve("fetched").toString
+    val staged = graft.sources.LocalFileFetcher.stage(
+      Seq(zip.toString, other.resolve("remote-bulk.zip").toString), staging)
+    assert(staged.size == 2 && staged.distinct.size == 2)
+    assert(staged.forall(p => Files.exists(java.nio.file.Paths.get(p))))
+    // the staged glob feeds the ordinary ZIP->XML lifecycle unchanged
+    val rows = graft.sources.AbrZip.readZipped(spark, s"$staging/*.zip",
+      dir.resolve("staging2").toString)
+    assert(rows.count() == 2) // one member per staged archive
+  }
+
   test("CSV export sink roundtrip (S-9)") {
     val dir = tmpDir().toString + "/csv"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
