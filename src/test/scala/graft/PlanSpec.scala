@@ -58,6 +58,30 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast enrichment joins in:\n$p")
   }
 
+  test("d5: bucket blocking join, no cartesian product, dot only post-pairs") {
+    val df = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d5 must pair via the (tbl,bucket) equi-join, never a cross product:\n$p")
+    // candidate pairs are deduped (HashAggregate on the id pair) before
+    // vectors are re-joined
+    assert(p.contains("HashAggregate(keys=[id_a"),
+      s"expected distinct pair aggregation in:\n$p")
+  }
+
+  test("x3: KMV shuffles deduped hashes only, top-k without global sort") {
+    val df = SparkEntry.queries("x3_approx_stats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // map-side partial dedup before the exchange (bounds shuffle to
+    // O(n_distinct) longs at any corpus size)
+    assert(p.contains("HashAggregate(keys=[h"),
+      s"expected hash-dedup of the 60-bit hashes in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered(k) instead of a global sort in:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
