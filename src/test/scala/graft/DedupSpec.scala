@@ -92,18 +92,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> "x1", "b" -> "x2"))
   }
 
-  test("minhash pair enrichment: shuffle fallback equals broadcast path") {
+  test("minhash pair enrichment: forced-shuffle plan equals broadcast plan") {
+    // the enrichment joins are unhinted (AQE picks broadcast when the
+    // pair list is small, shuffle when it is not) — prove the
+    // shuffle-join shape a dup-heavy corpus would get returns exactly
+    // the broadcast-shape results
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text").limit(200)
     val withMut = docs.unionByName(
       docs.select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" zz qq")).as("text")))
-    def run(limit: Long) =
-      Dedup.minhashPairs(withMut, "doc_id", "text", 3, 16, 4, 50, broadcastPairLimit = limit)
+    def run() =
+      Dedup.minhashPairs(withMut, "doc_id", "text", 3, 16, 4, 50)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val viaBroadcast = run(Long.MaxValue)
-    val viaShuffle = run(0L) // force the over-limit path
+    val viaBroadcast = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val viaShuffle = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      run()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert(viaBroadcast.nonEmpty, "no candidate pairs found at all")
-    assert(viaShuffle == viaBroadcast, "shuffle fallback diverges from broadcast path")
+    assert(viaShuffle == viaBroadcast, "shuffle plan diverges from broadcast plan")
   }
 
   test("d5 LSH-bucket blocking recalls the planted near-dup pairs") {

@@ -47,15 +47,16 @@ class PlanSpec extends SparkSpec {
       s"expected fuzzybestscore >= cutoff as the cross-join condition in:\n$p")
   }
 
-  test("d2 pairs: corpus side is streamed, pair list broadcast") {
+  test("d2 pairs: AQE converts the small-pair-list enrichment to broadcast") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id", "text")
-    val p = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 50)
-      .queryExecution.executedPlan.toString
-    // the two enrichment joins must be broadcast-hash with the pair
-    // list as the build side — the wide shingle arrays never shuffle
+    val df = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 50)
+    df.collect() // AQE decides join strategies from runtime sizes
+    val p = df.queryExecution.executedPlan.toString
+    // with a small candidate list the enrichment joins must end up
+    // broadcast-hash — the wide shingle arrays never shuffle
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"expected broadcast enrichment joins in:\n$p")
+      s"expected AQE-broadcast enrichment joins in:\n$p")
   }
 
   test("d5: bucket blocking join, no cartesian product, dot only post-pairs") {
