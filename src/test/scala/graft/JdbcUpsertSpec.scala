@@ -69,6 +69,29 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(readAll("t3").size == 57)
   }
 
+  test("streaming foreachBatch upsert is idempotent across re-runs") {
+    freshTable("t4")
+    val in = java.nio.file.Files.createTempDirectory("graft-jss").toString
+    Seq(("a", "v1"), ("b", "v2")).toDF("abn", "entity_name")
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(checkpoint: String): Unit = {
+      val q = graft.streaming.JdbcStreamSink.start(
+        spark.readStream.schema(schema).parquet(in),
+        url, "t4", "abn", checkpointDir = checkpoint)
+      q.awaitTermination()
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft-jss-cp").toString
+    runOnce(cp)
+    assert(readAll("t4") == Map("a" -> "v1", "b" -> "v2"))
+    // a FRESH checkpoint replays the same files (the at-least-once
+    // worst case) — insert-if-absent absorbs the replay; new file lands
+    Seq(("a", "v1-DUP"), ("c", "v3")).toDF("abn", "entity_name")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce(java.nio.file.Files.createTempDirectory("graft-jss-cp2").toString)
+    assert(readAll("t4") == Map("a" -> "v1", "b" -> "v2", "c" -> "v3"))
+  }
+
   test("postgres dialect emits the reference's ON CONFLICT form") {
     val sql = JdbcUpsertSink.upsertSql("postgresql", "staging_abr",
       Seq("abn", "entity_name"), "abn", "VARCHAR(64)")
