@@ -37,10 +37,11 @@ class SkewBucketSpec extends SparkSpec {
     // unified table out partitioned by the filter column and the scan
     // reads only the matching directory
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    spark.read.parquet(s"$sf/customer.parquet")
-      .selectExpr("c_custkey", "c_name", "CAST(c_nationkey AS STRING) AS state")
-      .write.mode("overwrite").partitionBy("state").parquet(dir)
-    val q = spark.read.parquet(dir).filter(col("state") === "7")
+    graft.sources.Layout.writePartitioned(
+      spark.read.parquet(s"$sf/customer.parquet")
+        .selectExpr("c_custkey", "c_name", "CAST(c_nationkey AS STRING) AS state"),
+      dir, "state")
+    val q = graft.sources.Layout.readPartitioned(spark, dir).filter(col("state") === "7")
     val expect = spark.read.parquet(s"$sf/customer.parquet")
       .filter(col("c_nationkey") === 7).count()
     assert(q.count() == expect)
@@ -75,10 +76,8 @@ class SkewBucketSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")
-    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("orders_b")
-    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("customer_b")
+    graft.sources.Layout.writeBucketed(o, "orders_b", 8, "o_custkey")
+    graft.sources.Layout.writeBucketed(c, "customer_b", 8, "c_custkey")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
