@@ -45,7 +45,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Failures must be loud AND machine-readable: errors.json per query,
     // non-zero exit so a broken query can't ride through a round silently.
-    // (oracle_sql.json is written first so partial results stay usable.)
+    // (oracle_sql.json is written first so partial results stay usable;
+    // a clean run removes any stale errors.json from a prior failed one.)
+    Files.deleteIfExists(Paths.get(s"$outDir/errors.json"))
     if (failures.nonEmpty) {
       val errJson = failures
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
