@@ -27,7 +27,9 @@ object SparkEntry {
       graft.queries.AnnQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +42,7 @@ object SparkEntry {
       graft.queries.AnnQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.ScaleQueries.oracles
+      graft.queries.ScaleQueries.oracles ++
+      graft.queries.TemporalQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

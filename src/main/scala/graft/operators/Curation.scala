@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Dataset-curation operators for a training-data pipeline: split
+  * assignment, stratified sampling, benchmark decontamination, and
+  * sequence packing. All deterministic (md5-keyed, no RNG state), so
+  * runs are reproducible and restartable — the property that matters
+  * when a 100 TB curation job fails at hour nine and must resume
+  * without reshuffling examples between train and test.
+  */
+object Curation {
+
+  /** Deterministic train/val/test split: bucket = 60-bit md5 of the key
+    * mod `buckets`, split by cumulative per-mille thresholds. Pure
+    * narrow map — no shuffle, no sampling state, stable under
+    * re-partitioning and incremental appends (a new row's split never
+    * depends on what else is in the dataset).
+    */
+  def hashSplit(df: DataFrame, keyCol: String, buckets: Int = 1000,
+                trainUpto: Int = 800, valUpto: Int = 900): DataFrame = {
+    val b = Hashing.hash64(col(keyCol).cast("string")) % buckets
+    df.withColumn("bucket", b.cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainUpto, "train")
+          .when(col("bucket") < valUpto, "val")
+          .otherwise("test"))
+  }
+
+  /** Deterministic stratified sample: k rows per stratum, chosen by
+    * md5-hash order (a fixed uniform permutation), tie-broken on the
+    * key for exactness. One shuffle on the stratum; the per-group sort
+    * is windowed, not global. For heavily skewed strata at scale,
+    * pre-filtering by a hash threshold (p ~= k/|stratum| per AQE
+    * statistics) bounds the window input before the rank.
+    */
+  def stratifiedSample(df: DataFrame, stratumCols: Seq[String], keyCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCols.map(col): _*)
+      .orderBy(Hashing.hash64(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word k-gram with a held-out set. Both sides shingle to k-grams,
+    * reduce each gram to a 60-bit md5 (8-byte join keys instead of
+    * strings in the shuffle), distinct per document, and inner-join on
+    * the gram hash; output = per-train-doc overlap counts.
+    *
+    * Scale shape: |test| k-grams is benchmark-sized (millions), so the
+    * join side is broadcastable in a real deployment; the train side
+    * streams through as explode → distinct → join → partial-agg count.
+    * No pair enumeration ever materializes doc×doc.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(Hashing.shingles(col(textCol), k)).as("gram"))
+        .select(col(idCol), (Hashing.hash64(col("gram")) % Hashing.M31).as("gh"))
+        .distinct()
+    val testGrams = grams(test).select(col("gh")).distinct()
+    grams(train)
+      .join(testGrams, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Sequential token packing: concatenate documents in a stable order
+    * into fixed token-budget bins — `bin = floor(cum_tokens_before /
+    * budget)`, the streaming packer a tokenize-and-concat pretraining
+    * loader uses (a document may straddle its bin boundary; bins are
+    * closed by budget, not by document edges). Windowed per partition
+    * column so the cumsum never becomes a single global sort at scale.
+    */
+  def packSequential(df: DataFrame, partCol: String, orderCol: String,
+                     tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_before",
+        (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long"))
+      // token counts are non-negative, so integral DIV == floor — and
+      // stays exact where floor(double / budget) would drift past 2^53
+      .withColumn("bin", expr(s"cum_before DIV $budget"))
+  }
+}

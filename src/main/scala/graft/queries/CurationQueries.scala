@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.model.Tables
+import graft.operators.Curation
+
+/** Dataset-curation operators over the documents corpus: deterministic
+  * split assignment (P-1), stratified sampling (P-2), benchmark
+  * decontamination (C-1), repetition signals (T-6), and sequence
+  * packing (K-1). All md5-keyed/deterministic, so each query carries a
+  * full DuckDB hash oracle.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // P-1: hash-bucketed train/val/test split — narrow map, no RNG
+    "p1_hash_split" -> ((s, d) =>
+      Curation.hashSplit(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // P-2: 5 docs per source stratum in md5-permutation order
+    "p2_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(t(s, d, "documents"), Seq("source"), "doc_id", 5)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
+    // C-1: word-3-gram overlap of train docs against the held-out set
+    // (doc_id % 97 == 0) — explode → hash → distinct → semi-shaped join,
+    // never doc×doc
+    "c1_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminate(
+          Tables.spread(docs.filter(col("doc_id") % 97 =!= 0)),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // T-6: repetition quality signal — duplicate-token fraction
+    "t6_repetition" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"), size(w).as("n_words"),
+          size(array_distinct(w)).as("n_distinct"))
+        .withColumn("dup_frac",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K-1: sequential token packing into 500-token bins per source
+    "k1_token_packing" -> ((s, d) =>
+      Curation.packSequential(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("n_tokens")),
+          "source", "doc_id", "n_tokens", budget = 500L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_before"), col("bin"))
+        .orderBy(col("source"), col("doc_id")))
+  )
+
+  // ───── DuckDB oracle twins ─────
+
+  private val h = Hashing.sql.hash64("CAST(doc_id AS VARCHAR)")
+
+  val oracles: Map[String, String] = Map(
+    "p1_hash_split" ->
+      s"""SELECT doc_id, CAST(h % 1000 AS INT) AS bucket,
+         |  CASE WHEN h % 1000 < 800 THEN 'train'
+         |       WHEN h % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $h AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "p2_stratified_sample" ->
+      s"""SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY $h ASC, doc_id ASC) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "c1_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),
+         |hashed AS (SELECT DISTINCT doc_id, ${Hashing.sql.hash64("gram")} % 2147483647 AS gh
+         |           FROM grams),
+         |test_g AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 97 = 0)
+         |SELECT h.doc_id, count(*) AS n_shared
+         |FROM hashed h JOIN test_g USING (gh)
+         |WHERE h.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "t6_repetition" ->
+      """SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "k1_token_packing" ->
+      """SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS cum_before,
+        |  CAST((sum(n_tokens) OVER w - n_tokens) // 500 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY source, doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Temporal/interval join operators bound to testdata: backward as-of
+  * join (Y-1) and point-in-interval range join (Y-2). Both DuckDB
+  * oracles use the engine's NATIVE formulation (ASOF JOIN, inequality
+  * join) while the Spark side runs the scale-path rewrite (union-merge
+  * window / bucket decomposition) — the hash compare proves the rewrite
+  * is semantics-preserving, which is the whole point.
+  *
+  * Timestamp parity: events.ts is TIMESTAMP(NANOS) — bigint nanos in
+  * Spark (nanosAsLong), TIMESTAMP_NS in DuckDB; every emitted time is
+  * epoch MICROS (`ts DIV 1000` == `epoch_us(ts)`). Money parity: sums
+  * go through `CAST(round(v*100) AS BIGINT)` cents so aggregation is
+  * integer-exact in both engines.
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // Y-1: for every view event, the user's most recent prior (<=)
+    // purchase — pre-aggregated per (user, ts) so the right timeline is
+    // unique, then union-merge as-of join, one shuffle on user_id
+    "y1_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("purch_n"),
+          sum(round(col("value") * 100).cast("long")).as("purch_value_e2"))
+      AsOfJoin.backward(views, purchases, Seq("user_id"), "ts", asofTsAs = "purch_ts")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("view_us"),
+          expr("purch_ts DIV 1000").as("purch_us"),
+          col("purch_n"), col("purch_value_e2"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Y-2: orders priced inside overlapping nation-keyed bands —
+    // bucket-decomposed equi-join (no BroadcastNestedLoop), aggregated
+    // per band; cents-scaled longs end to end
+    "y2_range_join" -> ((s, d) => {
+      val points = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("price_e2"))
+      val intervals = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          (col("n_nationkey").cast("long") * 700000L).as("lo_e2"),
+          (col("n_nationkey").cast("long") * 700000L + 2000000L).as("hi_e2"))
+      RangeJoin.pointInInterval(points, "price_e2", intervals, "lo_e2", "hi_e2",
+          width = 500000L)
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_e2")).as("sum_price_e2"))
+        .orderBy(col("n_nationkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "y1_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, count(*) AS purch_n,
+        |        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS purch_value_e2
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+        |  epoch_us(p.ts) AS purch_us, p.purch_n, p.purch_value_e2
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+    "y2_range_join" ->
+      """WITH p AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS price_e2 FROM orders),
+        |i AS (SELECT n_nationkey, n_name, CAST(n_nationkey AS BIGINT) * 700000 AS lo_e2,
+        |        CAST(n_nationkey AS BIGINT) * 700000 + 2000000 AS hi_e2 FROM nation)
+        |SELECT n_nationkey, n_name, count(*) AS n_orders,
+        |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2
+        |FROM i JOIN p ON price_e2 >= lo_e2 AND price_e2 < hi_e2
+        |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin
+  )
+}

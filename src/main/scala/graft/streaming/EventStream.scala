@@ -82,6 +82,28 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * the right events of the same key whose timestamp falls in
+    * `[left.ts - beforeSec, left.ts + afterSec]`. Watermarks on BOTH
+    * sides plus the two-sided time bound are what let the engine evict
+    * buffered rows — without them a stream-stream join's state grows
+    * unboundedly; with them state is O(key-rate × window), the only
+    * shape that survives an always-on 100 TB/day ingest. Right columns
+    * (except the key) are emitted with an `r_` prefix. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   watermark: String, beforeSec: Long, afterSec: Long): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.withWatermark("ts", watermark)
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, s"r_$c")
+    }
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("ts") - expr(s"interval $beforeSec seconds") &&
+        col("r_ts") <= col("ts") + expr(s"interval $afterSec seconds"))
+      .drop(r(key))
+  }
+
   /** Drive a streaming query over whatever is in `inputDir` right now
     * into an in-memory table; returns after the data is processed. */
   def runToMemory(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,

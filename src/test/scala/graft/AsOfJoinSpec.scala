@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Y-1: backward as-of join semantics (union-merge formulation). */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // right timeline: user 1 has states at t=10 and t=20; user 2 at t=15
+  private lazy val right = Seq(
+    (1L, 10L, "a", Some(1.0)),
+    (1L, 20L, "b", None), // payload value null on a real right row
+    (2L, 15L, "c", Some(3.0))
+  ).toDF("user_id", "ts", "state", "score")
+
+  private def asof(left: Seq[(Long, Long, Long)]) =
+    AsOfJoin.backward(left.toDF("user_id", "ts", "event_id"), right,
+        Seq("user_id"), "ts")
+      .select($"event_id", $"asof_ts", $"state", $"score")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toList.sortBy(_._1)
+
+  test("picks the most recent right row at or before the left ts") {
+    val out = asof(Seq((1L, 15L, 100L), (1L, 25L, 101L)))
+    assert(out == List((100L, 10L, "a", 1.0), (101L, 20L, "b", null)))
+  }
+
+  test("equal timestamps match inclusively") {
+    val out = asof(Seq((1L, 20L, 102L)))
+    assert(out == List((102L, 20L, "b", null)))
+  }
+
+  test("left rows before any right row get all-null payloads") {
+    val out = asof(Seq((1L, 5L, 103L), (3L, 50L, 104L)))
+    assert(out == List((103L, null, null, null), (104L, null, null, null)))
+  }
+
+  test("null payload values fill atomically from the matched row") {
+    // t=25 matches the t=20 row whose score is null — score must be
+    // null (from that row), NOT 1.0 leaked forward from t=10
+    val out = asof(Seq((1L, 25L, 105L)))
+    assert(out == List((105L, 20L, "b", null)))
+  }
+
+  test("keys never cross-fill") {
+    val out = asof(Seq((2L, 100L, 106L)))
+    assert(out == List((106L, 15L, "c", 3.0)))
+  }
+
+  test("matches a per-key scan of the timeline on random data") {
+    val rnd = new scala.util.Random(7)
+    val rs = (1 to 60).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+      .distinct.map { case (u, t) => (u, t, s"s$u-$t", Some(t.toDouble)) }
+    val ls = (1 to 80).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val got = AsOfJoin.backward(ls.toDF("user_id", "ts", "event_id"),
+        rs.toDF("user_id", "ts", "state", "score"), Seq("user_id"), "ts")
+      .select($"event_id", $"state")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val byUser = rs.groupBy(_._1)
+    val want = ls.map { case (u, t, id) =>
+      id -> byUser.getOrElse(u, Nil).filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
+}

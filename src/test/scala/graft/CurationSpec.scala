@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** P-1/P-2/C-1/K-1: dataset-curation operators. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, exhaustive, and repartition-stable") {
+    val df = spark.range(2000).select($"id".cast("string").as("k"))
+    val a = Curation.hashSplit(df, "k").select($"k", $"bucket", $"split")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val b = Curation.hashSplit(df.repartition(13), "k").select($"k", $"bucket", $"split")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(a == b)
+    assert(a.forall { case (_, bk, sp) =>
+      bk >= 0 && bk < 1000 &&
+        sp == (if (bk < 800) "train" else if (bk < 900) "val" else "test") })
+    // md5 is uniform: each split lands within loose bounds of its share
+    val n = a.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(n("train") > 1400 && n("val") > 120 && n("test") > 120)
+  }
+
+  test("stratifiedSample takes exactly k per stratum, deterministically") {
+    val df = (1 to 500).map(i => (s"g${i % 7}", i.toLong)).toDF("g", "k")
+    val s1 = Curation.stratifiedSample(df, Seq("g"), "k", 10)
+      .select($"g", $"k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = Curation.stratifiedSample(df.repartition(9), Seq("g"), "k", 10)
+      .select($"g", $"k").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("decontaminate flags exactly the docs sharing a k-gram") {
+    val test = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a lazy dog saw the quick brown fox leave"), // shares 2 trigrams
+      (2L, "completely different words entirely here"),
+      (3L, "quick brown fox") // short doc, shares 1 trigram
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, test, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("packSequential fills bins by running budget, allowing straddle") {
+    val df = Seq(("s", 1L, 300), ("s", 2L, 300), ("s", 3L, 300), ("s", 4L, 500),
+      ("t", 9L, 100)).toDF("part", "ord", "tok")
+    val out = Curation.packSequential(df, "part", "ord", "tok", budget = 500L)
+      .select($"ord", $"cum_before", $"bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc2 starts at 300 (bin 0, straddles), doc3 at 600 (bin 1), doc4 at 900 (bin 1)
+    assert(out == Set((1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L),
+      (4L, 900L, 1L), (9L, 0L, 0L)))
+  }
+}

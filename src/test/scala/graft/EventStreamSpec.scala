@@ -56,6 +56,32 @@ class EventStreamSpec extends SparkSpec {
     assert(byKey == Map("a" -> "a1", "b" -> "b1", "c" -> "c1", "d" -> "d1"))
   }
 
+  test("watermarked stream-stream interval join pairs events within the bound") {
+    val clicks = Files.createTempDirectory("graft-ij-l").toString
+    val buys = Files.createTempDirectory("graft-ij-r").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((1L, ts(0), "c1"), (1L, ts(20), "c2"), (2L, ts(5), "c3"))
+      .toDF("user_id", "ts", "click_id").coalesce(1).write.mode("append").parquet(clicks)
+    Seq((1L, ts(4), "b1"), (1L, ts(40), "b2"), (2L, ts(30), "b3"))
+      .toDF("user_id", "ts", "buy_id").coalesce(1).write.mode("append").parquet(buys)
+    val ls = spark.read.parquet(clicks).schema
+    val rs = spark.read.parquet(buys).schema
+    val q = EventStream.intervalJoin(
+        spark.readStream.schema(ls).parquet(clicks),
+        spark.readStream.schema(rs).parquet(buys),
+        "user_id", "10 minutes", beforeSec = 0L, afterSec = 600L)
+      .select(col("click_id"), col("r_buy_id"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ij_out")
+      .as[(String, String)].collect().toSet
+    // only c1→b1 lands inside [click, click+10min]; b2/b3 are too late
+    assert(got == Set(("c1", "b1")))
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     val in = Files.createTempDirectory("graft-ss").toString
     def ev(u: Long, m: Int, v: Double) =

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Y-2: bucket-decomposed point-in-interval join. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(points: Seq[Long], ivs: Seq[(String, Long, Long)], width: Long) =
+    RangeJoin.pointInInterval(
+        points.toDF("p"), "p",
+        ivs.toDF("name", "lo", "hi"), "lo", "hi", width)
+      .select($"p", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("bounds are inclusive-lo, exclusive-hi") {
+    val out = run(Seq(9L, 10L, 19L, 20L), Seq(("i", 10L, 20L)), width = 7L)
+    assert(out == Set((10L, "i"), (19L, "i")))
+  }
+
+  test("overlapping intervals each match; pairs appear exactly once") {
+    val rows = RangeJoin.pointInInterval(
+        Seq(15L).toDF("p"), "p",
+        Seq(("a", 0L, 100L), ("b", 10L, 20L), ("c", 16L, 30L)).toDF("name", "lo", "hi"),
+        "lo", "hi", width = 3L)
+      .select($"name").collect().map(_.getString(0)).toList.sorted
+    assert(rows == List("a", "b")) // no dup even though "a" spans 34 buckets
+  }
+
+  test("negative coordinates bucket correctly (floor, not truncate)") {
+    val out = run(Seq(-15L, -10L, -1L, 0L), Seq(("n", -12L, 0L)), width = 10L)
+    assert(out == Set((-10L, "n"), (-1L, "n")))
+  }
+
+  test("empty and degenerate intervals match nothing") {
+    assert(run(Seq(5L), Seq(("e", 5L, 5L), ("r", 6L, 4L)), width = 2L).isEmpty)
+  }
+
+  test("equals the naive inequality join on random data") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(_ => rnd.nextLong() % 1000)
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextLong() % 800
+      (s"iv$i", lo, lo + rnd.nextInt(300))
+    }
+    val got = run(pts, ivs, width = 37L)
+    val want = (for {
+      p <- pts; (n, lo, hi) <- ivs; if p >= lo && p < hi
+    } yield (p, n)).toSet
+    assert(got == want)
+  }
+
+  test("plan is an equi-join — no BroadcastNestedLoop or cartesian") {
+    val df = RangeJoin.pointInInterval(
+      spark.range(1000).select($"id".as("p")), "p",
+      Seq(("i", 10L, 500L)).toDF("name", "lo", "hi"), "lo", "hi", 50L)
+    df.collect() // settle AQE so the final physical plan is inspectable
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+}

@@ -168,4 +168,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.columns.toSeq == Seq("id", "v"))
   }
+
+  test("ORC export sink roundtrip preserves schema and values (S-9)") {
+    // columnar alternative to parquet for the export edge — schema
+    // travels in the file, nested types included
+    val dir = tmpDir().toString + "/orc"
+    val df = Seq((1L, "a", Seq(1.0f, 2.0f)), (2L, "b", Seq(3.0f)))
+      .toDF("id", "v", "vec")
+    df.write.orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC relaxes nullability on read; names and types must survive
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
 }
