@@ -32,7 +32,10 @@ object DumpPlans {
       "n3_ann_ivf" -> "IVF: median centroids from one groupBy, probes broadcast, corpus equi-joined on cluster id only — no corpus-wide scoring.",
       "g3_multijoin_topk" -> "3-way join with selective filters pushed to each scan; grouped integer revenue with partial aggregation; TakeOrdered top-10.",
       "d5_embedding_neardup" -> "LSH-bucket blocking (no label column needed): per-vector buckets from one native-kernel pass, self-equi-join on (table, bucket), distinct slim (id,id) pairs, vectors re-joined by id only for colliding pairs — cosine never runs on the cross product.",
-      "x3_approx_stats" -> "KMV bottom-k distinct: map-side partial dedup bounds the exchange to O(n_distinct) longs, TakeOrdered(k) replaces any global sort; the three 1-row aggregates cross-join via broadcast.")
+      "x3_approx_stats" -> "KMV bottom-k distinct: map-side partial dedup bounds the exchange to O(n_distinct) longs, TakeOrdered(k) replaces any global sort; the three 1-row aggregates cross-join via broadcast.",
+      "y1_asof_join" -> "As-of join as union-merge: no inequality join anywhere — both sides union, one window sort per user fills the latest purchase payload forward; linear shuffle instead of per-key O(L x R).",
+      "y2_range_join" -> "Range join as bucket decomposition: intervals explode onto covering buckets, points hash-join on bucket id, exact bound re-checked — no BroadcastNestedLoopJoin in the tree.",
+      "c1_decontaminate" -> "Decontamination: both corpora explode to 8-byte gram hashes, distinct per doc bounds the shuffle, join on the hash only — doc texts never appear in a shuffle and nothing is doc x doc.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
