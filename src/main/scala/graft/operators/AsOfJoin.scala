@@ -43,7 +43,19 @@ object AsOfJoin {
     *         where a left row precedes every right row of its key
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, asofTsAs: String = "asof_ts"): DataFrame = {
+               tsCol: String, asofTsAs: String = "asof_ts"): DataFrame =
+    join(left, right, keys, tsCol, asofTsAs, forwardDir = false)
+
+  /** Forward-inclusive as-of join: the EARLIEST right row with
+    * `rightTs >= leftTs` — the mirror image (next scheduled event,
+    * following price tick). Same single-shuffle union-merge, timeline
+    * walked in descending order. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              tsCol: String, asofTsAs: String = "asof_ts"): DataFrame =
+    join(left, right, keys, tsCol, asofTsAs, forwardDir = true)
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, asofTsAs: String, forwardDir: Boolean): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).filterNot(_ == tsCol).toSeq
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == tsCol).toSeq
 
@@ -60,11 +72,14 @@ object AsOfJoin {
         lit(null).cast(rightTagged.schema("__fill").dataType).as("__fill")) ++
         leftCols.map(col): _*)
 
-    // at equal ts the right row sorts first (side 0 < 1) → inclusive
-    // rightTs <= leftTs; ties among left rows are harmless (their
-    // __fill is null, so frame order between them cannot change the fill)
+    // at equal ts the right row sorts first (side 0 < 1) → the bound is
+    // inclusive in either direction; ties among left rows are harmless
+    // (their __fill is null, so frame order between them cannot change
+    // the fill). Backward walks the timeline ascending (latest earlier
+    // right row wins); forward walks it descending (earliest later one).
+    val tsOrder = if (forwardDir) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     rightTagged.unionByName(leftTagged)

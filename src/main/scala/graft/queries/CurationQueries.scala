@@ -52,6 +52,26 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // U-3: the curation pipeline end-to-end — classify + quality-score
+    // every doc, drop low-quality, keep-first dedup on a 60-bit content
+    // hash, hash-split, then per-(split, class) corpus stats. Every
+    // stage is linear: narrow maps + one window + one partial-agg.
+    "u3_curation_pipeline" -> ((s, d) => {
+      val scored = Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextStats.classify(col("text")).as("cls"),
+          graft.functions.TextStats.qualityScore(col("text")).as("q"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          Hashing.hash64(col("text")).as("content_hash"))
+      val deduped = graft.operators.Dedup.keepFirst(
+        scored.filter(col("q") >= 40), "content_hash", "doc_id")
+      Curation.hashSplit(deduped, "doc_id")
+        .groupBy(col("split"), col("cls"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("q").cast("long")).as("sum_q"))
+        .orderBy(col("split"), col("cls"))
+    }),
+
     // K-1: sequential token packing into 500-token bins per source
     "k1_token_packing" -> ((s, d) =>
       Curation.packSequential(
@@ -97,6 +117,25 @@ object CurationQueries {
         |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "u3_curation_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${graft.functions.TextStats.sql.classify("text")} AS cls,
+         |    ${graft.functions.TextStats.sql.qualityScore("text")} AS q,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    ${Hashing.sql.hash64("text")} AS content_hash
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
+         |    FROM scored WHERE q >= 40) WHERE rn = 1),
+         |split AS (
+         |  SELECT *, $h % 1000 AS bucket FROM deduped)
+         |SELECT CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         |  cls, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(q) AS BIGINT) AS sum_q
+         |FROM split GROUP BY 1, 2 ORDER BY split, cls""".stripMargin,
     "k1_token_packing" ->
       """SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
         |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS cum_before,

@@ -42,6 +42,20 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Y-3: the forward mirror — each view's NEXT purchase at-or-after
+    "y3_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("purch_n"))
+      AsOfJoin.forward(views, purchases, Seq("user_id"), "ts", asofTsAs = "purch_ts")
+        .select(col("event_id"),
+          expr("purch_ts DIV 1000").as("purch_us"), col("purch_n"))
+        .orderBy(col("event_id"))
+    }),
+
     // Y-2: orders priced inside overlapping nation-keyed bands —
     // bucket-decomposed equi-join (no BroadcastNestedLoop), aggregated
     // per band; cents-scaled longs end to end
@@ -69,6 +83,13 @@ object TemporalQueries {
         |SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
         |  epoch_us(p.ts) AS purch_us, p.purch_n, p.purch_value_e2
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+    "y3_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, count(*) AS purch_n
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, epoch_us(p.ts) AS purch_us, p.purch_n
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
         |ORDER BY v.event_id""".stripMargin,
     "y2_range_join" ->
       """WITH p AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS price_e2 FROM orders),

@@ -38,4 +38,28 @@ object Layout {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Compact a small-files parquet directory into ~`targetBytes` output
+    * files (by current on-disk size), written to `outDir`.
+    *
+    * The operational chore every long-running ingest leaves behind:
+    * streaming/incremental writers emit a file per micro-batch per
+    * partition, and a 100 TB table quietly becomes tens of millions of
+    * kilobyte files — then every scan pays file-listing, footer-read
+    * and task-schedule cost per file, and the NameNode/object-store
+    * pays the metadata. One coalesced rewrite restores scan-sized
+    * files. `coalesce` (not `repartition`) keeps it shuffle-free: it
+    * only merges read-splits, at worst losing some write parallelism
+    * when n is small — exactly the right trade for a compaction job. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    spark.read.parquet(inDir)
+      .coalesce(n.toInt)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

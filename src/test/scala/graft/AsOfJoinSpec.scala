@@ -50,6 +50,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == List((106L, 15L, "c", 3.0)))
   }
 
+  test("forward variant picks the earliest right row at or after the left ts") {
+    val out = AsOfJoin.forward(
+        Seq((1L, 15L, 200L), (1L, 20L, 201L), (1L, 21L, 202L), (2L, 99L, 203L))
+          .toDF("user_id", "ts", "event_id"),
+        right, Seq("user_id"), "ts")
+      .select($"event_id", $"asof_ts", $"state")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getString(2))).toList.sortBy(_._1)
+    // 15→next is 20; 20→inclusive match at 20; 21→none; user 2 at 99→none
+    assert(out == List((200L, 20L, "b"), (201L, 20L, "b"),
+      (202L, null, null), (203L, null, null)))
+  }
+
   test("matches a per-key scan of the timeline on random data") {
     val rnd = new scala.util.Random(7)
     val rs = (1 to 60).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))

@@ -52,6 +52,23 @@ class SkewBucketSpec extends SparkSpec {
       s"equality should prune to the state=7 directory:\n$scan")
   }
 
+  test("compaction merges a small-files directory, preserving rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    // simulate a micro-batch-fragmented table: 40 files of ~25 rows
+    spark.range(1000).selectExpr("id", "id % 7 AS k")
+      .repartition(40).write.parquet(in)
+    def parts(dir: String) = new java.io.File(dir)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parts(in) == 40)
+    val n = graft.sources.Layout.compact(spark, in, out, targetBytes = 64L * 1024)
+    assert(parts(out) == n && n < 40)
+    val a = spark.read.parquet(in).orderBy("id").collect().map(_.getLong(0)).toSeq
+    val b = spark.read.parquet(out).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   test("approx aggregates land within tolerance of exact values") {
     // x3's KMV estimates: k=256 → std err ~1/16, so 15% ≈ 2.4σ bound;
     // when n_distinct < k the sketch degrades to the exact count.
