@@ -57,10 +57,12 @@ object Curation {
     */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, k: Int): DataFrame = {
+    // one-pass native shingle-hash kernel (value-identical to the
+    // declarative shingles→hash64%M31 chain the oracle mirrors — the
+    // same kernel/twin pair DedupSpec property-checks for d2)
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol),
-          explode(Hashing.shingles(col(textCol), k)).as("gram"))
-        .select(col(idCol), (Hashing.hash64(col("gram")) % Hashing.M31).as("gh"))
+          explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
         .distinct()
     val testGrams = grams(test).select(col("gh")).distinct()
     grams(train)
