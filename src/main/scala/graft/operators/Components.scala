@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the step that turns
+  * pairwise near-duplicate hits (minhash/simhash collisions) into
+  * DUPLICATE CLUSTERS, so a dedup pipeline can keep one canonical
+  * document per cluster instead of dropping both ends of every pair.
+  *
+  * Algorithm: iterative min-label propagation as pure DataFrame ops —
+  * every node starts labeled with itself; each round every node takes
+  * the min of its own label and its neighbors' labels; fixpoint when a
+  * round changes nothing. Each round is one equi-join + one partial
+  * aggregation (shuffle on node id); rounds needed = graph diameter,
+  * and near-dup clusters are shallow (stars/short chains), so 3-5
+  * rounds close real corpora. Lineage is truncated per round
+  * (`localCheckpoint`) so the plan doesn't grow with iterations — on a
+  * cluster, prefer reliable `checkpoint` to survive executor loss. For
+  * adversarially deep graphs swap in the large-star/small-star
+  * alternating rounds (O(log n)); the per-round dataflow is the same.
+  *
+  * The driver sees ONE scalar per round (the changed-label count) —
+  * the label table itself never leaves the executors.
+  */
+object Components {
+
+  /** @param edges undirected pair list (each pair once is enough)
+    * @return (node, cluster) — cluster = min node id reachable;
+    *         isolated nodes (absent from `edges`) are not emitted
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // min label among each node's neighbors this round
+      val nbrMin = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(sym("u").as("node2"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -51,6 +51,17 @@ object DedupQueries {
       Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // C-2: near-dup pairs → duplicate CLUSTERS via connected
+    // components (min-label propagation); cluster id = min doc id, so
+    // keep-one-per-cluster is a trivial filter downstream. The oracle
+    // computes the same closure with a recursive CTE.
+    "c2_dup_clusters" -> ((s, d) =>
+      graft.operators.Components.connectedComponents(
+          Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50),
+          "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))),
+
     // D-3: 32-bit SimHash fingerprints
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashes(t(s, d, "documents").select(col("doc_id"), col("text")),
@@ -128,6 +139,19 @@ object DedupQueries {
   private def bandCols: String =
     (0 until B).map(b => s"${Hashing.sql.bandKey("sig", b, H / B)} AS band_$b").mkString(", ")
 
+  /** D-2b pair generation, reused by c2's cluster oracle (nested WITH
+    * runs as a derived table there, so no ORDER BY here). */
+  private lazy val d2PairsSql: String =
+    s"""WITH ${sigCte(mutationsSrc)},
+       |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id),
+       |joined AS (SELECT id_a, id_b,
+       |    ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS jaccard100
+       |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard100 FROM joined
+       |WHERE jaccard100 >= 50""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -136,16 +160,17 @@ object DedupQueries {
       s"""WITH ${sigCte("SELECT doc_id, text FROM documents")}
          |SELECT doc_id, array_to_string(sig, ',') AS sig_csv, $bandCols
          |FROM sigs ORDER BY doc_id""".stripMargin,
-    "d2_minhash_pairs" ->
-      s"""WITH ${sigCte(mutationsSrc)},
-         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id),
-         |joined AS (SELECT id_a, id_b,
-         |    ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS jaccard100
-         |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard100 FROM joined
-         |WHERE jaccard100 >= 50 ORDER BY id_a, id_b""".stripMargin,
+    "d2_minhash_pairs" -> (d2PairsSql + " ORDER BY id_a, id_b"),
+    "c2_dup_clusters" ->
+      s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
+         |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d3_simhash" ->
       s"""SELECT doc_id, ${Hashing.sql.simhashFromHashes("th", 32)} AS simhash
          |FROM (SELECT doc_id, ${Hashing.sql.tokenHashes("text")} AS th FROM documents)
