@@ -83,6 +83,27 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrdered(k) instead of a global sort in:\n$p")
   }
 
+  test("y1: as-of join is window-shaped — no inequality join operator") {
+    val df = SparkEntry.queries("y1_asof_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must run as union-merge window, never a theta join:\n$p")
+    assert(p.contains("Window [last(__fill"),
+      s"expected the forward-fill window in:\n$p")
+  }
+
+  test("c1: decontamination shuffles 8-byte gram hashes, never text") {
+    val df = SparkEntry.queries("c1_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every exchange carries the (doc_id, gh) pair or less — the text
+    // column dies at the scan projection
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"no exchange may carry the text column:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
