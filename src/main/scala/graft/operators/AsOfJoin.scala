@@ -58,12 +58,19 @@ object AsOfJoin {
                    tsCol: String, asofTsAs: String, forwardDir: Boolean): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).filterNot(_ == tsCol).toSeq
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == tsCol).toSeq
+    val clash = leftCols.toSet.intersect(payload.toSet + asofTsAs)
+    require(clash.isEmpty,
+      s"left/right column collision would make the output ambiguous: $clash")
+    // SQL join semantics: a null key or null timestamp on the right can
+    // never satisfy `l.key = r.key AND l.ts >= r.ts` — window
+    // partitioning would otherwise group nulls together and "match" them
+    val rightClean = (keys :+ tsCol).foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
 
     // the marker column carries the right row's ts: non-null exactly on
     // right rows, so last(ignoreNulls) fills every payload from the
     // same (latest) right row even if a payload value is legitimately
     // null there (struct fill = atomic row fill)
-    val rightTagged = right.select(
+    val rightTagged = rightClean.select(
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side"),
         struct(col(tsCol).as(asofTsAs) +: payload.map(col): _*).as("__fill")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -77,7 +84,9 @@ object AsOfJoin {
     // (their __fill is null, so frame order between them cannot change
     // the fill). Backward walks the timeline ascending (latest earlier
     // right row wins); forward walks it descending (earliest later one).
-    val tsOrder = if (forwardDir) col(tsCol).desc else col(tsCol).asc
+    // Nulls-FIRST in both directions: a null-ts left row must see no
+    // right rows in its frame (SQL comparison with null matches nothing).
+    val tsOrder = if (forwardDir) col(tsCol).desc_nulls_first else col(tsCol).asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

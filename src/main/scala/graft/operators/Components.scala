@@ -55,6 +55,12 @@ object Components {
       it += 1
     }
     sym.unpersist()
+    // a silent non-converged return would emit WRONG labels (a cluster
+    // split in two) — fail loudly instead; callers with adversarially
+    // deep graphs raise maxIter or switch to large-star/small-star
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise it or use star-contraction")
     labels
   }
 }

@@ -64,7 +64,11 @@ object Curation {
       df.select(col(idCol),
           explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
         .distinct()
-    val testGrams = grams(test).select(col("gh")).distinct()
+    // the test side only needs the gram set — one distinct on gh alone,
+    // not a per-doc distinct followed by a second one
+    val testGrams = test
+      .select(explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
+      .distinct()
     grams(train)
       .join(testGrams, "gh")
       .groupBy(col(idCol))

@@ -43,15 +43,25 @@ object RangeJoin {
 
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      width: Long): DataFrame = {
+                      width: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(width > 0, "bucket width must be positive")
     // [lo, hi) covers buckets floor(lo/W) .. floor((hi-1)/W); empty
     // intervals (hi <= lo) match nothing and are dropped up front
     val bounded = withFloorDiv(withFloorDiv(
       intervals.filter(col(hiCol) > col(loCol)),
       "__blo", col(loCol), width), "__bhi", col(hiCol) - 1, width)
+    // a sentinel interval (hi = Long.MaxValue) would ask sequence() for
+    // trillions of elements — fail with a usable message instead. The
+    // guard lives INSIDE the sequence bound so column pruning cannot
+    // optimize it away.
+    val guardedHi = when(col("__bhi") - col("__blo") >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"interval spans more than $maxBucketsPerInterval buckets at " +
+            s"width $width — widen the bucket or clamp the interval: lo="),
+          col(loCol), lit(" hi="), col(hiCol))).cast("long"))
+      .otherwise(col("__bhi"))
     val exploded = bounded
-      .withColumn("__bucket", explode(sequence(col("__blo"), col("__bhi"))))
+      .withColumn("__bucket", explode(sequence(col("__blo"), guardedHi)))
       .drop("__blo", "__bhi")
     withFloorDiv(points, "__bucket", col(pointCol), width)
       .join(exploded, "__bucket")

@@ -32,6 +32,15 @@ object DedupQueries {
       concat(col("text"), lit(" zz qq ww")).as("text")))
   }
 
+  /** D-2b pair list feeds two declared queries (the pair query itself
+    * and c2's clustering) — memoized + persisted per (session, sfDir)
+    * so the banding/verification pass runs once. */
+  private val pairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def minhashPairsDf(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val queries: Map[String, Q] = Map(
     // D-1: exact dedup by content hash, keep-lowest-id
     "d1_exact_dedup" -> ((s, d) =>
@@ -48,8 +57,7 @@ object DedupQueries {
 
     // D-2b: LSH candidate pairs verified by exact shingle Jaccard >= 50
     "d2_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50)
-        .orderBy(col("id_a"), col("id_b"))),
+      minhashPairsDf(s, d).orderBy(col("id_a"), col("id_b"))),
 
     // C-2: near-dup pairs → duplicate CLUSTERS via connected
     // components (min-label propagation); cluster id = min doc id, so
@@ -57,8 +65,7 @@ object DedupQueries {
     // computes the same closure with a recursive CTE.
     "c2_dup_clusters" -> ((s, d) =>
       graft.operators.Components.connectedComponents(
-          Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50),
-          "id_a", "id_b")
+          minhashPairsDf(s, d), "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))),
 

@@ -53,10 +53,13 @@ object Layout {
     * when n is small — exactly the right trade for a compaction job. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
+    require(targetBytes > 0, "targetBytes must be positive")
+    // Path.getFileSystem handles spaces/special chars a raw URI rejects
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    require(n <= Int.MaxValue, s"$n output files exceeds Int.MaxValue — raise targetBytes")
     spark.read.parquet(inDir)
       .coalesce(n.toInt)
       .write.mode("overwrite").parquet(outDir)

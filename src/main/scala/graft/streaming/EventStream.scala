@@ -91,16 +91,20 @@ object EventStream {
     * shape that survives an always-on 100 TB/day ingest. Right columns
     * (except the key) are emitted with an `r_` prefix. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   watermark: String, beforeSec: Long, afterSec: Long): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-    val r0 = right.withWatermark("ts", watermark)
+                   watermark: String, beforeSec: Long, afterSec: Long,
+                   tsCol: String = "ts"): DataFrame = {
+    val clash = right.columns.filterNot(_ == key).map("r_" + _).toSet
+      .intersect(left.columns.toSet)
+    require(clash.isEmpty, s"left columns collide with prefixed right columns: $clash")
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.withWatermark(tsCol, watermark)
     val r = r0.columns.foldLeft(r0) { (df, c) =>
       if (c == key) df else df.withColumnRenamed(c, s"r_$c")
     }
     l.join(r,
       l(key) === r(key) &&
-        col("r_ts") >= col("ts") - expr(s"interval $beforeSec seconds") &&
-        col("r_ts") <= col("ts") + expr(s"interval $afterSec seconds"))
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"interval $beforeSec seconds") &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"interval $afterSec seconds"))
       .drop(r(key))
   }
 

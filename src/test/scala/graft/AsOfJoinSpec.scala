@@ -63,6 +63,36 @@ class AsOfJoinSpec extends SparkSpec {
       (202L, null, null), (203L, null, null)))
   }
 
+  test("null keys and null timestamps never match (SQL join semantics)") {
+    val l = Seq((Some(1L), Some(30L), 300L), (None, Some(30L), 301L),
+        (Some(1L), None, 302L))
+      .toDF("user_id", "ts", "event_id")
+    val r = Seq((Some(1L), Some(10L), "a"), (None, Some(5L), "nullkey"),
+        (Some(1L), None, "nullts"))
+      .toDF("user_id", "ts", "state")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Seq[String], String) => org.apache.spark.sql.DataFrame) =
+      f(l, r, Seq("user_id"), "ts")
+        .select($"event_id", $"state")
+        .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    // backward: only the real (1, 10, "a") row can fill; null-key and
+    // null-ts rows on either side stay unmatched
+    assert(run(AsOfJoin.backward(_, _, _, _)) ==
+      Map(300L -> Some("a"), 301L -> None, 302L -> None))
+    // forward: no right row at-or-after ts=30 → all unmatched
+    assert(run(AsOfJoin.forward(_, _, _, _)) ==
+      Map(300L -> None, 301L -> None, 302L -> None))
+  }
+
+  test("colliding left/right column names are rejected up front") {
+    val l = Seq((1L, 1L, "x")).toDF("user_id", "ts", "state")
+    val r = Seq((1L, 1L, "y")).toDF("user_id", "ts", "state")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("user_id"), "ts")
+    }
+    assert(e.getMessage.contains("state"))
+  }
+
   test("matches a per-key scan of the timeline on random data") {
     val rnd = new scala.util.Random(7)
     val rs = (1 to 60).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))

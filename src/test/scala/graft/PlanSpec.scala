@@ -96,12 +96,29 @@ class PlanSpec extends SparkSpec {
   test("c1: decontamination shuffles 8-byte gram hashes, never text") {
     val df = SparkEntry.queries("c1_decontaminate")(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // every exchange carries the (doc_id, gh) pair or less — the text
-    // column dies at the scan projection
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
-    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
-      s"no exchange may carry the text column:\n$p")
+    // inspect each exchange's CHILD OUTPUT (the rows actually shuffled),
+    // not the partitioning-expression string — the text column must die
+    // at the scan projection
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+      plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e } ++
+        plan.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            exchanges(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            exchanges(q.plan)
+        }.flatten
+    // the round-robin Tables.spread fan-out legitimately carries text
+    // (it distributes the single-row-group scan and is a no-op decision
+    // on real multi-split tables); the HASH shuffles — distinct, join,
+    // aggregation, the ones that exist at 100 TB — must not
+    val exs = exchanges(df.queryExecution.executedPlan).filter(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(exs.nonEmpty, "expected hash shuffles in the decontamination plan")
+    val shuffledCols = exs.flatMap(_.child.output.map(_.name))
+    assert(!shuffledCols.contains("text"),
+      s"a hash exchange carries the text column: $shuffledCols")
   }
 
   test("whole-stage codegen spans exist in the relational core") {

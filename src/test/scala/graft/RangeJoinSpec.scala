@@ -51,6 +51,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a sentinel interval fails loudly instead of exploding") {
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(
+        Seq(5L).toDF("p"), "p",
+        Seq(("inf", 0L, Long.MaxValue)).toDF("name", "lo", "hi"),
+        "lo", "hi", width = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.toString +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("widen the bucket")), e.toString)
+  }
+
   test("plan is an equi-join — no BroadcastNestedLoop or cartesian") {
     val df = RangeJoin.pointInInterval(
       spark.range(1000).select($"id".as("p")), "p",
