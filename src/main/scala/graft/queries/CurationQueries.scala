@@ -56,8 +56,13 @@ object CurationQueries {
     // every doc, drop low-quality, keep-first dedup on a 60-bit content
     // hash, hash-split, then per-(split, class) corpus stats. Every
     // stage is linear: narrow maps + one window + one partial-agg.
+    // The corpus is unioned with exact copies (ids + 100000) so the
+    // dedup stage provably REMOVES rows (lowest doc_id survives).
     "u3_curation_pipeline" -> ((s, d) => {
-      val scored = Tables.spread(t(s, d, "documents"))
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val withCopies = base.unionByName(
+        base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val scored = Tables.spread(withCopies)
         .select(col("doc_id"),
           graft.functions.TextStats.classify(col("text")).as("cls"),
           graft.functions.TextStats.qualityScore(col("text")).as("q"),
@@ -118,12 +123,15 @@ object CurationQueries {
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "u3_curation_pipeline" ->
-      s"""WITH scored AS (
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |scored AS (
          |  SELECT doc_id, ${graft.functions.TextStats.sql.classify("text")} AS cls,
          |    ${graft.functions.TextStats.sql.qualityScore("text")} AS q,
          |    len(string_split(text, ' ')) AS n_tokens,
          |    ${Hashing.sql.hash64("text")} AS content_hash
-         |  FROM documents),
+         |  FROM corpus),
          |deduped AS (
          |  SELECT * FROM (SELECT *, row_number() OVER (
          |      PARTITION BY content_hash ORDER BY doc_id ASC) AS rn
