@@ -8,17 +8,17 @@ import org.apache.spark.sql.functions._
   * DUPLICATE CLUSTERS, so a dedup pipeline can keep one canonical
   * document per cluster instead of dropping both ends of every pair.
   *
-  * Algorithm: iterative min-label propagation as pure DataFrame ops —
-  * every node starts labeled with itself; each round every node takes
-  * the min of its own label and its neighbors' labels; fixpoint when a
-  * round changes nothing. Each round is one equi-join + one partial
-  * aggregation (shuffle on node id); rounds needed = graph diameter,
-  * and near-dup clusters are shallow (stars/short chains), so 3-5
-  * rounds close real corpora. Lineage is truncated per round
+  * Algorithm: iterative min-label propagation with pointer jumping,
+  * as pure DataFrame ops — every node starts labeled with itself; each
+  * round every node takes the min of its own and its neighbors' labels,
+  * then follows the label chain one hop (`label(label(x))`,
+  * "shortcutting"). The jump halves chain lengths, so rounds needed is
+  * O(log diameter), not O(diameter) — a 64-link near-dup chain closes
+  * in ~7 rounds (ComponentsSpec proves it under a tight maxIter).
+  * Each round is two equi-joins + one partial aggregation, all
+  * shuffled on the node id. Lineage is truncated per round
   * (`localCheckpoint`) so the plan doesn't grow with iterations — on a
-  * cluster, prefer reliable `checkpoint` to survive executor loss. For
-  * adversarially deep graphs swap in the large-star/small-star
-  * alternating rounds (O(log n)); the per-round dataflow is the same.
+  * cluster, prefer reliable `checkpoint` to survive executor loss.
   *
   * The driver sees ONE scalar per round (the changed-label count) —
   * the label table itself never leaves the executors.
@@ -45,10 +45,18 @@ object Components {
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(sym("u").as("node2"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("changed"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("node2"), "left")
+        .select(col("node"), col("cluster").as("old_cluster"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1"))
+      // pointer jump (shortcutting): label(label(x)) — labels only
+      // shrink and label(x) <= x, so following one hop of the label
+      // chain halves its length; combined with the neighbor-min step
+      // this closes in O(log diameter) rounds instead of O(diameter)
+      val next = stepped
+        .join(stepped.select(col("node").as("jn"), col("c1").as("jc")),
+          col("c1") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jc"), col("c1")).as("cluster"),
+          (coalesce(col("jc"), col("c1")) < col("old_cluster")).as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")

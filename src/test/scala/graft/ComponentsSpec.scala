@@ -22,6 +22,16 @@ class ComponentsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("pointer jumping closes a 64-link chain within O(log n) rounds") {
+    // plain 1-hop propagation would need 63 rounds; shortcutting must
+    // finish well inside 12 (≈ log2 + settle)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val out = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
   test("matches union-find on a random graph") {
     val rnd = new scala.util.Random(23)
     val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
