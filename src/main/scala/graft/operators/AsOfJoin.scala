@@ -42,20 +42,29 @@ object AsOfJoin {
     * @return left columns + asofTsAs + right payload columns, nulls
     *         where a left row precedes every right row of its key
     */
+  /** @param tolerance max |leftTs - rightTs| (in the ts column's units,
+    *                   numeric ts) for a match to count — a fill further
+    *                   away reverts to nulls. None = unbounded. The
+    *                   guard every production point-in-time join wants:
+    *                   a year-stale profile row should NOT silently
+    *                   enrich today's click. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, asofTsAs: String = "asof_ts"): DataFrame =
-    join(left, right, keys, tsCol, asofTsAs, forwardDir = false)
+               tsCol: String, asofTsAs: String = "asof_ts",
+               tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, tsCol, asofTsAs, forwardDir = false, tolerance)
 
   /** Forward-inclusive as-of join: the EARLIEST right row with
     * `rightTs >= leftTs` — the mirror image (next scheduled event,
     * following price tick). Same single-shuffle union-merge, timeline
     * walked in descending order. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
-              tsCol: String, asofTsAs: String = "asof_ts"): DataFrame =
-    join(left, right, keys, tsCol, asofTsAs, forwardDir = true)
+              tsCol: String, asofTsAs: String = "asof_ts",
+              tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, tsCol, asofTsAs, forwardDir = true, tolerance)
 
   private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   tsCol: String, asofTsAs: String, forwardDir: Boolean): DataFrame = {
+                   tsCol: String, asofTsAs: String, forwardDir: Boolean,
+                   tolerance: Option[Long]): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).filterNot(_ == tsCol).toSeq
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == tsCol).toSeq
     val clash = leftCols.toSet.intersect(payload.toSet + asofTsAs)
@@ -91,8 +100,18 @@ object AsOfJoin {
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    rightTagged.unionByName(leftTagged)
+    val filled = rightTagged.unionByName(leftTagged)
       .withColumn("__filled", last(col("__fill"), ignoreNulls = true).over(w))
+    // tolerance: a match further than `tol` ts-units away reverts to
+    // the no-match (all-null) fill, atomically at the struct level
+    val bounded = tolerance.fold(filled) { tol =>
+      val gap =
+        if (forwardDir) col(s"__filled.$asofTsAs") - col(tsCol)
+        else col(tsCol) - col(s"__filled.$asofTsAs")
+      filled.withColumn("__filled",
+        when(col("__filled").isNotNull && gap <= tol, col("__filled")))
+    }
+    bounded
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++ Seq(col(tsCol)) ++ leftCols.map(col) ++

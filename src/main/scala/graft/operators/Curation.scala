@@ -30,6 +30,19 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** Deterministic weighted Bernoulli sample: keep a row iff
+    * `md5(key) % denom < weight`, i.e. with probability weight/denom —
+    * integer arithmetic end to end, so it is exactly reproducible and
+    * oracle-able (no FP pow/log as in exponential-rank weighting).
+    * The shape quality-weighted corpus sampling wants: upweight good
+    * documents without any global pass or sampling state; a narrow map,
+    * zero shuffle. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     denom: Int): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    df.filter(Hashing.hash64(col(keyCol).cast("string")) % denom < weight)
+  }
+
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-hash order (a fixed uniform permutation), tie-broken on the
     * key for exactness. One shuffle on the stratum; the per-group sort

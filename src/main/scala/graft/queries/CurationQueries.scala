@@ -29,6 +29,16 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("rk"))
         .orderBy(col("source"), col("rk"))),
 
+    // P-3: quality-weighted Bernoulli sample — keep probability q/100,
+    // integer arithmetic, zero shuffle
+    "p3_weighted_sample" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextStats.qualityScore(col("text")).as("q"))
+      Curation.weightedSample(scored, "doc_id", col("q"), denom = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // C-1: word-3-gram overlap of train docs against the held-out set
     // (doc_id % 97 == 0) — explode → hash → distinct → semi-shaped join,
     // never doc×doc
@@ -106,6 +116,12 @@ object CurationQueries {
          |    ORDER BY $h ASC, doc_id ASC) AS rk
          |  FROM documents)
          |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "p3_weighted_sample" ->
+      s"""SELECT doc_id, q FROM (
+         |  SELECT doc_id, ${graft.functions.TextStats.sql.qualityScore("text")} AS q,
+         |    $h AS hh
+         |  FROM documents)
+         |WHERE hh % 100 < q ORDER BY doc_id""".stripMargin,
     "c1_decontaminate" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),

@@ -84,6 +84,25 @@ class AsOfJoinSpec extends SparkSpec {
       Map(300L -> None, 301L -> None, 302L -> None))
   }
 
+  test("tolerance reverts too-distant matches to nulls") {
+    // right rows for user 1 at t=10 and t=20; a left row at t=35 is 15
+    // units past the latest right row — within tol=20, outside tol=10
+    def run(tol: Long) = AsOfJoin.backward(
+        Seq((1L, 35L, 400L)).toDF("user_id", "ts", "event_id"),
+        right, Seq("user_id"), "ts", tolerance = Some(tol))
+      .select($"event_id", $"asof_ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(run(20L) == Map(400L -> 20L))
+    assert(run(10L) == Map(400L -> null))
+    // forward: gap measured the other way
+    val fwd = AsOfJoin.forward(
+        Seq((1L, 5L, 401L)).toDF("user_id", "ts", "event_id"),
+        right, Seq("user_id"), "ts", tolerance = Some(3L))
+      .select($"asof_ts").collect().head
+    assert(fwd.isNullAt(0)) // nearest following is t=10, gap 5 > 3
+  }
+
   test("colliding left/right column names are rejected up front") {
     val l = Seq((1L, 1L, "x")).toDF("user_id", "ts", "state")
     val r = Seq((1L, 1L, "y")).toDF("user_id", "ts", "state")

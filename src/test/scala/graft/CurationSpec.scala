@@ -32,6 +32,24 @@ class CurationSpec extends SparkSpec {
     assert(s1.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("weightedSample keeps rows with probability weight/denom, deterministically") {
+    val df = spark.range(5000).select($"id".cast("string").as("k"),
+      (($"id" % 100) + 1).cast("int").as("w"))
+    val a = Curation.weightedSample(df, "k", $"w", denom = 100)
+      .select($"k").as[String].collect().toSet
+    val b = Curation.weightedSample(df.repartition(11), "k", $"w", denom = 100)
+      .select($"k").as[String].collect().toSet
+    assert(a == b)
+    // mean weight is ~50.5/100 → expect ~2525 survivors; md5 uniformity
+    // keeps the realized rate within a loose band
+    assert(a.size > 2200 && a.size < 2850)
+    // weight 0 never survives, weight >= denom always does
+    val edge = Seq(("x", 0), ("y", 100), ("z", 100)).toDF("k", "w")
+    val kept = Curation.weightedSample(edge, "k", $"w", denom = 100)
+      .select($"k").as[String].collect().toSet
+    assert(kept == Set("y", "z"))
+  }
+
   test("decontaminate flags exactly the docs sharing a k-gram") {
     val test = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
