@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Corpus-level text statistics — the signals that need a pass over the
+  * WHOLE corpus (document frequencies), not just a single row: TF-IDF
+  * keyword extraction and cross-document boilerplate measurement.
+  *
+  * Both follow the same scale shape: the per-document side stays linear
+  * (explode → partial-aggregate), and the corpus-global side collapses
+  * to a small table (vocabulary / high-frequency-gram head) that joins
+  * back via broadcast — no doc×doc work, no global windows, and the
+  * wide text column never enters a shuffle.
+  */
+object CorpusStats {
+
+  /** Per-document top-k keywords by TF-IDF rank. The score is kept in
+    * exact integer arithmetic — `tf * scale * nDocs DIV docFreq` — which
+    * is order-equivalent to tf·(N/df) but bitwise-reproducible across
+    * engines (no `ln` whose last ulp differs between libm and the JVM).
+    * Ties break on the token for a total order.
+    *
+    * nDocs and the doc-frequency table are computed in-plan (aggregate +
+    * broadcast), so nothing round-trips through the driver.
+    *
+    * @return (idCol, token, tf, doc_freq, score, rk) for rk <= k
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+                scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, token): df = plain count per token
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(docFreq.crossJoin(nDocs)), "token")
+      .withColumn("score",
+        expr(s"(tf * ${scale}L * n_docs) DIV doc_freq"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"),
+        col("score"), col("rk"))
+  }
+
+  /** Cross-document boilerplate ratio: the fraction of a document's
+    * distinct word-k-grams that appear in at least `minDf` documents —
+    * the C4/RefinedWeb-style signal for template-heavy pages that
+    * per-document repetition scores (t6) cannot see.
+    *
+    * Boilerplate is by definition the head of the gram-frequency
+    * distribution, so the shared-gram set is small and broadcast: the
+    * corpus-sized gram stream is touched twice linearly (per-doc
+    * distinct, frequency count) and never joined against itself.
+    *
+    * @return (idCol, n_grams, n_shared, boilerplate_ratio)
+    */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, minDf: Long): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
+      .distinct()
+      .persist()
+    val shared = grams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= minDf)
+      .select(col("gh"))
+    val nShared = grams.join(broadcast(shared), "gh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    val out = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(nShared, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("boilerplate_ratio"))
+    out
+  }
+}

@@ -43,6 +43,32 @@ object Curation {
     df.filter(Hashing.hash64(col(keyCol).cast("string")) % denom < weight)
   }
 
+  /** Deterministic source-mix balancing: downsample every source to the
+    * token budget of the SMALLEST source, so no domain dominates the
+    * training mix. Each row is kept iff `md5(id) % src_total < target`
+    * where `src_total` is its source's token sum and `target` the
+    * global minimum — i.e. with probability target/src_total, giving
+    * every source ≈`target` expected surviving tokens. Integer
+    * arithmetic end to end; the per-source totals and the global min
+    * are in-plan aggregates joined back via broadcast (a handful of
+    * rows), so the corpus itself is touched in one linear pass.
+    *
+    * @param weight per-row token count (any positive integral column)
+    * @return input rows that survive, plus `src_total` and `target`
+    */
+  def balanceSources(df: DataFrame, srcCol: String, idCol: String,
+                     weight: Column): DataFrame = {
+    val weighted = df.withColumn("__w", weight.cast("long"))
+    val totals = weighted.groupBy(col(srcCol))
+      .agg(sum(col("__w")).as("src_total"))
+    val target = totals.agg(min(col("src_total")).as("target"))
+    weighted
+      .join(broadcast(totals.crossJoin(target)), srcCol)
+      .filter(Hashing.hash64(col(idCol).cast("string")) % col("src_total")
+        < col("target"))
+      .drop("__w")
+  }
+
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-hash order (a fixed uniform permutation), tie-broken on the
     * key for exactness. One shuffle on the stratum; the per-group sort

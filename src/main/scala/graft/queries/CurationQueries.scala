@@ -39,6 +39,18 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // P-4: source-mix balancing — every source downsampled to the token
+    // budget of the smallest source via deterministic hash thresholding;
+    // totals + global min are broadcast aggregates
+    "p4_source_balance" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(Hashing.tokens(col("text"))).cast("long").as("n_tokens"))
+      Curation.balanceSources(docs, "source", "doc_id", col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("src_total"), col("target"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C-1: word-3-gram overlap of train docs against the held-out set
     // (doc_id % 97 == 0) — explode → hash → distinct → semi-shaped join,
     // never doc×doc
@@ -122,6 +134,18 @@ object CurationQueries {
          |    $h AS hh
          |  FROM documents)
          |WHERE hh % 100 < q ORDER BY doc_id""".stripMargin,
+    "p4_source_balance" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_total
+         |        FROM tok GROUP BY 1),
+         |tgt AS (SELECT min(src_total) AS target FROM tot)
+         |SELECT doc_id, source, n_tokens, src_total, target
+         |FROM tok JOIN tot USING (source), tgt
+         |WHERE $h % src_total < target
+         |ORDER BY doc_id""".stripMargin,
     "c1_decontaminate" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),

@@ -58,6 +58,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // T-7: per-doc top-3 keywords by integer-exact TF-IDF rank —
+    // vocabulary-sized doc-freq table broadcast back onto the linear
+    // per-doc term counts
+    "t7_tfidf_topk" -> ((s, d) =>
+      graft.operators.CorpusStats.tfidfTopK(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // T-8: cross-document boilerplate ratio — fraction of a doc's
+    // distinct word-3-grams appearing in >= 3 docs; the shared-gram
+    // head set is small and broadcast
+    "t8_boilerplate" -> ((s, d) =>
+      graft.operators.CorpusStats.boilerplateRatio(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 3, minDf = 3L)
+        .orderBy(col("doc_id"))),
+
     // M-1: opaque binary column + typed metadata (multimodal plumbing)
     "m1_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
@@ -93,6 +111,33 @@ object TextQueries {
          |FROM (SELECT doc_id, $piiDecor AS text FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    "t7_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfc AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS doc_freq FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, doc_freq, score, rk FROM (
+        |  SELECT t.doc_id, t.token, t.tf, f.doc_freq,
+        |    (t.tf * 1000000 * n.n_docs) // f.doc_freq AS score,
+        |    CAST(row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY (t.tf * 1000000 * n.n_docs) // f.doc_freq DESC, t.token ASC)
+        |      AS INT) AS rk
+        |  FROM tfc t JOIN dfq f USING (token), n)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "t8_boilerplate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),
+         |hashed AS (SELECT DISTINCT doc_id, ${Hashing.sql.hash64("gram")} % 2147483647 AS gh
+         |           FROM grams),
+         |shared AS (SELECT gh FROM (
+         |  SELECT gh, count(*) AS gdf FROM hashed GROUP BY 1) WHERE gdf >= 3),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM hashed GROUP BY 1),
+         |sh AS (SELECT h.doc_id, count(*) AS n_shared
+         |       FROM hashed h JOIN shared USING (gh) GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams, coalesce(s.n_shared, 0) AS n_shared,
+         |  coalesce(s.n_shared, 0)::DOUBLE / t.n_grams::DOUBLE AS boilerplate_ratio
+         |FROM tot t LEFT JOIN sh s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin

@@ -35,7 +35,10 @@ object DumpPlans {
       "x3_approx_stats" -> "KMV bottom-k distinct: map-side partial dedup bounds the exchange to O(n_distinct) longs, TakeOrdered(k) replaces any global sort; the three 1-row aggregates cross-join via broadcast.",
       "y1_asof_join" -> "As-of join as union-merge: no inequality join anywhere — both sides union, one window sort per user fills the latest purchase payload forward; linear shuffle instead of per-key O(L x R).",
       "y2_range_join" -> "Range join as bucket decomposition: intervals explode onto covering buckets, points hash-join on bucket id, exact bound re-checked — no BroadcastNestedLoopJoin in the tree.",
-      "c1_decontaminate" -> "Decontamination: both corpora explode to 8-byte gram hashes, distinct per doc bounds the shuffle, join on the hash only — doc texts never appear in a shuffle and nothing is doc x doc.")
+      "c1_decontaminate" -> "Decontamination: both corpora explode to 8-byte gram hashes, distinct per doc bounds the shuffle, join on the hash only — doc texts never appear in a shuffle and nothing is doc x doc.",
+      "t7_tfidf_topk" -> "TF-IDF: per-doc term counts stay linear (explode + partial agg); the vocabulary-sized doc-frequency table and the 1-row corpus count broadcast back onto them; integer score, per-doc top-k window.",
+      "t8_boilerplate" -> "Boilerplate ratio: one distinct per-doc gram-hash pass reused (persisted) for both the frequency count and the per-doc totals; the high-frequency head set broadcasts — the corpus gram stream is never self-joined.",
+      "p4_source_balance" -> "Source-mix balancing: per-source token totals and their global min are two tiny aggregates broadcast back; the keep decision is a narrow hash filter — one linear pass over the corpus.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

@@ -50,6 +50,26 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set("y", "z"))
   }
 
+  test("balanceSources keeps the smallest source whole and downsamples the rest") {
+    // source "small" totals 100 tokens; "big" totals 10000
+    val rows = (1 to 10).map(i => (s"s$i", "small", 10L)) ++
+      (1 to 1000).map(i => (s"b$i", "big", 10L))
+    val df = rows.toDF("doc_id", "source", "tok")
+    val kept = Curation.balanceSources(df, "source", "doc_id", $"tok")
+      .select($"doc_id", $"source", $"src_total", $"target")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // target = min source total; hash % 100 < 100 always → small kept whole
+    assert(kept.forall(_._4 == 100L))
+    assert(kept.count(_._2 == "small") == 10)
+    // big keeps ~1% (hash % 10000 < 100) — loose band around 10 of 1000
+    val nBig = kept.count(_._2 == "big")
+    assert(nBig > 0 && nBig < 60, s"big kept $nBig")
+    // deterministic under repartition
+    val again = Curation.balanceSources(df.repartition(7), "source", "doc_id", $"tok")
+      .select($"doc_id").as[String].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("decontaminate flags exactly the docs sharing a k-gram") {
     val test = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
