@@ -121,6 +121,34 @@ class PlanSpec extends SparkSpec {
       s"a hash exchange carries the text column: $shuffledCols")
   }
 
+  test("p4: balance filter runs inside a broadcast join of the tiny totals") {
+    val df = SparkEntry.queries("p4_source_balance")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast totals join in:\n$p")
+    // the keep decision must be the join condition (rows die in the
+    // join), not a post-join filter over a materialized corpus×totals
+    assert(p.contains("% src_total"), s"expected hash-mod keep condition in:\n$p")
+  }
+
+  test("t7: per-doc top-k uses WindowGroupLimit; doc-freq side broadcast") {
+    val df = SparkEntry.queries("t7_tfidf_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Spark 4 rank-limit pushdown: partial top-k BEFORE the doc shuffle
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast doc-freq join in:\n$p")
+  }
+
+  test("t8: shared-gram head set joins broadcast, text never hash-shuffles") {
+    val df = SparkEntry.queries("t8_boilerplate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast shared-set join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram stream must never self-join all-pairs:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
