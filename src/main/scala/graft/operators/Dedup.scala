@@ -78,6 +78,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard100"))
   }
 
+  /** Incremental near-dup detection: candidate pairs touching at least
+    * one INCOMING document, joined against a previously computed
+    * signature store (`minhashSignatures` schema, e.g. read back from
+    * parquet). The existing corpus is never re-tokenized or re-hashed —
+    * per ingest batch the work is O(batch + collisions), not O(corpus),
+    * which is what makes continuous dedup feasible at 100 TB. Emits
+    * new-vs-old and new-vs-new pairs; old-vs-old pairs never regenerate.
+    * Ids must be unique across `incoming` ∪ `existingSigs`.
+    * Output: id_a < id_b, jaccard100 (same contract as [[minhashPairs]]).
+    */
+  def incrementalMinhashPairs(incoming: DataFrame, existingSigs: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleK: Int, numHashes: Int, bands: Int,
+                              minJaccard100: Int): DataFrame = {
+    val newSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sigs: DataFrame) = sigs.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+    val newBands = banded(newSigs)
+    val allBands = banded(existingSigs).unionByName(newBands)
+    // batch side vs corpus: AQE broadcasts the (small) incoming band
+    // table at runtime; pair normalization keeps each pair once even
+    // when both sides are incoming (seen in both join orders)
+    val pairs = newBands.select(col("id").as("nid"), col("band"))
+      .join(allBands, Seq("band"))
+      .filter(col("nid") =!= col("id"))
+      .select(least(col("nid"), col("id")).as("id_a"),
+        greatest(col("nid"), col("id")).as("id_b"))
+      .distinct()
+    val allSh = existingSigs.select(col(idCol), col("sh"))
+      .unionByName(newSigs.select(col(idCol), col("sh")))
+    val shA = allSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = allSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    shB.join(shA.join(pairs, "id_a"), "id_b")
+      .withColumn("jaccard100",
+        graft.plans.JaccardLong100.column(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard100") >= minJaccard100)
+      .select(col("id_a"), col("id_b"), col("jaccard100"))
+  }
+
   /** Per-document SimHash fingerprint (native kernels, value-identical
     * to the declarative tokenHashes→simhashFromHashes chain — DedupSpec). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =

@@ -59,6 +59,20 @@ object DedupQueries {
     "d2_minhash_pairs" -> ((s, d) =>
       minhashPairsDf(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // D-7: incremental near-dup — today's batch (mutated copies of every
+    // 5th doc) against yesterday's signature store; the existing corpus
+    // is never re-hashed, work is O(batch + collisions)
+    "d7_incremental_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz qq ww")).as("text"))
+      val existingSigs = Dedup.minhashSignatures(docs, "doc_id", "text", K, H, B)
+      Dedup.incrementalMinhashPairs(incoming, existingSigs,
+          "doc_id", "text", K, H, B, 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // C-2: near-dup pairs → duplicate CLUSTERS via connected
     // components (min-label propagation); cluster id = min doc id, so
     // keep-one-per-cluster is a trivial filter downstream. The oracle
@@ -168,6 +182,20 @@ object DedupQueries {
          |SELECT doc_id, array_to_string(sig, ',') AS sig_csv, $bandCols
          |FROM sigs ORDER BY doc_id""".stripMargin,
     "d2_minhash_pairs" -> (d2PairsSql + " ORDER BY id_a, id_b"),
+    "d7_incremental_neardup" ->
+      s"""WITH ${sigCte(
+             """SELECT doc_id, text FROM documents
+               |UNION ALL SELECT doc_id + 100000, text || ' zz qq ww'
+               |FROM documents WHERE doc_id % 5 = 0""".stripMargin)},
+         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band)
+         |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= 100000 OR b.doc_id >= 100000)),
+         |joined AS (SELECT id_a, id_b,
+         |    ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS jaccard100
+         |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard100 FROM joined
+         |WHERE jaccard100 >= 50 ORDER BY id_a, id_b""".stripMargin,
     "c2_dup_clusters" ->
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
          |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs

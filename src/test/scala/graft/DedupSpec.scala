@@ -24,6 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental pairs equal full-corpus pairs restricted to the batch") {
+    // universe: 40 base docs + mutated copies of every 4th (ids +1000)
+    val base = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta token$i number$i"))
+    val incoming = base.filter(_._1 % 4 == 0)
+      .map { case (id, t) => (id + 1000, t + " tail") }
+    val baseDf = base.toDF("doc_id", "text")
+    val incDf = incoming.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(baseDf, "doc_id", "text", 3, 16, 4)
+    val inc = Dedup.incrementalMinhashPairs(incDf, sigs, "doc_id", "text", 3, 16, 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.minhashPairs(baseDf.unionByName(incDf), "doc_id", "text", 3, 16, 4, 50)
+      .filter(col("id_a") > 1000 || col("id_b") > 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == full && inc.nonEmpty)
+    // every emitted pair touches the batch; no old-old pair regenerates
+    assert(inc.forall(p => p._1 > 1000 || p._2 > 1000))
+  }
+
   test("native long-array jaccard equals declarative distinct jaccard") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
       .select($"doc_id", graft.plans.ShingleHashes64.column($"text", 3).as("sh"))
