@@ -69,6 +69,48 @@ object Curation {
       .drop("__w")
   }
 
+  /** Per-group EXACT discrete percentile via the histogram two-stage:
+    * aggregate rows to a (group, value) → count histogram first, then
+    * run the cumulative window over THAT — a table bounded by
+    * #groups × #distinct-values, not by corpus rows. The naive
+    * formulation (a window over raw rows partitioned by group) sorts
+    * whole sources inside single tasks and dies of skew at 100 TB; the
+    * histogram never does, and `percentile_disc` over integers needs no
+    * interpolation so the result is integer-exact cross-engine.
+    *
+    * Threshold = smallest value v with cdf(v) >= pct% of the group
+    * (inclusive-rank percentile_disc). All-integer comparison
+    * `cum * 100 >= pct * total` — no doubles anywhere.
+    *
+    * @return one row per group: (groupCol, threshold)
+    */
+  def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
+                     pct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct >= 1 && pct <= 100, "pct in 1..100")
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .filter(col("__cum") * 100 >= lit(pct.toLong) * col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("threshold"))
+  }
+
+  /** Flag rows whose value exceeds their group's exact pct-percentile —
+    * the per-source length-outlier gate (truncation artifacts, merged
+    * pages, runaway boilerplate). The per-group thresholds are a tiny
+    * broadcast table; the corpus is touched in one linear pass. */
+  def lengthOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     pct: Int): DataFrame =
+    df.join(broadcast(percentileDisc(df, groupCol, valueCol, pct)), groupCol)
+      .withColumn("is_outlier", col(valueCol).cast("long") > col("threshold"))
+
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-hash order (a fixed uniform permutation), tie-broken on the
     * key for exactness. One shuffle on the stratum; the per-group sort

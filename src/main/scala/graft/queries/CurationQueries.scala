@@ -51,6 +51,18 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // P-5: per-source length-outlier gate — exact discrete 90th
+    // percentile via the (source, length) histogram two-stage, never a
+    // window over raw rows
+    "p5_length_outliers" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(Hashing.tokens(col("text"))).as("n_tokens"))
+      Curation.lengthOutliers(docs, "source", "n_tokens", 90)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("threshold"), col("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C-1: word-3-gram overlap of train docs against the held-out set
     // (doc_id % 97 == 0) — explode → hash → distinct → semi-shaped join,
     // never doc×doc
@@ -146,6 +158,22 @@ object CurationQueries {
          |FROM tok JOIN tot USING (source), tgt
          |WHERE $h % src_total < target
          |ORDER BY doc_id""".stripMargin,
+    "p5_length_outliers" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |hist AS (SELECT source, CAST(n_tokens AS BIGINT) AS v, count(*) AS n
+        |         FROM tok GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |    sum(n) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM hist),
+        |thr AS (SELECT source, min(v) AS threshold FROM cum
+        |        WHERE cum * 100 >= 90 * tot GROUP BY 1)
+        |SELECT doc_id, source, n_tokens, threshold, n_tokens > threshold AS is_outlier
+        |FROM tok JOIN thr USING (source) ORDER BY doc_id""".stripMargin,
     "c1_decontaminate" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),

@@ -70,6 +70,28 @@ class CurationSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("percentileDisc is the exact inclusive-rank discrete percentile") {
+    // group g: values 1..10 once each → p90 = smallest v with cdf >= 0.9 → 9
+    // group h: heavy ties — 99×5 and 1×100 → p90 = 5, p100 = 100
+    val df = ((1 to 10).map(v => ("g", v)) ++
+      Seq.fill(99)(("h", 5)) ++ Seq(("h", 100))).toDF("grp", "v")
+    def thr(p: Int) = Curation.percentileDisc(df, "grp", "v", p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr(90) == Map("g" -> 9L, "h" -> 5L))
+    assert(thr(100) == Map("g" -> 10L, "h" -> 100L))
+    assert(thr(1) == Map("g" -> 1L, "h" -> 5L))
+  }
+
+  test("lengthOutliers flags exactly the rows above their group threshold") {
+    val df = ((1 to 9).map(v => (s"d$v", "g", 10)) :+ (("dBig", "g", 500)))
+      .toDF("doc_id", "grp", "v")
+    val out = Curation.lengthOutliers(df, "grp", "v", 90)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    // p90 of (10×9, 500): cdf(10)=9/10 >= 0.9 → threshold 10; only dBig above
+    assert(out == ((1 to 9).map(v => s"d$v" -> false) :+ ("dBig" -> true)).toMap)
+  }
+
   test("decontaminate flags exactly the docs sharing a k-gram") {
     val test = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
