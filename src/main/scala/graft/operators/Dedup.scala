@@ -94,6 +94,15 @@ object Dedup {
                               minJaccard100: Int): DataFrame = {
     val newSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalPairsFromSigs(newSigs, existingSigs, idCol, bands, minJaccard100)
+  }
+
+  /** [[incrementalMinhashPairs]] with the batch signatures already
+    * computed — the streaming driver uses this so one signature pass
+    * feeds both the pair join and the store append. */
+  def incrementalPairsFromSigs(newSigs: DataFrame, existingSigs: DataFrame,
+                               idCol: String, bands: Int,
+                               minJaccard100: Int): DataFrame = {
     def banded(sigs: DataFrame) = sigs.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
     val newBands = banded(newSigs)

@@ -3,11 +3,46 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.streaming.IncrementalLedger
+import graft.streaming.{IncrementalDedup, IncrementalLedger}
 
 /** S-3 / §2.I: exactly-once file-grain incremental processing. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
+
+  test("streaming incremental dedup: pairs accumulate, old-old never re-emits") {
+    val root = Files.createTempDirectory("graft-incdedup")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val sigs = root.resolve("sigs").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val noise = "completely different unrelated words nothing shared here at all ever"
+
+    // batch 0: docs 1/2 near-identical, doc 3 unrelated
+    Seq((1L, base), (2L, base + " tail"), (3L, noise))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    IncrementalDedup.runOnce(spark, schema, in.toString, "doc_id", "text",
+      sigs, pairs, ckpt)
+    def pairSet(filter: org.apache.spark.sql.Column) =
+      spark.read.parquet(pairs).filter(filter)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairSet(lit(true)) == Set((1L, 2L)))
+
+    // batch 1: doc 4 is a near-dup of 1/2; doc 5 unrelated
+    Seq((4L, base + " coda"),
+        (5L, "quite another body of text with zero overlap against anything prior"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    IncrementalDedup.runOnce(spark, schema, in.toString, "doc_id", "text",
+      sigs, pairs, ckpt)
+    // the new batch pairs against the STORE (1,2,3) and itself —
+    // but the already-known (1,2) pair must not re-emit
+    assert(pairSet($"batch_id" === 1) == Set((1L, 4L), (2L, 4L)))
+    assert(pairSet(lit(true)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // store now holds one signature row per doc, exactly once
+    assert(spark.read.parquet(sigs).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 
   test("AvailableNow passes ingest each file exactly once across runs") {
     val root = Files.createTempDirectory("graft-stream")
