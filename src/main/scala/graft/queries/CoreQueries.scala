@@ -193,7 +193,19 @@ object CoreQueries {
       val both = rich.intersect(withOrders).withColumn("class", lit("rich_with_orders"))
       val only = rich.except(withOrders).withColumn("class", lit("rich_no_orders"))
       both.unionByName(only).orderBy(col("class"), col("c_custkey"))
-    })
+    }),
+
+    // beyond-reference breadth: pivot (wide-format report) — explicit
+    // value list so no distinct-scan job runs and the output schema is
+    // static; cells are integer cents so the sums hash cross-engine
+    "g4_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("cents")))
+        .orderBy(col("o_orderpriority")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,6 +306,14 @@ object CoreQueries {
         |SELECT c_custkey, 'rich_no_orders' FROM (
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         |  EXCEPT SELECT DISTINCT o_custkey FROM orders)
-        |ORDER BY class, c_custkey""".stripMargin
+        |ORDER BY class, c_custkey""".stripMargin,
+    "g4_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(cents) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+        |  CAST(sum(cents) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+        |  CAST(sum(cents) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        |FROM (SELECT o_orderpriority, o_orderstatus,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 }

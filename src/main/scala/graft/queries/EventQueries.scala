@@ -40,6 +40,14 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("bucket_us"), col("event_type"))),
 
+    // W-5: time-series regularization — hourly grid per user between
+    // first and last observation, latest value forward-filled into gaps
+    "w5_gapfill" -> ((s, d) =>
+      graft.operators.GapFill.forwardFill(
+          t(s, d, "events").select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value", step = 3600L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("bucket"))),
+
     // W-2: per-user ordered window — running event count + value rank
     "w2_user_running" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -104,6 +112,19 @@ object EventQueries {
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "w5_gapfill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |              epoch_us(ts) AS us, value FROM events),
+        |obs AS (SELECT user_id, bucket, (max({'u': us, 'v': value})).v AS obs_value
+        |        FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM span)
+        |SELECT user_id, bucket,
+        |  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  obs_value IS NULL AS is_gap
+        |FROM grid LEFT JOIN obs USING (user_id, bucket)
+        |ORDER BY user_id, bucket""".stripMargin,
     "w2_user_running" ->
       """SELECT user_id, CAST(seq AS INT) AS seq, event_id, running_value FROM (
         |  SELECT user_id, event_id,

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.GapFill
+
+/** W-5: fixed-step grid + forward fill. */
+class GapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grid spans first..last bucket; gaps carry the last observation") {
+    // key 1: obs at t=5 (v=1.0), t=25 (v=2.0), step 10 → buckets 0..2,
+    // bucket 1 is a gap filled with 1.0
+    // key 2: single obs → single-bucket grid
+    val df = Seq((1L, 5L, 1.0), (1L, 25L, 2.0), (2L, 99L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = GapFill.forwardFill(df, "k", "ts", "v", step = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out == Map(
+      (1L, 0L) -> (1.0, false),
+      (1L, 1L) -> (1.0, true),
+      (1L, 2L) -> (2.0, false),
+      (2L, 9L) -> (9.0, false)))
+  }
+
+  test("within a bucket the latest observation wins, ties on value") {
+    val df = Seq((1L, 3L, 5.0), (1L, 7L, 8.0), // same bucket, t=7 wins
+      (1L, 7L, 6.0)) // exact ts tie → greater value deterministically
+      .toDF("k", "ts", "v")
+    val out = GapFill.forwardFill(df, "k", "ts", "v", step = 10L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out == Map(0L -> 8.0))
+  }
+}
