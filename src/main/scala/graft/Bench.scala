@@ -58,6 +58,12 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // The full line above grows with the query census (>2k chars) and a
+    // tail-limited log capture can clip its head, losing the total. Emit a
+    // short self-contained summary as the FINAL stdout line so the headline
+    // numbers always survive truncation from either end.
+    val nOk = results.count(_._3.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":${results.size - nOk},"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
 }
