@@ -74,11 +74,14 @@ object DedupQueries {
     }),
 
     // C-2: near-dup pairs → duplicate CLUSTERS via connected
-    // components (min-label propagation); cluster id = min doc id, so
-    // keep-one-per-cluster is a trivial filter downstream. The oracle
-    // computes the same closure with a recursive CTE.
+    // components (large-star/small-star contraction — the edge set
+    // shrinks every round and no reduce key ever aggregates a whole
+    // component, so giant dup-clusters don't skew; ComponentsSpec
+    // proves label-equality with min-label propagation). Cluster id =
+    // min doc id, so keep-one-per-cluster is a trivial filter
+    // downstream. The oracle computes the same closure recursively.
     "c2_dup_clusters" -> ((s, d) =>
-      graft.operators.Components.connectedComponents(
+      graft.operators.Components.connectedComponentsStar(
           minhashPairsDf(s, d), "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))),

@@ -51,4 +51,41 @@ class ComponentsSpec extends SparkSpec {
       .map(n => n -> find(n)).toMap
     assert(got == want)
   }
+
+  // ───── star contraction (large-star/small-star) ─────
+
+  private def runStar(edges: Seq[(Long, Long)], maxIter: Int = 40): Map[Long, Long] =
+    Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction: label-equality with min-label propagation on a chain") {
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L))
+    assert(runStar(edges) == run(edges))
+  }
+
+  test("star contraction: label-equality on a clique plus satellites") {
+    val clique = for { a <- 10L to 15L; b <- 10L to 15L if a < b } yield (a, b)
+    val edges = clique ++ Seq((15L, 99L), (3L, 4L), (7L, 7L))
+    assert(runStar(edges) == run(edges))
+    // self-pair-only node labels itself, matching the sibling impl
+    assert(runStar(edges)(7L) == 7L)
+  }
+
+  test("star contraction: label-equality on random graphs across seeds") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 150).map(_ => (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+        .filter { case (a, b) => a != b }
+      assert(runStar(edges) == run(edges), s"seed $seed diverged")
+    }
+  }
+
+  test("star contraction closes a 64-link chain within 12 rounds") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    assert(runStar(edges, maxIter = 12) == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction on empty edge set returns no rows") {
+    assert(runStar(Seq.empty[(Long, Long)]).isEmpty)
+  }
 }
