@@ -127,6 +127,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard100"))
   }
 
+  /** [[incrementalPairsFromSigs]] with SIGNATURE-ESTIMATE verification:
+    * candidate pairs are verified by the MinHash signature agreement
+    * fraction instead of the exact shingle Jaccard. Per MinHash theory
+    * P[sig_i(a) = sig_i(b)] = J(a,b) for each of the `numHashes`
+    * independent hash slots, so `n_agree / numHashes` is an unbiased
+    * estimate of the Jaccard — and, crucially, it needs only the
+    * signatures: the store shrinks from O(8 B × corpus tokens) (the
+    * `sh` shingle arrays) to O(numHashes) longs per document, which is
+    * what makes a perpetual-ingest store viable at 100 TB. The
+    * estimate is exact integer arithmetic over the stored longs
+    * (deterministic, oracle-expressible); the tradeoff is binomial
+    * estimation noise around the threshold — DedupSpec measures recall
+    * against the exact-Jaccard verifier.
+    *
+    * `existingSigs`/`newSigs` need only (id, sig, band_*): pass
+    * [[sigOnly]] projections. Output: id_a < id_b, n_agree,
+    * sig_agree100 (= floor(100 × n_agree / numHashes)).
+    */
+  def incrementalPairsBySig(newSigs: DataFrame, existingSigs: DataFrame,
+                            idCol: String, numHashes: Int, bands: Int,
+                            minAgree100: Int): DataFrame = {
+    def banded(sigs: DataFrame) = sigs.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+    val newBands = banded(newSigs)
+    val allBands = banded(existingSigs).unionByName(newBands)
+    val pairs = newBands.select(col("id").as("nid"), col("band"))
+      .join(allBands, Seq("band"))
+      .filter(col("nid") =!= col("id"))
+      .select(least(col("nid"), col("id")).as("id_a"),
+        greatest(col("nid"), col("id")).as("id_b"))
+      .distinct()
+    val allSig = existingSigs.select(col(idCol), col("sig"))
+      .unionByName(newSigs.select(col(idCol), col("sig")))
+    val sigA = allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sigB = allSig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    sigB.join(sigA.join(pairs, "id_a"), "id_b")
+      // agreement count: codegen'd zip_with/aggregate over two short
+      // long-arrays — integer-exact on both engines
+      .withColumn("n_agree",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .withColumn("sig_agree100",
+        expr(s"CAST((n_agree * 100) DIV $numHashes AS INT)"))
+      .filter(col("sig_agree100") >= minAgree100)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("sig_agree100"))
+  }
+
+  /** Project a [[minhashSignatures]] frame down to what the
+    * signature-estimate store needs: id + sig + band keys, no shingle
+    * arrays. */
+  def sigOnly(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigs.select(col(idCol) +: col("sig") +:
+      (0 until bands).map(b => col(s"band_$b")): _*)
+
   /** Per-document SimHash fingerprint (native kernels, value-identical
     * to the declarative tokenHashes→simhashFromHashes chain — DedupSpec). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =

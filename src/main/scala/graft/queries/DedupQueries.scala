@@ -73,6 +73,25 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // D-8: incremental near-dup with SIGNATURE-ESTIMATE verification —
+    // same ingest scenario as d7, but the store side carries only
+    // (id, sig, bands): no shingle arrays, O(numHashes) longs per doc.
+    // Pairs are verified by the MinHash agreement fraction (exact
+    // integer arithmetic, unbiased estimator of the Jaccard) — the
+    // 100 TB-viable store layout for the continuous path.
+    "d8_sig_verified_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz qq ww")).as("text"))
+      val store = Dedup.sigOnly(
+        Dedup.minhashSignatures(docs, "doc_id", "text", K, H, B), "doc_id", B)
+      val newSigs = Dedup.sigOnly(
+        Dedup.minhashSignatures(incoming, "doc_id", "text", K, H, B), "doc_id", B)
+      Dedup.incrementalPairsBySig(newSigs, store, "doc_id", H, B, 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // C-2: near-dup pairs → duplicate CLUSTERS via connected
     // components (large-star/small-star contraction — the edge set
     // shrinks every round and no reduce key ever aggregates a whole
@@ -199,6 +218,22 @@ object DedupQueries {
          |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard100 FROM joined
          |WHERE jaccard100 >= 50 ORDER BY id_a, id_b""".stripMargin,
+    "d8_sig_verified_neardup" ->
+      s"""WITH ${sigCte(
+             """SELECT doc_id, text FROM documents
+               |UNION ALL SELECT doc_id + 100000, text || ' zz qq ww'
+               |FROM documents WHERE doc_id % 5 = 0""".stripMargin)},
+         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band)
+         |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= 100000 OR b.doc_id >= 100000)),
+         |joined AS (SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(generate_series(1, $H),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS INT) AS n_agree
+         |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, n_agree, CAST((n_agree * 100) // $H AS INT) AS sig_agree100
+         |FROM joined WHERE (n_agree * 100) // $H >= 50
+         |ORDER BY id_a, id_b""".stripMargin,
     "c2_dup_clusters" ->
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
          |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs

@@ -17,11 +17,15 @@ import graft.operators.Dedup
   * with overwrite, so a replayed micro-batch (foreachBatch is
   * at-least-once) lands in the same place instead of duplicating rows.
   *
-  * Store size note: the store carries the distinct shingle-hash array
-  * (`sh`) per doc — O(8 bytes × corpus tokens) — because exact-Jaccard
-  * verification needs it. Swap the verify to the signature-estimate
-  * (`sig` agreement fraction) to shrink the store to O(numHashes) longs
-  * per doc at the cost of probabilistic verification.
+  * Store size: with `verifyBySig = false` (exact-Jaccard verification)
+  * the store carries the distinct shingle-hash array (`sh`) per doc —
+  * O(8 bytes × corpus tokens). With `verifyBySig = true` the store
+  * holds only (id, sig, band keys) — O(numHashes) longs per doc, the
+  * layout that stays viable when the corpus is 100 TB — and pairs are
+  * verified by the MinHash agreement fraction
+  * ([[graft.operators.Dedup.incrementalPairsBySig]]), trading exact
+  * verification for binomial estimation noise around the threshold
+  * (recall measured in DedupSpec).
   */
 object IncrementalDedup {
 
@@ -31,20 +35,29 @@ object IncrementalDedup {
               idCol: String, textCol: String,
               sigStoreDir: String, pairsOutDir: String, checkpointDir: String,
               shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-              minJaccard100: Int = 50): Unit = {
+              minJaccard100: Int = 50, verifyBySig: Boolean = false): Unit = {
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(textCol))
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val newSigs = Dedup.minhashSignatures(
+        val fullSigs = Dedup.minhashSignatures(
             batch, idCol, textCol, shingleK, numHashes, bands)
+        // sig-verified mode never materializes shingle arrays into the
+        // store — the persisted frame is already the slim projection
+        val newSigs = (if (verifyBySig) Dedup.sigOnly(fullSigs, idCol, bands)
+                       else fullSigs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val existing = readStore(s, sigStoreDir, newSigs.schema)
-          Dedup.incrementalPairsFromSigs(
-              newSigs, existing, idCol, bands, minJaccard100)
-            .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
+          val pairs =
+            if (verifyBySig)
+              Dedup.incrementalPairsBySig(
+                newSigs, existing, idCol, numHashes, bands, minJaccard100)
+            else
+              Dedup.incrementalPairsFromSigs(
+                newSigs, existing, idCol, bands, minJaccard100)
+          pairs.write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing: the batch must not see its own sigs
           // on the existing side (pairs would double via both orders)
           newSigs.write.mode("overwrite")

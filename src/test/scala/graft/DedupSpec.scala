@@ -43,6 +43,50 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall(p => p._1 > 1000 || p._2 > 1000))
   }
 
+  test("sig-verified incremental pairs: slim store, bounded recall vs exact") {
+    // 60 base docs; incoming = tail-mutated copies of every 3rd (high
+    // true Jaccard) plus two unrelated docs (true negatives)
+    val base = (1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa token$i num$i"))
+    val incoming = base.filter(_._1 % 3 == 0)
+      .map { case (id, t) => (id + 1000, t + " zz qq") } ++
+      Seq((2001L, "wholly different content nothing shared with the corpus at all"),
+          (2002L, "another disjoint document sharing zero tokens with anything"))
+    val baseDf = base.toDF("doc_id", "text")
+    val incDf = incoming.toDF("doc_id", "text")
+    val full = Dedup.minhashSignatures(baseDf, "doc_id", "text", 3, 16, 4)
+    val store = Dedup.sigOnly(full, "doc_id", 4)
+    assert(!store.columns.contains("sh"), "sig store must not carry shingle arrays")
+    val newSigs = Dedup.sigOnly(
+      Dedup.minhashSignatures(incDf, "doc_id", "text", 3, 16, 4), "doc_id", 4)
+    val sigPairs = Dedup.incrementalPairsBySig(newSigs, store, "doc_id", 16, 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact-Jaccard verification over the same candidates.
+    // The recall bound is claimed for SOLID near-dups (J >= 0.70) —
+    // pairs sitting at the 0.50 threshold agree on ~8/16 slots only
+    // half the time by construction (binomial estimation noise), so
+    // bounding recall there would test the coin, not the operator.
+    val exactPairs = Dedup.incrementalMinhashPairs(incDf, full,
+        "doc_id", "text", 3, 16, 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val solid = exactPairs.collect { case (a, b, j) if j >= 70 => (a, b) }.toSet
+    val recalled = solid.intersect(sigPairs)
+    assert(solid.nonEmpty)
+    assert(recalled.size.toDouble / solid.size >= 0.9,
+      s"sig-estimate recall ${recalled.size}/${solid.size} below 0.9")
+    // the unrelated docs never pair with the corpus
+    assert(!sigPairs.exists(p => p._1 >= 2000L || p._2 >= 2000L))
+    // agreement fraction is an unbiased Jaccard estimate: on EXACT
+    // duplicates it must be exactly 16/16
+    val dupSig = Dedup.sigOnly(
+      Dedup.minhashSignatures(Seq((9001L, base.head._2)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 16, 4), "doc_id", 4)
+    val agree = Dedup.incrementalPairsBySig(dupSig, store, "doc_id", 16, 4, 50)
+      .filter(col("id_b") === 9001L && col("id_a") === 1L)
+      .select("n_agree").collect().map(_.getInt(0))
+    assert(agree.toSeq == Seq(16))
+  }
+
   test("native long-array jaccard equals declarative distinct jaccard") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
       .select($"doc_id", graft.plans.ShingleHashes64.column($"text", 3).as("sh"))

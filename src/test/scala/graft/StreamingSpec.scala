@@ -44,6 +44,37 @@ class StreamingSpec extends SparkSpec {
       .toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("streaming sig-verified dedup: store holds only signatures") {
+    val root = Files.createTempDirectory("graft-sigdedup")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val sigs = root.resolve("sigs").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+
+    Seq((1L, base), (2L, base + " tail"),
+        (3L, "completely different unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    IncrementalDedup.runOnce(spark, schema, in.toString, "doc_id", "text",
+      sigs, pairs, ckpt, verifyBySig = true)
+    // near-identical pair found via signature agreement alone
+    assert(spark.read.parquet(pairs).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    // the persisted store is the slim layout: no shingle arrays
+    val storeCols = spark.read.parquet(sigs).columns.toSet
+    assert(!storeCols.contains("sh") && storeCols.contains("sig"))
+
+    // second batch pairs against the slim store
+    Seq((4L, base + " coda")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    IncrementalDedup.runOnce(spark, schema, in.toString, "doc_id", "text",
+      sigs, pairs, ckpt, verifyBySig = true)
+    assert(spark.read.parquet(pairs).filter($"batch_id" === 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 4L), (2L, 4L)))
+  }
+
   test("AvailableNow passes ingest each file exactly once across runs") {
     val root = Files.createTempDirectory("graft-stream")
     val in = root.resolve("in"); Files.createDirectories(in)
