@@ -162,4 +162,58 @@ object Components {
     nodes.join(e.select(col("u").as("node"), col("v").as("cl")), Seq("node"), "left")
       .select(col("node"), coalesce(col("cl"), col("node")).as("cluster"))
   }
+
+  /** Incremental cluster maintenance: fold a batch of NEW near-dup
+    * pairs into an existing (node, cluster) labeling without
+    * recomputing the global closure — the companion of the d7/d8
+    * incremental pair detectors. At 100 TB you never re-run connected
+    * components over the whole corpus per ingest batch; only the
+    * components the batch actually touches may change.
+    *
+    * Correctness rests on the labeling being closure-compressed:
+    * `cluster` is the component MINIMUM, so each existing component is
+    * fully represented by its single representative id. Contract every
+    * batch edge endpoint to its representative (itself if the node is
+    * new), run [[connectedComponentsStar]] on that contracted graph —
+    * whose size is O(batch), independent of the corpus — and the
+    * resulting labels are the merged components' true minima
+    * (min over {old component minima} ∪ {new node ids} = min over all
+    * member ids). Unaffected components never enter any iteration.
+    *
+    * The final relabel is one broadcast hash join of the O(batch)-sized
+    * (old rep → merged min) map against the label table — a narrow
+    * map-side pass; no shuffle of the corpus-sized labeling. (A real
+    * deployment would push the same map into a partition-pruned storage
+    * upsert; the dataflow shape is identical.)
+    *
+    * Invariants: node ids are unique corpus-wide; `labels` has columns
+    * (node, cluster) as produced by either CC implementation. Batch
+    * nodes that appear only in `newPairs` enter the labeling; batch
+    * pairs wholly inside one existing cluster are no-ops.
+    */
+  def mergeIncrementalClusters(labels: DataFrame, newPairs: DataFrame,
+                               aCol: String, bCol: String,
+                               maxIter: Int = 40): DataFrame = {
+    val lab = labels.select(col("node"), col("cluster"))
+    val pe = newPairs.select(col(aCol).as("pu"), col(bCol).as("pv"))
+    val lu = lab.select(col("node").as("pu"), col("cluster").as("cu"))
+    val lv = lab.select(col("node").as("pv"), col("cluster").as("cv"))
+    // contract endpoints to their current representatives (new nodes
+    // represent themselves); self-loops created by intra-cluster pairs
+    // vanish inside the star contraction
+    val contracted = pe.join(lu, Seq("pu"), "left").join(lv, Seq("pv"), "left")
+      .select(coalesce(col("cu"), col("pu")).as("u"),
+        coalesce(col("cv"), col("pv")).as("v"))
+    val merged = connectedComponentsStar(contracted, "u", "v", maxIter)
+    val affected = merged.select(col("node").as("k"), col("cluster").as("merged"))
+      .persist()
+    // rewrite only clusters whose representative merged; everyone else
+    // streams through the broadcast join unchanged
+    val relabeled = lab.join(broadcast(affected), lab("cluster") === col("k"), "left")
+      .select(col("node"), coalesce(col("merged"), col("cluster")).as("cluster"))
+    // nodes first seen in this batch join the labeling
+    val newNodes = affected.join(lab, affected("k") === lab("node"), "left_anti")
+      .select(col("k").as("node"), col("merged").as("cluster"))
+    relabeled.unionByName(newNodes)
+  }
 }

@@ -105,6 +105,31 @@ object DedupQueries {
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))),
 
+    // C-3: incremental cluster maintenance — a new ingest batch
+    // (near-dup copies of every 9th doc, ids +200000) is banded against
+    // the existing corpus (d7-style, O(batch + collisions)), and the
+    // resulting pairs are folded into c2's labeling WITHOUT re-running
+    // the global closure: contract batch endpoints to their cluster
+    // reps, run star CC on the O(batch) contracted graph, broadcast the
+    // (rep → merged-min) map over the label table. The oracle recomputes
+    // the full closure over (old ∪ batch) pairs — labels must agree.
+    "c3_incremental_clusters" -> ((s, d) => {
+      val corpus = docsWithMutations(s, d)
+      val incoming = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" rr ss")).as("text"))
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", K, H, B)
+      val batchPairs = Dedup.incrementalMinhashPairs(incoming, sigs,
+        "doc_id", "text", K, H, B, 50)
+      val existing = graft.operators.Components.connectedComponentsStar(
+        minhashPairsDf(s, d), "id_a", "id_b")
+      graft.operators.Components.mergeIncrementalClusters(
+          existing, batchPairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D-3: 32-bit SimHash fingerprints
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashes(t(s, d, "documents").select(col("doc_id"), col("text")),
@@ -238,6 +263,30 @@ object DedupQueries {
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
          |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
          |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "c3_incremental_clusters" ->
+      s"""WITH RECURSIVE ${sigCte(
+             mutationsSrc + "\n" +
+               """UNION ALL SELECT doc_id + 200000, text || ' rr ss'
+                 |FROM documents WHERE doc_id % 9 = 0""".stripMargin)},
+         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+         |bpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band)
+         |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= 200000 OR b.doc_id >= 200000)),
+         |batch AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS j
+         |    FROM bpairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+         |  WHERE j >= 50),
+         |allp AS (SELECT id_a, id_b FROM ($d2PairsSql) dp
+         |         UNION SELECT id_a, id_b FROM batch),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM allp
+         |          UNION SELECT id_b, id_a FROM allp),
          |reach(src, dst) AS (
          |  SELECT u, v FROM edges
          |  UNION

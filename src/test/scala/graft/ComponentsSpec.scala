@@ -88,4 +88,44 @@ class ComponentsSpec extends SparkSpec {
   test("star contraction on empty edge set returns no rows") {
     assert(runStar(Seq.empty[(Long, Long)]).isEmpty)
   }
+
+  // ───── incremental cluster maintenance ─────
+
+  test("incremental merge equals full recompute on randomized ingest sequences") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      // dense id space → constant cluster merging across batches
+      val all = (1 to 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val cut1 = all.length * 3 / 5
+      val cut2 = all.length * 4 / 5
+      var labels = Components.connectedComponentsStar(
+        all.take(cut1).toDF("a", "b"), "a", "b")
+      for (batch <- Seq(all.slice(cut1, cut2), all.drop(cut2)))
+        labels = Components.mergeIncrementalClusters(
+          labels, batch.toDF("a", "b"), "a", "b")
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = runStar(all)
+      assert(got == want, s"seed $seed: incremental diverged from recompute")
+    }
+  }
+
+  test("incremental merge: attach-only batch leaves other clusters untouched") {
+    val labels = Components.connectedComponentsStar(
+      Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), "a", "b")
+    // 50 is new and attaches to cluster 1; cluster 10 must not change
+    val out = Components.mergeIncrementalClusters(
+        labels, Seq((2L, 50L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 50L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incremental merge: batch bridging two clusters takes the global min") {
+    val labels = Components.connectedComponentsStar(
+      Seq((3L, 7L), (5L, 9L)).toDF("a", "b"), "a", "b")
+    val out = Components.mergeIncrementalClusters(
+        labels, Seq((7L, 9L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 3L, 7L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
 }
