@@ -42,6 +42,31 @@ trait IngestFetcher {
   }
 }
 
+/** HTTP(S)-backed fetcher over the JDK client — the transport the
+  * reference ingests with (streamed GET for WARC segments,
+  * scripts/extract_commoncrawl.py:53-77; ZIP download,
+  * scripts/extract_abr.py:33-60). One synchronous GET per object;
+  * concurrency comes from the caller staging many objects across Spark
+  * tasks, and retry/back-off policy likewise belongs to the caller.
+  * IngestHttpSpec drives the full S-6→S-1 and S-7→S-4 ingest chains
+  * through this fetcher against a loopback server. */
+final class HttpFetcher(
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends IngestFetcher {
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+
+  override def fetch(uri: String): Array[Byte] = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      .timeout(timeout).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"GET $uri returned HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+}
+
 /** Filesystem-backed fetcher: `uri` is a local path (optionally
   * `file:`-prefixed). Stands in for the HTTP fetcher in environments
   * without egress and for tests. */
