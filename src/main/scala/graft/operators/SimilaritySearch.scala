@@ -102,6 +102,70 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** [[ivfMedianTopK]] refined by ONE Lloyd iteration: seed centroids
+    * are the per-`seedCol`, per-dimension exact medians, every corpus
+    * vector is REASSIGNED to its nearest seed centroid by cosine, and
+    * centroids are recomputed as medians of the new assignment. The
+    * seed column is usually non-geometric (a label, a source id) — one
+    * reassignment makes the partitions geometric, so at equal `nProbe`
+    * the probed clusters actually contain the near neighbors
+    * (VectorsSpec measures the recall gain; at growing corpus size the
+    * gap widens because a non-geometric seed spreads each query's
+    * neighborhood across ever more clusters).
+    *
+    * Determinism end-to-end: medians are order statistics, the
+    * reassignment argmin is tie-broken by cluster id, and re-medians
+    * are again order statistics — so unlike FP-mean k-means this
+    * refined variant keeps a bitwise DuckDB oracle (query n4).
+    *
+    * Scale shape per round: centroids broadcast (K × dim doubles),
+    * assignment is a map-side crossJoin scored per partition, slimmed
+    * to (id, cluster, cdist) BEFORE the argmin window, then one
+    * shuffle on id to re-join vectors for the median agg — the corpus
+    * embedding payload never enters a window sort. More rounds =
+    * repeat; one round captures most of the recall gain on a sane seed.
+    */
+  def ivfLloydTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, seedCol: String,
+                   dim: Int, k: Int, nProbe: Int): DataFrame = {
+    val c = graft.model.Tables.spread(
+        corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+          col(seedCol).as("seed")))
+      .withColumn("c_norm", Vectors.norm(col("c_vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def withNorm(cent: DataFrame): DataFrame =
+      cent.withColumn("cnorm", Vectors.norm(col("centroid")))
+    def medians(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      g.agg(array((0 until dim).map(i =>
+        percentile(element_at(col("c_vec"), i + 1).cast("double"), lit(0.5))): _*)
+        .as("centroid"))
+    val seedCent = withNorm(medians(c.groupBy(col("seed").as("cluster"))))
+    // Lloyd reassignment: nearest centroid by cosine, slim before window
+    val assigned = c.crossJoin(broadcast(seedCent))
+      .select(col("c_id"), col("cluster"),
+        Vectors.cosineWithNorms(col("c_vec"), col("centroid"),
+          col("c_norm"), col("cnorm")).as("cdist"))
+      .withColumn("ar", row_number().over(
+        Window.partitionBy(col("c_id")).orderBy(col("cdist").desc, col("cluster").asc)))
+      .filter(col("ar") === 1)
+      .select(col("c_id"), col("cluster"))
+    val cc = c.join(assigned, "c_id")
+    val cent = withNorm(medians(cc.groupBy(col("cluster"))))
+    val q = prep(queries, idCol, vecCol, "q")
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", Vectors.cosineWithNorms(
+        col("q_vec"), col("centroid"), col("q_norm"), col("cnorm")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cluster").asc)))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cluster"))
+    val scored = cc.join(broadcast(probes), "cluster")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Vectors.cosineWithNorms(
+        col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style coarse quantization: centroids = per-cluster mean vectors
     * (computed from a labeled/assigned corpus), probe = nearest
     * `nProbe` centroids, score only vectors in probed clusters.

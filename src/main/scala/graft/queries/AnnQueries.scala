@@ -39,6 +39,17 @@ object AnnQueries {
     "n3_ann_ivf" -> ((s, d) =>
       SimilaritySearch.ivfMedianTopK(queriesDf(s, d), t(s, d, "embeddings"),
           "vec_id", "embedding", "label", dim = 64, k = Kk, nProbe = 3)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // N-4: IVF refined by one Lloyd reassignment round — the label seed
+    // is non-geometric, so reassigning each vector to its nearest seed
+    // centroid makes the probed partitions geometric; equal recall then
+    // needs FEWER probes (n4 probes 2 clusters vs n3's 3; VectorsSpec
+    // measures the recall at equal probes). Median re-centroids keep
+    // the whole refinement order-statistic-deterministic → exact oracle.
+    "n4_ann_ivf_lloyd" -> ((s, d) =>
+      SimilaritySearch.ivfLloydTopK(queriesDf(s, d), t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", dim = 64, k = Kk, nProbe = 2)
         .orderBy(col("q_id"), col("rank")))
   )
 
@@ -90,6 +101,38 @@ object AnnQueries {
          |  FROM q CROSS JOIN cn) WHERE pr <= 3),
          |cc AS (SELECT c_id, c_vec, c_norm, label AS cluster
          |       FROM embeddings JOIN c ON vec_id = c_id),
+         |s AS (SELECT probes.q_id, cc.c_id,
+         |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
+         |  FROM cc JOIN probes USING (cluster) JOIN q ON probes.q_id = q.q_id
+         |  WHERE probes.q_id <> cc.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin
+    },
+    "n4_ann_ivf_lloyd" -> {
+      val seedMedians = (1 to 64)
+        .map(i => s"median(embedding[$i]::DOUBLE)").mkString("[", ", ", "]")
+      val reMedians = (1 to 64)
+        .map(i => s"median(c_vec[$i]::DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH $prepCte,
+         |cent0 AS (SELECT label AS cluster, $seedMedians AS centroid
+         |          FROM embeddings GROUP BY 1),
+         |cn0 AS (SELECT cluster, centroid, ${Vectors.sql.norm("centroid")} AS cnorm FROM cent0),
+         |assign AS (SELECT c_id, cluster FROM (
+         |  SELECT c_id, cluster, row_number() OVER (PARTITION BY c_id ORDER BY
+         |    ${Vectors.sql.cosineWithNorms("c_vec", "centroid", "c_norm", "cnorm")} DESC,
+         |    cluster ASC) AS rr
+         |  FROM c CROSS JOIN cn0) WHERE rr = 1),
+         |cent AS (SELECT cluster, $reMedians AS centroid
+         |         FROM c JOIN assign USING (c_id) GROUP BY 1),
+         |cn AS (SELECT cluster, centroid, ${Vectors.sql.norm("centroid")} AS cnorm FROM cent),
+         |probes AS (SELECT q_id, cluster FROM (
+         |  SELECT q_id, cluster, row_number() OVER (PARTITION BY q_id ORDER BY
+         |    ${Vectors.sql.cosineWithNorms("q_vec", "centroid", "q_norm", "cnorm")} DESC,
+         |    cluster ASC) AS pr
+         |  FROM q CROSS JOIN cn) WHERE pr <= 2),
+         |cc AS (SELECT c.c_id, c_vec, c_norm, assign.cluster
+         |       FROM c JOIN assign USING (c_id)),
          |s AS (SELECT probes.q_id, cc.c_id,
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
          |  FROM cc JOIN probes USING (cluster) JOIN q ON probes.q_id = q.q_id

@@ -71,6 +71,28 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.25, s"IVF median recall too low: $recall")
   }
 
+  test("IVF Lloyd refinement: recall at 2 probes >= raw seed at 3 probes") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val med3 = recallOf(SimilaritySearch.ivfMedianTopK(e.filter($"vec_id" < 10), e,
+      "vec_id", "embedding", "label", 64, 5, 3))
+    val lloyd2 = recallOf(SimilaritySearch.ivfLloydTopK(e.filter($"vec_id" < 10), e,
+      "vec_id", "embedding", "label", 64, 5, 2))
+    val lloyd3 = recallOf(SimilaritySearch.ivfLloydTopK(e.filter($"vec_id" < 10), e,
+      "vec_id", "embedding", "label", 64, 5, 3))
+    info(s"recall: median@3=$med3 lloyd@2=$lloyd2 lloyd@3=$lloyd3")
+    // one geometric reassignment round must not lose recall at equal
+    // probes, and must match-or-beat the raw seed while probing FEWER
+    // clusters (the point of refinement: less work per query at scale)
+    assert(lloyd3 >= med3, s"lloyd@3 $lloyd3 < median@3 $med3")
+    assert(lloyd2 >= med3, s"lloyd@2 $lloyd2 < median@3 $med3")
+  }
+
   test("IVF top-k: probing more clusters increases (or keeps) recall") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
