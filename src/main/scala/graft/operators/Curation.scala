@@ -113,16 +113,43 @@ object Curation {
 
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-hash order (a fixed uniform permutation), tie-broken on the
-    * key for exactness. One shuffle on the stratum; the per-group sort
-    * is windowed, not global. For heavily skewed strata at scale,
-    * pre-filtering by a hash threshold (p ~= k/|stratum| per AQE
-    * statistics) bounds the window input before the rank.
+    * key for exactness.
+    *
+    * A naive rank funnels every row of a stratum through one window
+    * partition — a 100 TB stratum becomes a single-task sort. Instead,
+    * the k survivors are pre-located with a hash-bucket histogram
+    * (the [[percentileDisc]] two-stage trick): hash64 is uniform on
+    * [0, 2^60), so bucket = hash DIV 2^50 gives 1024 equal-width
+    * buckets; a partial-agg histogram per stratum finds the smallest
+    * bucket edge whose cumulative count reaches k, and only rows in
+    * buckets up to that edge enter the rank window — expected
+    * k + |stratum|/1024 rows instead of |stratum|. The filter keeps
+    * WHOLE buckets, so every row that could rank ≤ k survives and the
+    * emitted rows AND their rk values are bit-identical to the
+    * unfiltered rank (p2's oracle runs the plain window form).
+    * Strata smaller than k fall back to their max bucket (all rows).
     */
   def stratifiedSample(df: DataFrame, stratumCols: Seq[String], keyCol: String,
                        k: Int): DataFrame = {
-    val w = Window.partitionBy(stratumCols.map(col): _*)
-      .orderBy(Hashing.hash64(col(keyCol).cast("string")).asc, col(keyCol).asc)
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val strata = stratumCols.map(col)
+    val bucketed = df.withColumn("__h", Hashing.hash64(col(keyCol).cast("string")))
+      .withColumn("__b", expr(s"__h DIV ${1L << 50}"))
+    val wCum = Window.partitionBy(strata: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // histogram + cumulative edge: O(strata × 1024) rows, broadcastable
+    val edges = bucketed.groupBy(strata :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .groupBy(strata: _*)
+      .agg(coalesce(min(when(col("__cum") >= k, col("__b"))), max(col("__b")))
+        .as("__edge"))
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    bucketed.join(broadcast(edges), stratumCols)
+      .filter(col("__b") <= col("__edge"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      // the using-join fronted the stratum columns; restore caller order
+      .select(df.columns.map(col) :+ col("rk"): _*)
   }
 
   /** Benchmark decontamination: flag training documents sharing any

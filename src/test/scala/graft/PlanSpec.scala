@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("% src_total"), s"expected hash-mod keep condition in:\n$p")
   }
 
+  test("p2: hash-bucket pre-filter bounds the rank window input") {
+    val df = SparkEntry.queries("p2_stratified_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the histogram edge must gate rows BEFORE the window rank: a
+    // broadcast join of the per-stratum edges plus a bucket filter
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast edge join in:\n$p")
+    assert(p.contains("__edge"), s"expected bucket-edge pre-filter in:\n$p")
+  }
+
   test("t7: per-doc top-k uses WindowGroupLimit; doc-freq side broadcast") {
     val df = SparkEntry.queries("t7_tfidf_topk")(spark, sf)
     df.collect()
