@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -161,6 +161,94 @@ object SimilaritySearch {
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cluster"))
     val scored = cc.join(broadcast(probes), "cluster")
       .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Vectors.cosineWithNorms(
+        col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    rankTopK(scored, k)
+  }
+
+  /** Product-quantization codebook: `m` subspaces × `k` codewords, the
+    * codewords being the subvectors of `k` deterministically sampled
+    * corpus rows (smallest hash64(id) — a fixed uniform sample, the
+    * same family of codebook k-means sampling initializes with).
+    * codebook(mi)(ki) = one subDim-length codeword. The table is
+    * m × k × subDim doubles (a few KB) — driver-collected and
+    * broadcast as literals into the encode/decode expressions. */
+  def pqTrainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, k: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val anchors = corpus
+      .withColumn("__h", graft.functions.Hashing.hash64(col(idCol).cast("string")))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m)(mi => anchors.map(_.slice(mi * subDim, (mi + 1) * subDim)))
+  }
+
+  /** Encode a vector to its `m`-byte PQ code: per subspace, the index
+    * of the L2-nearest codeword (first-match tie-break). Pure codegen'd
+    * column expression — m × k zip_with/aggregate folds over literal
+    * codewords, no UDF. */
+  def pqEncode(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    array((0 until m).map { mi =>
+      val sub = slice(vec, mi * subDim + 1, subDim)
+      val dists = array(codebook(mi).map { cw =>
+        aggregate(
+          zip_with(sub, typedLit(cw.toSeq),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, d) => acc + d)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Reconstruct the quantized vector from a PQ code (codeword concat). */
+  def pqDecode(code: Column, codebook: Array[Array[Array[Double]]]): Column =
+    flatten(array((0 until codebook.length).map { mi =>
+      element_at(typedLit(codebook(mi).map(_.toSeq).toSeq),
+        element_at(code, mi + 1) + 1)
+    }: _*))
+
+  /** ANN over PQ-compressed candidates: asymmetric distance scoring —
+    * full-precision queries against decoded corpus codes — keeps the
+    * per-query top `rerank × k` candidates, then ONE exact re-rank pass
+    * over only those survivors.
+    *
+    * Why at 100 TB: the corpus-wide stage moves (id, m × int8-ish code)
+    * — with m=8 that is ~32 B/vector instead of a 256 B float64[64]
+    * payload, an ~8× shrink of the scan/shuffle volume where it counts
+    * (every vector), while the full-precision vectors are fetched for
+    * only queries × rerank × k survivors. Recall against exact brute
+    * force is bounded in VectorsSpec; `rerank` trades recall for
+    * candidate fetch volume.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, dim: Int, k: Int,
+             m: Int = 8, codewords: Int = 16, rerank: Int = 4): DataFrame = {
+    val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
+    // the ONLY corpus-wide frame: ids + compressed codes
+    val codes = graft.model.Tables.spread(corpus)
+      .select(col(idCol).as("c_id"), pqEncode(col(vecCol), codebook).as("code"))
+    val q = prep(queries, idCol, vecCol, "q")
+    val approx = codes
+      .withColumn("c_dec", pqDecode(col("code"), codebook))
+      .withColumn("c_dnorm", Vectors.norm(col("c_dec")))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Vectors.cosineWithNorms(col("q_vec"), col("c_dec"),
+          col("q_norm"), col("c_dnorm")).as("approx_cos"))
+      .withColumn("ar", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id").asc)))
+      .filter(col("ar") <= k * rerank)
+      .select(col("q_id"), col("c_id"))
+    // exact re-rank: full vectors fetched for survivors only
+    val c = prep(corpus, idCol, vecCol, "c")
+    val scored = approx.join(c, "c_id").join(broadcast(q.select(
+        col("q_id"), col("q_vec"), col("q_norm"))), "q_id")
       .withColumn("cosine", Vectors.cosineWithNorms(
         col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
     rankTopK(scored, k)

@@ -50,6 +50,18 @@ object AnnQueries {
     "n4_ann_ivf_lloyd" -> ((s, d) =>
       SimilaritySearch.ivfLloydTopK(queriesDf(s, d), t(s, d, "embeddings"),
           "vec_id", "embedding", "label", dim = 64, k = Kk, nProbe = 2)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // N-5: product-quantization ANN — corpus-wide stage carries 8 small
+    // ints per vector (~8× payload shrink vs float64[64]); asymmetric
+    // scoring on decoded codes, exact re-rank over 4k survivors only.
+    // Codebook = deterministic smallest-hash sample, encode argmin is
+    // tie-broken on codeword index, so the whole chain (train → encode
+    // → decode → approx rank → re-rank) is bitwise oracle-expressible.
+    "n5_ann_pq" -> ((s, d) =>
+      SimilaritySearch.pqTopK(queriesDf(s, d), t(s, d, "embeddings"),
+          "vec_id", "embedding", dim = 64, k = Kk,
+          m = 8, codewords = 16, rerank = 4)
         .orderBy(col("q_id"), col("rank")))
   )
 
@@ -137,6 +149,43 @@ object AnnQueries {
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
          |  FROM cc JOIN probes USING (cluster) JOIN q ON probes.q_id = q.q_id
          |  WHERE probes.q_id <> cc.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin
+    },
+    "n5_ann_pq" -> {
+      val M = 8; val K = 16; val SubDim = 8; val Rerank = 4
+      val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
+        "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
+      s"""WITH $prepCte,
+         |anch AS (SELECT ki, av FROM (
+         |  SELECT row_number() OVER (ORDER BY
+         |      ${graft.functions.Hashing.sql.hash64("CAST(vec_id AS VARCHAR)")} ASC,
+         |      vec_id ASC) AS ki,
+         |    list_transform(embedding, x -> x::DOUBLE) AS av
+         |  FROM embeddings) WHERE ki <= $K),
+         |subs AS (SELECT unnest([${(0 until M).mkString(", ")}]) AS mi),
+         |cw AS (SELECT mi, ki, list_slice(av, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS cw
+         |       FROM anch CROSS JOIN subs),
+         |pqd AS (SELECT c_id, mi, ki, $l2 AS dist FROM (
+         |  SELECT c_id, mi, ki,
+         |    list_slice(list_transform(c_vec, x -> x::DOUBLE),
+         |      mi * $SubDim + 1, mi * $SubDim + $SubDim) AS sv, cw
+         |  FROM c CROSS JOIN cw)),
+         |enc AS (SELECT c_id, mi, ki FROM (
+         |  SELECT c_id, mi, ki,
+         |    row_number() OVER (PARTITION BY c_id, mi ORDER BY dist ASC, ki ASC) AS rr
+         |  FROM pqd) WHERE rr = 1),
+         |dec AS (SELECT c_id, flatten(list(cw ORDER BY mi)) AS dv
+         |        FROM enc JOIN cw USING (mi, ki) GROUP BY c_id),
+         |approx AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, dec.c_id, row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      ${Vectors.sql.cosineWithNorms("q_vec", "dv", "q_norm", Vectors.sql.norm("dv"))} DESC,
+         |      dec.c_id ASC) AS ar
+         |  FROM dec CROSS JOIN q WHERE q.q_id <> dec.c_id) WHERE ar <= ${Kk * Rerank}),
+         |s AS (SELECT approx.q_id, approx.c_id,
+         |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
+         |  FROM approx JOIN q USING (q_id) JOIN c USING (c_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
          |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
          |ORDER BY q_id, rank0""".stripMargin

@@ -93,6 +93,37 @@ class VectorsSpec extends SparkSpec {
     assert(lloyd2 >= med3, s"lloyd@2 $lloyd2 < median@3 $med3")
   }
 
+  test("PQ top-k: compressed codes, decode distortion bounded, recall after re-rank") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
+    assert(codebook.length == 8 && codebook.forall(_.length == 16) &&
+      codebook.forall(_.forall(_.length == 8)))
+    // codes are m small ints — the compressed corpus payload
+    val code = e.limit(1).select(
+      SimilaritySearch.pqEncode($"embedding", codebook).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(code.length == 8 && code.forall(ci => ci >= 0 && ci < 16))
+    // a codebook anchor encodes to itself: zero distortion on codewords
+    val anchors = e.withColumn("__h",
+        graft.functions.Hashing.hash64($"vec_id".cast("string")))
+      .orderBy($"__h".asc, $"vec_id".asc).limit(16)
+    val perfect = anchors.select(
+        Vectors.cosine($"embedding",
+          SimilaritySearch.pqDecode(
+            SimilaritySearch.pqEncode($"embedding", codebook), codebook)).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(perfect.forall(c => c > 1.0 - 1e-9), s"anchor roundtrip lossy: ${perfect.min}")
+    val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilaritySearch.pqTopK(e.filter($"vec_id" < 10), e,
+        "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(s"PQ recall after re-rank: $recall")
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+  }
+
   test("IVF top-k: probing more clusters increases (or keeps) recall") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
