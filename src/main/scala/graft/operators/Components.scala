@@ -194,6 +194,40 @@ object Components {
   def mergeIncrementalClusters(labels: DataFrame, newPairs: DataFrame,
                                aCol: String, bCol: String,
                                maxIter: Int = 40): DataFrame = {
+    val (lab, affected) = contractedMerge(labels, newPairs, aCol, bCol, maxIter)
+    // rewrite only clusters whose representative merged; everyone else
+    // streams through the broadcast join unchanged
+    val relabeled = lab.join(broadcast(affected), lab("cluster") === col("k"), "left")
+      .select(col("node"), coalesce(col("merged"), col("cluster")).as("cluster"))
+    relabeled.unionByName(newNodes(lab, affected))
+  }
+
+  /** [[mergeIncrementalClusters]] emitting ONLY the rows the batch
+    * changes or adds — the per-batch DELTA a continuous pipeline
+    * persists. Rewriting even one narrow pass over a corpus-sized label
+    * table per ingest batch is O(corpus) I/O; the delta is O(size of
+    * the merged components), so a perpetual ingest stores base + deltas
+    * and resolves latest-wins per node (compacting on its own cadence —
+    * the same snapshot+delta+compaction shape as the ledger and
+    * [[graft.sources.Layout.compact]]). Against an empty labeling this
+    * is exactly [[connectedComponentsStar]] of the batch. */
+  def mergeIncrementalClustersDelta(labels: DataFrame, newPairs: DataFrame,
+                                    aCol: String, bCol: String,
+                                    maxIter: Int = 40): DataFrame = {
+    val (lab, affected) = contractedMerge(labels, newPairs, aCol, bCol, maxIter)
+    // members of clusters whose representative's label actually moved
+    val changedReps = affected.filter(col("k") =!= col("merged"))
+    val relabeled = lab.join(broadcast(changedReps), lab("cluster") === col("k"))
+      .select(col("node"), col("merged").as("cluster"))
+    relabeled.unionByName(newNodes(lab, affected))
+  }
+
+  /** Shared head of the incremental merge: contract batch endpoints to
+    * their representatives, run star CC on the O(batch) graph. Returns
+    * (normalized labels, (k = old-rep-or-new-node → merged min)). */
+  private def contractedMerge(labels: DataFrame, newPairs: DataFrame,
+                              aCol: String, bCol: String,
+                              maxIter: Int): (DataFrame, DataFrame) = {
     val lab = labels.select(col("node"), col("cluster"))
     val pe = newPairs.select(col(aCol).as("pu"), col(bCol).as("pv"))
     val lu = lab.select(col("node").as("pu"), col("cluster").as("cu"))
@@ -207,13 +241,12 @@ object Components {
     val merged = connectedComponentsStar(contracted, "u", "v", maxIter)
     val affected = merged.select(col("node").as("k"), col("cluster").as("merged"))
       .persist()
-    // rewrite only clusters whose representative merged; everyone else
-    // streams through the broadcast join unchanged
-    val relabeled = lab.join(broadcast(affected), lab("cluster") === col("k"), "left")
-      .select(col("node"), coalesce(col("merged"), col("cluster")).as("cluster"))
-    // nodes first seen in this batch join the labeling
-    val newNodes = affected.join(lab, affected("k") === lab("node"), "left_anti")
-      .select(col("k").as("node"), col("merged").as("cluster"))
-    relabeled.unionByName(newNodes)
+    (lab, affected)
   }
+
+  /** Nodes first seen in this batch (present in the contracted merge,
+    * absent from the labeling). */
+  private def newNodes(lab: DataFrame, affected: DataFrame): DataFrame =
+    affected.join(lab, affected("k") === lab("node"), "left_anti")
+      .select(col("k").as("node"), col("merged").as("cluster"))
 }

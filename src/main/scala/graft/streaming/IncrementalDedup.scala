@@ -35,7 +35,8 @@ object IncrementalDedup {
               idCol: String, textCol: String,
               sigStoreDir: String, pairsOutDir: String, checkpointDir: String,
               shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-              minJaccard100: Int = 50, verifyBySig: Boolean = false): Unit = {
+              minJaccard100: Int = 50, verifyBySig: Boolean = false,
+              labelsStoreDir: Option[String] = None): Unit = {
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(textCol))
     val q = in.writeStream
@@ -62,6 +63,20 @@ object IncrementalDedup {
           // on the existing side (pairs would double via both orders)
           newSigs.write.mode("overwrite")
             .parquet(s"$sigStoreDir/batch_id=$batchId")
+          // continuous cluster maintenance: fold this batch's pairs into
+          // the labeling as a per-batch DELTA (changed + new rows only —
+          // O(merged components), never O(corpus)); replays overwrite
+          // their own batch_id partition and read only older ones, so
+          // at-least-once delivery stays idempotent
+          labelsStoreDir.foreach { labelsDir =>
+            val batchPairs = s.read
+              .parquet(s"$pairsOutDir/batch_id=$batchId")
+            val current = resolveLabels(s, labelsDir, ltBatch = batchId,
+              idLike = batchPairs.select(col("id_a")))
+            graft.operators.Components.mergeIncrementalClustersDelta(
+                current, batchPairs, "id_a", "id_b")
+              .write.mode("overwrite").parquet(s"$labelsDir/batch_id=$batchId")
+          }
         } finally newSigs.unpersist()
         ()
       }
@@ -69,6 +84,25 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The labeling as of just before `ltBatch`: base + deltas resolved
+    * latest-batch-wins per node. `idLike` supplies the node id type for
+    * the empty frame before any delta exists. */
+  def resolveLabels(spark: SparkSession, labelsDir: String, ltBatch: Long,
+                    idLike: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      return idLike.select(col(idLike.columns.head).as("node"),
+        col(idLike.columns.head).as("cluster")).limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("batch_id").desc)
+    spark.read.parquet(labelsDir)   // batch_id is the partition column
+      .filter(col("batch_id") < ltBatch)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("node"), col("cluster"))
   }
 
   /** The accumulated signature store, or an empty frame with the right

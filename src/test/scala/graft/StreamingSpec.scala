@@ -75,6 +75,50 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 4L), (2L, 4L)))
   }
 
+  test("streaming cluster maintenance: label deltas resolve to the full closure") {
+    val root = Files.createTempDirectory("graft-clusters")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val sigs = root.resolve("sigs").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val labels = root.resolve("labels").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"x$i").mkString(" ")
+
+    def ingest(rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+      IncrementalDedup.runOnce(spark, schema, in.toString, "doc_id", "text",
+        sigs, pairs, ckpt, labelsStoreDir = Some(labels))
+    }
+    def resolved(lt: Long): Map[Long, Long] =
+      IncrementalDedup.resolveLabels(spark, labels, lt,
+          spark.read.parquet(pairs).select($"id_a"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    ingest(1L -> base, 2L -> (base + " tail"), 3L -> "unrelated words only here")
+    assert(resolved(99) == Map(1L -> 1L, 2L -> 1L))
+
+    // batch 1: 4 joins {1,2}; {6,7} forms a separate cluster
+    ingest(4L -> (base + " coda"), 6L -> other, 7L -> (other + " tail"))
+    assert(resolved(99) == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 6L -> 6L, 7L -> 6L))
+    // the batch-1 DELTA carries only new nodes — unchanged 1/2 are not rewritten
+    assert(spark.read.parquet(labels).filter($"batch_id" === 1)
+      .select($"node").as[Long].collect().toSet == Set(4L, 6L, 7L))
+
+    // batch 2: each cluster grows by one more near-dup
+    ingest(8L -> (other + " coda"), 9L -> (base + " fin"))
+    val got = resolved(99)
+    // ground truth: full star CC over every pair emitted so far
+    val want = graft.operators.Components.connectedComponentsStar(
+        spark.read.parquet(pairs), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 9L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L))
+  }
+
   test("AvailableNow passes ingest each file exactly once across runs") {
     val root = Files.createTempDirectory("graft-stream")
     val in = root.resolve("in"); Files.createDirectories(in)
