@@ -38,7 +38,11 @@ object DumpPlans {
       "c1_decontaminate" -> "Decontamination: both corpora explode to 8-byte gram hashes, distinct per doc bounds the shuffle, join on the hash only — doc texts never appear in a shuffle and nothing is doc x doc.",
       "t7_tfidf_topk" -> "TF-IDF: per-doc term counts stay linear (explode + partial agg); the vocabulary-sized doc-frequency table and the 1-row corpus count broadcast back onto them; integer score, per-doc top-k window.",
       "t8_boilerplate" -> "Boilerplate ratio: one distinct per-doc gram-hash pass reused (persisted) for both the frequency count and the per-doc totals; the high-frequency head set broadcasts — the corpus gram stream is never self-joined.",
-      "p4_source_balance" -> "Source-mix balancing: per-source token totals and their global min are two tiny aggregates broadcast back; the keep decision is a narrow hash filter — one linear pass over the corpus.")
+      "p4_source_balance" -> "Source-mix balancing: per-source token totals and their global min are two tiny aggregates broadcast back; the keep decision is a narrow hash filter — one linear pass over the corpus.",
+      "p2_stratified_sample" -> "Stratified sample: a 1024-bucket hash histogram per stratum (partial agg) broadcasts per-stratum bucket edges back; only rows at or below the edge enter the rank window — window input is ~k + |stratum|/1024 rows, never the whole stratum.",
+      "n4_ann_ivf_lloyd" -> "IVF + one Lloyd round: reassignment streams the corpus against broadcast centroids and slims to (id, cluster, cdist) BEFORE the argmin window; median re-centroids are one partial-aggregated groupBy; probe and score equi-join on cluster id only.",
+      "n5_ann_pq" -> "PQ ANN: the corpus-wide stage carries (id, 8-int code) — ~8x less than the float embedding payload; encode/decode are codegen'd folds over literal codewords; full vectors re-join by id only for the rerank x k survivors.",
+      "d8_sig_verified_neardup" -> "Signature-estimate verification: the store side is (id, sig, bands) only; agreement is a codegen'd zip_with/aggregate over two 16-long arrays — no shingle arrays anywhere in the plan.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
