@@ -54,6 +54,15 @@ object Dedup {
     // the md5 minhash chain 3× — the dominant cost.
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromSigs(sigs, idCol, bands, minJaccard100)
+  }
+
+  /** [[minhashPairs]] over an already-computed (and ideally persisted)
+    * signature table — callers that reuse one signature pass across
+    * several consumers (pair list, clustering, incremental batches)
+    * feed the shared table here instead of re-hashing the corpus. */
+  def pairsFromSigs(sigs: DataFrame, idCol: String, bands: Int,
+                    minJaccard100: Int): DataFrame = {
     val exploded = sigs.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
     val a = exploded.select(col("id").as("id_a"), col("band"))

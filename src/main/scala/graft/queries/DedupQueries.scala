@@ -32,13 +32,27 @@ object DedupQueries {
       concat(col("text"), lit(" zz qq ww")).as("text")))
   }
 
-  /** D-2b pair list feeds two declared queries (the pair query itself
-    * and c2's clustering) — memoized + persisted per (session, sfDir)
-    * so the banding/verification pass runs once. */
+  /** Shared per-(session, sfDir) memoized intermediates: ONE signature
+    * pass over the mutations corpus feeds the d2 pair list, c2's
+    * clustering, and c3's incremental batch pairing; the c2 labeling is
+    * likewise computed once and reused as c3's starting state. */
+  private val sigsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def mutationSigsDf(s: SparkSession, d: String): DataFrame =
+    sigsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      Dedup.minhashSignatures(docsWithMutations(s, d), "doc_id", "text", K, H, B)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val pairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s.hashCode + "|" + d,
-      Dedup.minhashPairs(docsWithMutations(s, d), "doc_id", "text", K, H, B, 50)
+      Dedup.pairsFromSigs(mutationSigsDf(s, d), "doc_id", B, 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val labelsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def dupClustersDf(s: SparkSession, d: String): DataFrame =
+    labelsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      graft.operators.Components.connectedComponentsStar(
+          minhashPairsDf(s, d), "id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   val queries: Map[String, Q] = Map(
@@ -100,8 +114,7 @@ object DedupQueries {
     // min doc id, so keep-one-per-cluster is a trivial filter
     // downstream. The oracle computes the same closure recursively.
     "c2_dup_clusters" -> ((s, d) =>
-      graft.operators.Components.connectedComponentsStar(
-          minhashPairsDf(s, d), "id_a", "id_b")
+      dupClustersDf(s, d)
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))),
 
@@ -114,18 +127,17 @@ object DedupQueries {
     // (rep → merged-min) map over the label table. The oracle recomputes
     // the full closure over (old ∪ batch) pairs — labels must agree.
     "c3_incremental_clusters" -> ((s, d) => {
-      val corpus = docsWithMutations(s, d)
       val incoming = t(s, d, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" rr ss")).as("text"))
-      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", K, H, B)
-      val batchPairs = Dedup.incrementalMinhashPairs(incoming, sigs,
+      // the existing-corpus signatures and labeling are the SHARED
+      // memoized tables — the batch pays only its own hashing, banding
+      // against the store, and the O(batch) contracted merge
+      val batchPairs = Dedup.incrementalMinhashPairs(incoming, mutationSigsDf(s, d),
         "doc_id", "text", K, H, B, 50)
-      val existing = graft.operators.Components.connectedComponentsStar(
-        minhashPairsDf(s, d), "id_a", "id_b")
       graft.operators.Components.mergeIncrementalClusters(
-          existing, batchPairs, "id_a", "id_b")
+          dupClustersDf(s, d), batchPairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
