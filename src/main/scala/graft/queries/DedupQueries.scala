@@ -142,6 +142,21 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D-9: the dedup story's last step — keep one canonical document
+    // per near-dup cluster (the cluster minimum) plus every unclustered
+    // doc. A left-anti join against the non-canonical members (node !=
+    // cluster, a frame far smaller than the corpus → AQE broadcasts it)
+    // — the corpus streams through in one narrow pass.
+    "d9_keep_canonical" -> ((s, d) => {
+      val nonCanonical = dupClustersDf(s, d)
+        .filter(col("node") =!= col("cluster"))
+        .select(col("node").as("doc_id"))
+      docsWithMutations(s, d)
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D-3: 32-bit SimHash fingerprints
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashes(t(s, d, "documents").select(col("doc_id"), col("text")),
@@ -305,6 +320,20 @@ object DedupQueries {
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d9_keep_canonical" ->
+      s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
+         |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src)
+         |SELECT doc_id, CAST(length(text) AS INT) AS text_len
+         |FROM ($mutationsSrc)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d3_simhash" ->
       s"""SELECT doc_id, ${Hashing.sql.simhashFromHashes("th", 32)} AS simhash
          |FROM (SELECT doc_id, ${Hashing.sql.tokenHashes("text")} AS th FROM documents)

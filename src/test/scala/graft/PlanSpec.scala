@@ -131,6 +131,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("% src_total"), s"expected hash-mod keep condition in:\n$p")
   }
 
+  test("d8: sig-verified dedup shuffles signatures only, never shingle arrays") {
+    val df = SparkEntry.queries("d8_sig_verified_neardup")(spark, sf)
+    df.collect()
+    def exchanges(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+      plan.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e } ++
+        plan.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            exchanges(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            exchanges(q.plan)
+        }.flatten
+    // the whole point of the slim store: the O(corpus tokens) shingle
+    // arrays exist only transiently inside the signature projection —
+    // nothing that shuffles may carry them (d7's exact verify does)
+    val shuffled = exchanges(df.queryExecution.executedPlan)
+      .flatMap(_.child.output.map(_.name)).toSet
+    assert(shuffled.nonEmpty)
+    assert(!shuffled.exists(n => n == "sh" || n.startsWith("sh_")),
+      s"a d8 exchange carries shingle arrays: $shuffled")
+  }
+
+  test("c3: incremental merge relabels via broadcast, no theta joins") {
+    val df = SparkEntry.queries("c3_incremental_clusters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the (rep -> merged) map to broadcast over the labeling in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental merge must stay equi-join-shaped:\n$p")
+  }
+
   test("p2: hash-bucket pre-filter bounds the rank window input") {
     val df = SparkEntry.queries("p2_stratified_sample")(spark, sf)
     df.collect()
