@@ -145,10 +145,15 @@ object Curation {
         .as("__edge"))
     val w = Window.partitionBy(strata: _*)
       .orderBy(col("__h").asc, col(keyCol).asc)
-    bucketed.join(broadcast(edges), stratumCols)
+    // null-safe join: a null stratum is a legal window group and must
+    // keep its rows (a plain using-join would silently drop them)
+    val keyed = edges.select(stratumCols.zipWithIndex.map {
+      case (c, i) => col(c).as(s"__s$i") } :+ col("__edge"): _*)
+    val cond = stratumCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__s$i") }.reduce(_ && _)
+    bucketed.join(broadcast(keyed), cond)
       .filter(col("__b") <= col("__edge"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      // the using-join fronted the stratum columns; restore caller order
       .select(df.columns.map(col) :+ col("rk"): _*)
   }
 

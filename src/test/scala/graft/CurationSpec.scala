@@ -32,6 +32,21 @@ class CurationSpec extends SparkSpec {
     assert(s1.groupBy(_._1).forall(_._2.size == 10))
   }
 
+  test("stratifiedSample: a null stratum is a real group, small strata kept whole") {
+    val df = ((1 to 40).map(i => (Option(s"g${i % 2}"), i.toLong)) ++
+      (41 to 60).map(i => (None: Option[String], i.toLong)) ++
+      Seq((Option("tiny"), 999L)))
+      .toDF("g", "k")
+    val out = Curation.stratifiedSample(df, Seq("g"), "k", 5)
+      .select($"g", $"k").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
+    // null stratum survives the (null-safe) edge join and yields its k
+    assert(out.count(_._1.isEmpty) == 5)
+    // a stratum smaller than k keeps everything it has
+    assert(out.count(_._1.contains("tiny")) == 1)
+    assert(out.count(_._1.contains("g0")) == 5 && out.count(_._1.contains("g1")) == 5)
+  }
+
   test("weightedSample keeps rows with probability weight/denom, deterministically") {
     val df = spark.range(5000).select($"id".cast("string").as("k"),
       (($"id" % 100) + 1).cast("int").as("w"))
