@@ -63,7 +63,9 @@ object Bench {
     // short self-contained summary as the FINAL stdout line so the headline
     // numbers always survive truncation from either end.
     val nOk = results.count(_._3.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"failed":${results.size - nOk},"sf":"$sfDir"}""")
+    // distinct metric name: a consumer keying on "total" must not see
+    // two records; tail-parsers take this last self-contained line
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n":$nOk,"failed":${results.size - nOk},"sf":"$sfDir"}""")
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
 }

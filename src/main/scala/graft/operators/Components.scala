@@ -239,8 +239,13 @@ object Components {
       .select(coalesce(col("cu"), col("pu")).as("u"),
         coalesce(col("cv"), col("pv")).as("v"))
     val merged = connectedComponentsStar(contracted, "u", "v", maxIter)
+    // eager localCheckpoint, not persist: the frame is O(batch)-small,
+    // consumed by 2-3 joins, and a perpetual-ingest caller invokes this
+    // once per micro-batch — a pinned cache entry per call would
+    // accumulate for the session's life, while checkpoint blocks are
+    // released as soon as the batch's frames go out of scope
     val affected = merged.select(col("node").as("k"), col("cluster").as("merged"))
-      .persist()
+      .localCheckpoint(true)
     (lab, affected)
   }
 

@@ -112,19 +112,7 @@ object Dedup {
   def incrementalPairsFromSigs(newSigs: DataFrame, existingSigs: DataFrame,
                                idCol: String, bands: Int,
                                minJaccard100: Int): DataFrame = {
-    def banded(sigs: DataFrame) = sigs.select(col(idCol).as("id"),
-      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
-    val newBands = banded(newSigs)
-    val allBands = banded(existingSigs).unionByName(newBands)
-    // batch side vs corpus: AQE broadcasts the (small) incoming band
-    // table at runtime; pair normalization keeps each pair once even
-    // when both sides are incoming (seen in both join orders)
-    val pairs = newBands.select(col("id").as("nid"), col("band"))
-      .join(allBands, Seq("band"))
-      .filter(col("nid") =!= col("id"))
-      .select(least(col("nid"), col("id")).as("id_a"),
-        greatest(col("nid"), col("id")).as("id_b"))
-      .distinct()
+    val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
     val allSh = existingSigs.select(col(idCol), col("sh"))
       .unionByName(newSigs.select(col(idCol), col("sh")))
     val shA = allSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
@@ -157,16 +145,7 @@ object Dedup {
   def incrementalPairsBySig(newSigs: DataFrame, existingSigs: DataFrame,
                             idCol: String, numHashes: Int, bands: Int,
                             minAgree100: Int): DataFrame = {
-    def banded(sigs: DataFrame) = sigs.select(col(idCol).as("id"),
-      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
-    val newBands = banded(newSigs)
-    val allBands = banded(existingSigs).unionByName(newBands)
-    val pairs = newBands.select(col("id").as("nid"), col("band"))
-      .join(allBands, Seq("band"))
-      .filter(col("nid") =!= col("id"))
-      .select(least(col("nid"), col("id")).as("id_a"),
-        greatest(col("nid"), col("id")).as("id_b"))
-      .distinct()
+    val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
     val allSig = existingSigs.select(col(idCol), col("sig"))
       .unionByName(newSigs.select(col(idCol), col("sig")))
     val sigA = allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
@@ -183,6 +162,26 @@ object Dedup {
         expr(s"CAST((n_agree * 100) DIV $numHashes AS INT)"))
       .filter(col("sig_agree100") >= minAgree100)
       .select(col("id_a"), col("id_b"), col("n_agree"), col("sig_agree100"))
+  }
+
+  /** Candidate generation shared by both incremental verifiers: batch
+    * bands against (store ∪ batch), normalized so each pair appears
+    * once even when both sides are incoming (seen in both join
+    * orders). AQE broadcasts the (small) incoming band table at
+    * runtime. A fix here fixes BOTH verification modes. */
+  private def incrementalCandidatePairs(newSigs: DataFrame,
+                                        existingSigs: DataFrame,
+                                        idCol: String, bands: Int): DataFrame = {
+    def banded(sigs: DataFrame) = sigs.select(col(idCol).as("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+    val newBands = banded(newSigs)
+    val allBands = banded(existingSigs).unionByName(newBands)
+    newBands.select(col("id").as("nid"), col("band"))
+      .join(allBands, Seq("band"))
+      .filter(col("nid") =!= col("id"))
+      .select(least(col("nid"), col("id")).as("id_a"),
+        greatest(col("nid"), col("id")).as("id_b"))
+      .distinct()
   }
 
   /** Project a [[minhashSignatures]] frame down to what the

@@ -128,11 +128,16 @@ object SimilaritySearch {
   def ivfLloydTopK(queries: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, seedCol: String,
                    dim: Int, k: Int, nProbe: Int): DataFrame = {
+    // eager localCheckpoint rather than persist: the prepared corpus
+    // feeds four subtrees (seed medians, reassignment, re-medians,
+    // scoring), but a session-lifetime cache pin per invocation would
+    // compete with the deliberately-memoized tables; checkpoint blocks
+    // release once the query's frames go out of scope
     val c = graft.model.Tables.spread(
         corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
           col(seedCol).as("seed")))
       .withColumn("c_norm", Vectors.norm(col("c_vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def withNorm(cent: DataFrame): DataFrame =
       cent.withColumn("cnorm", Vectors.norm(col("centroid")))
     def medians(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =

@@ -42,6 +42,19 @@ object DedupQueries {
       Dedup.minhashSignatures(docsWithMutations(s, d), "doc_id", "text", K, H, B)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Signatures of the PLAIN documents corpus (no mutations) — the
+    * persisted "yesterday's store" side shared by d2's signature dump
+    * and the incremental queries d7/d8; each of those reads it from two
+    * plan subtrees, so an unpersisted frame would re-run the md5
+    * minhash chain per subtree. */
+  private val docSigsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def docSigsDf(s: SparkSession, d: String): DataFrame =
+    docSigsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      Dedup.minhashSignatures(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", K, H, B)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val pairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s.hashCode + "|" + d,
@@ -63,8 +76,7 @@ object DedupQueries {
 
     // D-2a: MinHash signatures + band keys (shingle k=3, 16 hashes, 4 bands)
     "d2_minhash_signature" -> ((s, d) =>
-      Dedup.minhashSignatures(t(s, d, "documents").select(col("doc_id"), col("text")),
-          "doc_id", "text", K, H, B)
+      docSigsDf(s, d)
         .select(col("doc_id"), array_join(col("sig"), ",").as("sig_csv"),
           col("band_0"), col("band_1"), col("band_2"), col("band_3"))
         .orderBy(col("doc_id"))),
@@ -81,8 +93,7 @@ object DedupQueries {
       val incoming = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz qq ww")).as("text"))
-      val existingSigs = Dedup.minhashSignatures(docs, "doc_id", "text", K, H, B)
-      Dedup.incrementalMinhashPairs(incoming, existingSigs,
+      Dedup.incrementalMinhashPairs(incoming, docSigsDf(s, d),
           "doc_id", "text", K, H, B, 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -98,10 +109,10 @@ object DedupQueries {
       val incoming = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz qq ww")).as("text"))
-      val store = Dedup.sigOnly(
-        Dedup.minhashSignatures(docs, "doc_id", "text", K, H, B), "doc_id", B)
+      val store = Dedup.sigOnly(docSigsDf(s, d), "doc_id", B)
       val newSigs = Dedup.sigOnly(
-        Dedup.minhashSignatures(incoming, "doc_id", "text", K, H, B), "doc_id", B)
+        Dedup.minhashSignatures(incoming, "doc_id", "text", K, H, B)
+          .localCheckpoint(true), "doc_id", B)
       Dedup.incrementalPairsBySig(newSigs, store, "doc_id", H, B, 50)
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -54,6 +54,9 @@ final class HttpFetcher(
     timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
     extends IngestFetcher {
   private val client = java.net.http.HttpClient.newBuilder()
+    // public data hosts answer 301/302 (http→https, CDN moves); the JDK
+    // default is NEVER, which would fail every redirecting URL
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
     .connectTimeout(timeout).build()
 
   override def fetch(uri: String): Array[Byte] = {

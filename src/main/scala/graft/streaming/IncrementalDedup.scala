@@ -105,6 +105,37 @@ object IncrementalDedup {
       .select(col("node"), col("cluster"))
   }
 
+  /** Label-store compaction — the maintenance chore that keeps
+    * [[resolveLabels]] linear as batches accumulate (without it, each
+    * resolution re-reads base + every delta, so per-batch read cost
+    * grows with batch count). Rewrites the labeling resolved through
+    * `uptoBatch` as ONE full snapshot at `batch_id=uptoBatch` and
+    * removes the now-redundant older partitions; latest-wins
+    * resolution is unchanged because every node's current row now
+    * carries the highest surviving batch_id. Run it between
+    * [[runOnce]] invocations on whatever cadence read amplification
+    * warrants (the same snapshot+delta+compact shape as
+    * [[graft.sources.Layout.compact]]). Safe against a replay of the
+    * NEXT batch: replays only touch their own partition and read
+    * strictly older ones, and the snapshot is older than any
+    * yet-unprocessed batch. */
+  def compactLabels(spark: SparkSession, labelsDir: String,
+                    uptoBatch: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val snapshot = resolveLabels(spark, labelsDir, ltBatch = uptoBatch + 1,
+        idLike = spark.read.parquet(labelsDir).select(col("node")))
+      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
+    snapshot.write.mode("overwrite").parquet(s"$labelsDir/batch_id=$uptoBatch")
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=") &&
+          name.stripPrefix("batch_id=").toLong < uptoBatch)
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** The accumulated signature store, or an empty frame with the right
     * schema before the first batch lands. */
   private def readStore(spark: SparkSession, dir: String,

@@ -117,6 +117,15 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 9L -> 1L,
       6L -> 6L, 7L -> 6L, 8L -> 6L))
+
+    // compaction folds base+deltas into one snapshot partition and
+    // leaves resolution unchanged — the chore that keeps resolveLabels
+    // linear over a long-running stream
+    IncrementalDedup.compactLabels(spark, labels, uptoBatch = 2)
+    val dirs = new java.io.File(labels).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(dirs == Set("batch_id=2"), s"expected one snapshot, got $dirs")
+    assert(resolved(99) == got)
   }
 
   test("AvailableNow passes ingest each file exactly once across runs") {
