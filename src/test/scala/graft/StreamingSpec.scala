@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{IncrementalDedup, IncrementalLedger}
+import graft.streaming.{IncrementalAnn, IncrementalDedup, IncrementalLedger}
 
 /** S-3 / §2.I: exactly-once file-grain incremental processing. */
 class StreamingSpec extends SparkSpec {
@@ -126,6 +126,41 @@ class StreamingSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
     assert(dirs == Set("batch_id=2"), s"expected one snapshot, got $dirs")
     assert(resolved(99) == got)
+  }
+
+  test("streaming ANN: PQ code store accumulates, near-dups found across batches") {
+    val root = Files.createTempDirectory("graft-incann")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val v1 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v2 = Array(0.98f, 0.02f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v3 = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)      // orthogonal to v1
+    val v4 = Array(0.99f, 0.01f, 1f, 0f, 1f, 0f, 1f, 0f)
+
+    def ingest(rows: (Long, Array[Float])*): Unit = {
+      rows.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).schema
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codes, pairs, ckpt, dim = 8, m = 4, codewords = 16)
+    }
+    ingest(1L -> v1, 2L -> v2, 3L -> v3)
+    assert(spark.read.parquet(pairs).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    // the codebook trained once, stored beside the codes
+    assert(Files.exists(root.resolve("codes/_codebook")))
+
+    // batch 1: v4 pairs against the STORE (1,2) but not 3; (1,2) never re-emits
+    ingest(4L -> v4)
+    assert(spark.read.parquet(pairs).filter($"batch_id" === 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 4L), (2L, 4L)))
+    // store holds one compressed row per vector; codes are m ints
+    val store = spark.read.parquet(codes + "/batch_id=*")
+    assert(store.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(store.select(size($"code")).as[Int].collect().forall(_ == 4))
   }
 
   test("AvailableNow passes ingest each file exactly once across runs") {
