@@ -192,9 +192,11 @@ object SimilaritySearch {
   }
 
   /** Encode a vector to its `m`-byte PQ code: per subspace, the index
-    * of the L2-nearest codeword (first-match tie-break). Pure codegen'd
-    * column expression — m × k zip_with/aggregate folds over literal
-    * codewords, no UDF. */
+    * of the L2-nearest codeword (first-match tie-break). This is the
+    * DECLARATIVE form — m × k zip_with/aggregate folds over literal
+    * codewords — kept as the oracle-shaped twin that VectorsSpec
+    * property-checks against the native kernel
+    * ([[graft.plans.PqEncode]], one primitive pass) used on hot paths. */
   def pqEncode(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
     val m = codebook.length
     val subDim = codebook(0)(0).length
@@ -234,9 +236,11 @@ object SimilaritySearch {
              idCol: String, vecCol: String, dim: Int, k: Int,
              m: Int = 8, codewords: Int = 16, rerank: Int = 4): DataFrame = {
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
-    // the ONLY corpus-wide frame: ids + compressed codes
+    // the ONLY corpus-wide frame: ids + compressed codes (native
+    // kernel — the per-vector m×k distance scan is one primitive loop)
     val codes = graft.model.Tables.spread(corpus)
-      .select(col(idCol).as("c_id"), pqEncode(col(vecCol), codebook).as("code"))
+      .select(col(idCol).as("c_id"),
+        graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"))
     val q = prep(queries, idCol, vecCol, "q")
     val approx = codes
       .withColumn("c_dec", pqDecode(col("code"), codebook))

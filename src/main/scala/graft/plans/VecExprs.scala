@@ -105,10 +105,66 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization encode in one primitive pass: per subspace,
+  * the index of the L2-nearest codeword. Value-identical to the
+  * declarative `SimilaritySearch.pqEncode` twin (VectorsSpec
+  * property-checks them over the embeddings corpus): distances fold
+  * sequentially in element order with the same promote-then-subtract
+  * arithmetic, and ties keep the FIRST codeword index — matching
+  * `array_position(dists, array_min(dists))`. A subspace with missing
+  * or null elements yields a null code element, like the zip_with
+  * null-padding chain. The m × k × subDim codeword table rides in the
+  * expression as plain doubles (a few KB — ships with the task
+  * closure, no broadcast round-trip). */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  @transient private lazy val vf = VecUtil.isFloatArr(child)
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var ok = a.numElements() >= base + subDim
+      var j = 0
+      while (ok && j < subDim) { if (a.isNullAt(base + j)) ok = false; j += 1 }
+      if (!ok) out(mi) = null
+      else {
+        val cws = codebook(mi)
+        var bestK = 0
+        var bestD = 0.0
+        var first = true
+        var ki = 0
+        while (ki < cws.length) {
+          val cw = cws(ki)
+          var acc = 0.0
+          var t = 0
+          while (t < subDim) {
+            val d = VecUtil.get(a, vf, base + t) - cw(t)
+            acc += d * d
+            t += 1
+          }
+          if (first || acc < bestD) { bestD = acc; bestK = ki; first = false }
+          ki += 1
+        }
+        out(mi) = bestK
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VecExprs {
   def dot(a: Column, b: Column): Column =
     ExprBridge.toColumn(VecDot(ExprBridge.toExpression(a), ExprBridge.toExpression(b)))
   /** array of bucket ids for tables 0..tables-1 */
   def lshBuckets(v: Column, bits: Int, tables: Int): Column =
     ExprBridge.toColumn(LshBuckets(ExprBridge.toExpression(v), bits, tables))
+  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    ExprBridge.toColumn(PqEncode(ExprBridge.toExpression(v), codebook))
 }

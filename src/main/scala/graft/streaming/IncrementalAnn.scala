@@ -47,7 +47,7 @@ object IncrementalAnn {
         // ONE pass computes codes + blocking buckets from the raw
         // vector; everything downstream reads only these small ints
         val newCodes = batch.select(col(idCol).as("id"),
-            SimilaritySearch.pqEncode(col(vecCol), codebook).as("code"),
+            graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"),
             Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
           .localCheckpoint(true)
         val existing = readStore(s, codeStoreDir, newCodes.schema)

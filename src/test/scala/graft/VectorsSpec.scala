@@ -93,6 +93,16 @@ class VectorsSpec extends SparkSpec {
     assert(lloyd2 >= med3, s"lloyd@2 $lloyd2 < median@3 $med3")
   }
 
+  test("native PQ encode kernel bitwise-equals the declarative twin") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(400)
+    val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
+    val bad = e.select(
+        graft.plans.VecExprs.pqEncode($"embedding", codebook).as("nat"),
+        SimilaritySearch.pqEncode($"embedding", codebook).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(bad == 0, "native PQ encode diverges from declarative")
+  }
+
   test("PQ top-k: compressed codes, decode distortion bounded, recall after re-rank") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
