@@ -89,6 +89,32 @@ class ComponentsSpec extends SparkSpec {
     assert(runStar(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("star contraction: generic over orderable id types (strings)") {
+    val edges = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-x", "doc-y"))
+    val out = Components.connectedComponentsStar(
+        edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-x" -> "doc-x", "doc-y" -> "doc-x"))
+  }
+
+  test("star contraction: giant cluster + long chain close in bounded rounds") {
+    // the adversarial mix min-label propagation struggles with: one
+    // 3000-member hub cluster (every member would hammer the min label)
+    // plus a 2000-link chain (deep diameter) plus background pairs
+    val hub = (1L to 3000L).map(i => (100000L + i, 50L))
+    val chain = (0L until 2000L).map(i => (200000L + i, 200000L + i + 1))
+    val background = (1 to 500).map(i => (300000L + i * 2L, 300000L + i * 2L + 1))
+    val edges = hub ++ chain ++ background
+    val out = Components.connectedComponentsStar(
+        edges.toDF("a", "b"), "a", "b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 3001 + 2001 + 1000)
+    assert(hub.forall(e => out(e._1) == 50L) && out(50L) == 50L)
+    assert(chain.forall(e => out(e._1) == 200000L && out(e._2) == 200000L))
+    assert(background.forall(e => out(e._2) == e._1))
+  }
+
   // ───── incremental cluster maintenance ─────
 
   test("incremental merge equals full recompute on randomized ingest sequences") {
