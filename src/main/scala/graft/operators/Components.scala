@@ -145,13 +145,20 @@ object Components {
     }
 
     var it = 0
-    var converged = e.isEmpty
+    var eCnt = e.count()
+    var converged = eCnt == 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // both sides are distinct sets: symmetric difference empty ⟺ fixed
-      // point reached — ONE driver scalar per round, like the sibling impl
-      converged = next.exceptAll(e).union(e.exceptAll(next)).isEmpty
+      // both sides are distinct sets, so equal counts are NECESSARY for
+      // the fixed point — and counting freshly-checkpointed data is one
+      // cheap job, while the exact symmetric-difference check is two
+      // anti-joins. Most rounds the count moves; only a stable count
+      // pays for the exact confirmation.
+      val nextCnt = next.count()
+      converged = nextCnt == eCnt &&
+        next.exceptAll(e).union(e.exceptAll(next)).isEmpty
       e = next
+      eCnt = nextCnt
       it += 1
     }
     if (!converged) throw new IllegalStateException(
