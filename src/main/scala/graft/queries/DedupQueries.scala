@@ -168,6 +168,31 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // U-4: the full LLM-curation pipeline with NEAR-dup dedup — the
+    // capstone composition: corpus → minhash-LSH pairs → star-CC
+    // clusters → canonical selection (all via the shared memoized
+    // tables) → quality gate → deterministic split → per-(split,class)
+    // stats. u3's exact-hash dedup can't collapse tail-mutated copies;
+    // this removes a whole near-dup CLUSTER down to its minimum.
+    "u4_neardup_curation" -> ((s, d) => {
+      val nonCanonical = dupClustersDf(s, d)
+        .filter(col("node") =!= col("cluster"))
+        .select(col("node").as("doc_id"))
+      val canonical = docsWithMutations(s, d)
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+      val scored = Tables.spread(canonical)
+        .select(col("doc_id"),
+          graft.functions.TextStats.classify(col("text")).as("cls"),
+          graft.functions.TextStats.qualityScore(col("text")).as("q"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      graft.operators.Curation.hashSplit(scored.filter(col("q") >= 40), "doc_id")
+        .groupBy(col("split"), col("cls"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("q").cast("long")).as("sum_q"))
+        .orderBy(col("split"), col("cls"))
+    }),
+
     // D-3: 32-bit SimHash fingerprints
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashes(t(s, d, "documents").select(col("doc_id"), col("text")),
@@ -345,6 +370,32 @@ object DedupQueries {
          |FROM ($mutationsSrc)
          |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    "u4_neardup_curation" ->
+      s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
+         |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |canonical AS (
+         |  SELECT doc_id, text FROM ($mutationsSrc)
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)),
+         |scored AS (
+         |  SELECT doc_id, ${graft.functions.TextStats.sql.classify("text")} AS cls,
+         |    ${graft.functions.TextStats.sql.qualityScore("text")} AS q,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM canonical),
+         |sp AS (SELECT *, ${Hashing.sql.hash64("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+         |       FROM scored WHERE q >= 40)
+         |SELECT CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         |  cls, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(q) AS BIGINT) AS sum_q
+         |FROM sp GROUP BY 1, 2 ORDER BY split, cls""".stripMargin,
     "d3_simhash" ->
       s"""SELECT doc_id, ${Hashing.sql.simhashFromHashes("th", 32)} AS simhash
          |FROM (SELECT doc_id, ${Hashing.sql.tokenHashes("text")} AS th FROM documents)
