@@ -115,6 +115,16 @@ class ComponentsSpec extends SparkSpec {
     assert(background.forall(e => out(e._2) == e._1))
   }
 
+  test("star contraction fails loudly when maxIter is exhausted") {
+    // a 64-chain cannot close in 1 round — silent wrong labels are the
+    // one unacceptable outcome
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b",
+        maxIter = 1).collect()
+    }
+  }
+
   // ───── incremental cluster maintenance ─────
 
   test("incremental merge equals full recompute on randomized ingest sequences") {
