@@ -154,9 +154,10 @@ object Components {
       // cheap job, while the exact symmetric-difference check is two
       // anti-joins. Most rounds the count moves; only a stable count
       // pays for the exact confirmation.
+      // equal-cardinality distinct sets are equal iff one-sided
+      // difference is empty — the second anti-join would be redundant
       val nextCnt = next.count()
-      converged = nextCnt == eCnt &&
-        next.exceptAll(e).union(e.exceptAll(next)).isEmpty
+      converged = nextCnt == eCnt && next.exceptAll(e).isEmpty
       e = next
       eCnt = nextCnt
       it += 1

@@ -118,17 +118,20 @@ object Multimodal {
     def tag(i: Int, s: String): Boolean =
       b.length >= i + 4 && s.indices.forall(j => b(i + j) == s(j).toByte)
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // bounds math in Long: a crafted chunk length near Int.MaxValue
+    // must fail the guard, not wrap negative and index out of bounds
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[(Int, Int)] = None
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return None
-      if (tag(i, "fmt ") && len >= 16) {
-        val audioFormat = le16(b, i + 8)
+      val len = le32(b, i.toInt + 4).toLong & 0xffffffffL
+      if (i + 8 + len > b.length) return None
+      val at = i.toInt
+      if (tag(at, "fmt ") && len >= 16) {
+        val audioFormat = le16(b, at + 8)
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
-      } else if (tag(i, "data")) data = Some((i + 8, len))
+        fmt = Some((le16(b, at + 10), le32(b, at + 12), le16(b, at + 22)))
+      } else if (tag(at, "data")) data = Some((at + 8, len.toInt))
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     for {
@@ -239,9 +242,10 @@ object Multimodal {
       while (y < nh) {
         var x = 0
         while (x < nw) {
-          // nearest-neighbor: source pixel at the scaled coordinate
-          val sy = math.min(h - 1, y * h / nh)
-          val sx = math.min(w - 1, x * w / nw)
+          // nearest-neighbor: source pixel at the scaled coordinate —
+          // Long math: y*h overflows Int for valid tall/wide images
+          val sy = math.min(h - 1L, y.toLong * h / nh).toInt
+          val sx = math.min(w - 1L, x.toLong * w / nw).toInt
           val src = off + 3 * (sy * w + sx)
           val dst = header.length + 3 * (y * nw + x)
           out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)

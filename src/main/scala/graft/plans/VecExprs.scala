@@ -120,6 +120,16 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   @transient private lazy val vf = VecUtil.isFloatArr(child)
+  // twin parity on the edges: a null VECTOR yields an array of m null
+  // codes (slice/zip_with/aggregate null-propagate per ELEMENT in the
+  // declarative chain, never to the outer array)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](codebook.length))
+    else nullSafeEval(v)
+  }
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val m = codebook.length
@@ -147,7 +157,13 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
             acc += d * d
             t += 1
           }
-          if (first || acc < bestD) { bestD = acc; bestK = ki; first = false }
+          // Double.compare ranks NaN above every finite value — the
+          // same total order array_min/array_position use, so a NaN
+          // distance never beats a finite one (and an all-NaN subspace
+          // keeps codeword 0, the twin's first-position answer)
+          if (first || java.lang.Double.compare(acc, bestD) < 0) {
+            bestD = acc; bestK = ki; first = false
+          }
           ki += 1
         }
         out(mi) = bestK

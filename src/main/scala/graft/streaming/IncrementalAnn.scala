@@ -49,13 +49,16 @@ object IncrementalAnn {
         val newCodes = batch.select(col(idCol).as("id"),
             graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"),
             Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
-          .localCheckpoint(true)
-        val existing = readStore(s, codeStoreDir, newCodes.schema)
-        pairsFromCodes(newCodes, existing, codebook, minCosine)
-          .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
-        // append AFTER pairing (the batch must not meet itself twice)
-        newCodes.write.mode("overwrite")
-          .parquet(s"$codeStoreDir/batch_id=$batchId")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val existing = IncrementalDedup.readStore(
+            s, codeStoreDir, newCodes.schema, glob = "/batch_id=*")
+          pairsFromCodes(newCodes, existing, codebook, minCosine)
+            .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
+          // append AFTER pairing (the batch must not meet itself twice)
+          newCodes.write.mode("overwrite")
+            .parquet(s"$codeStoreDir/batch_id=$batchId")
+        } finally newCodes.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -81,7 +84,15 @@ object IncrementalAnn {
       .select(least(col("nid"), col("id")).as("id_a"),
         greatest(col("nid"), col("id")).as("id_b"))
       .distinct()
+    // decode ONLY ids that appear in a candidate pair (semi-join first:
+    // per-batch decode work is O(collisions), not O(store)), and dedup
+    // by id so an at-least-once replay — where the store already holds
+    // the batch's own codes — cannot multiply verification rows
+    val pairIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val all = existing.unionByName(newCodes)
+      .join(pairIds, Seq("id"), "left_semi")
+      .dropDuplicates("id")
       .select(col("id"), SimilaritySearch.pqDecode(col("code"), codebook).as("dec"))
       .withColumn("nrm", Vectors.norm(col("dec")))
     val a = all.select(col("id").as("id_a"), col("dec").as("dec_a"), col("nrm").as("n_a"))
@@ -120,16 +131,4 @@ object IncrementalAnn {
     }
   }
 
-  private def readStore(spark: SparkSession, dir: String,
-                        schema: StructType): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-    if (hasBatches)
-      spark.read.schema(schema).parquet(dir + "/batch_id=*")
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 }

@@ -136,14 +136,20 @@ object IncrementalDedup {
     }
   }
 
-  /** The accumulated signature store, or an empty frame with the right
-    * schema before the first batch lands. */
-  private def readStore(spark: SparkSession, dir: String,
-                        schema: StructType): DataFrame = {
+  /** The accumulated store (optionally narrowed to a sub-glob, e.g.
+    * `/batch_id=*` to skip sidecar dirs), or an empty frame with the
+    * right schema before the first batch lands. Shared by the dedup
+    * and ANN streaming stores. */
+  private[streaming] def readStore(spark: SparkSession, dir: String,
+                                   schema: StructType,
+                                   glob: String = ""): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
-      spark.read.schema(schema).parquet(dir)
+    val nonEmpty = fs.exists(path) &&
+      (glob.isEmpty ||
+        fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id=")))
+    if (nonEmpty)
+      spark.read.schema(schema).parquet(dir + glob)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

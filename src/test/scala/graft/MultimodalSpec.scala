@@ -84,6 +84,28 @@ class MultimodalSpec extends SparkSpec {
     assert(viaDataset.format != "ppm")
   }
 
+  test("malformed WAV with a huge chunk length falls back, never throws") {
+    // crafted chunk len near Int.MaxValue: naive Int bounds math wraps
+    // negative and indexes out of bounds
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(36); b.put("WAVE".getBytes)
+    b.put("JUNK".getBytes); b.putInt(0x7ffffff0)
+    b.put(new Array[Byte](16))
+    val m = Multimodal.decodeOne(7L, b.array())
+    assert(m.format != "wav") // deterministic fallback, no exception
+    assert(Multimodal.resizeOne(b.array(), 4).nonEmpty)
+  }
+
+  test("tall 1xN PPM resizes without Int overflow in the coordinate math") {
+    val h = 70000
+    val header = s"P6\n1 $h\n255\n".getBytes("US-ASCII")
+    val img = header ++ Array.fill(3 * h)(7.toByte)
+    val out = Multimodal.resizeOne(img, 2)
+    val m = Multimodal.decodeOne(8L, out)
+    assert(m.format == "ppm" && m.width == 1 && m.height == h / 2)
+  }
+
   test("mixed-format frame runs through the distributed decode path") {
     val df = Seq((1L, ppm()), (2L, wav()), (3L, Array[Byte](1, 2, 3)))
       .toDF("doc_id", "payload")

@@ -103,6 +103,29 @@ class VectorsSpec extends SparkSpec {
     assert(bad == 0, "native PQ encode diverges from declarative")
   }
 
+  test("native PQ encode: NaN and null-vector edges match the declarative twin") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
+    // NaN element: Double.compare ranks NaN above finite — array_min's order
+    val withNaN = e.select(
+      zip_with($"embedding", sequence(lit(1), size($"embedding")),
+        (x, i) => when(i === 3, lit(Float.NaN)).otherwise(x)).as("embedding"))
+    val badNaN = withNaN.select(
+        graft.plans.VecExprs.pqEncode($"embedding", codebook).as("nat"),
+        SimilaritySearch.pqEncode($"embedding", codebook).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(badNaN == 0, "NaN-element encode diverges from declarative")
+    // null vector: both forms yield an array of m null codes
+    val row = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+      .select(
+        graft.plans.VecExprs.pqEncode($"embedding", codebook).as("nat"),
+        SimilaritySearch.pqEncode($"embedding", codebook).as("dec"))
+      .collect().head
+    val nat = row.getSeq[Integer](0)
+    val dec = row.getSeq[Integer](1)
+    assert(nat == dec && nat.size == 8 && nat.forall(_ == null))
+  }
+
   test("PQ top-k: compressed codes, decode distortion bounded, recall after re-rank") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
