@@ -83,7 +83,29 @@ object TextQueries {
         .select(col("doc_id"),
           length(col("payload")).as("n_bytes"),
           md5(col("payload")).as("payload_md5"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // M-2: the REAL PPM codec under the oracle gate — 8×4 P6 payloads
+    // are built byte-exactly from a SQL formula (values 1..127, so
+    // string→binary is one byte per char in both engines), parsed by
+    // the actual header/raster walker in Multimodal.decode, and the
+    // oracle derives dimensions + per-channel means INDEPENDENTLY from
+    // the generation formula — a mis-parsed offset, channel order, or
+    // header walk breaks the hash.
+    "m2_ppm_decode" -> ((s, d) => {
+      val withP = t(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"))
+        .withColumn("payload", expr(
+          "CAST(concat('P6\n8 4\n127\n', concat_ws('', " +
+            "transform(sequence(0, 95), i -> char(1 + pmod(doc_id * 31 + i * 7, 127))))) AS BINARY)"))
+      graft.operators.Multimodal.decode(withP, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("n_bytes").cast("int").as("n_bytes"),
+          element_at(col("feature"), 1).as("f_r"),
+          element_at(col("feature"), 2).as("f_g"),
+          element_at(col("feature"), 3).as("f_b"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +162,20 @@ object TextQueries {
          |FROM tot t LEFT JOIN sh s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS payload_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_ppm_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, unnest(generate_series(0, 31)) AS p
+        |  FROM documents WHERE doc_id < 200),
+        |sums AS (SELECT doc_id,
+        |    sum(1 + (doc_id * 31 + 21 * p) % 127) AS sr,
+        |    sum(1 + (doc_id * 31 + 21 * p + 7) % 127) AS sg,
+        |    sum(1 + (doc_id * 31 + 21 * p + 14) % 127) AS sb
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, 'ppm' AS format, 8 AS width, 4 AS height, 107 AS n_bytes,
+        |  CAST(sr::DOUBLE / 32 / 127 * 2 - 1 AS REAL) AS f_r,
+        |  CAST(sg::DOUBLE / 32 / 127 * 2 - 1 AS REAL) AS f_g,
+        |  CAST(sb::DOUBLE / 32 / 127 * 2 - 1 AS REAL) AS f_b
+        |FROM sums ORDER BY doc_id""".stripMargin
   )
 }
