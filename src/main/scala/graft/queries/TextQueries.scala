@@ -105,8 +105,64 @@ object TextQueries {
           element_at(col("feature"), 2).as("f_g"),
           element_at(col("feature"), 3).as("f_b"))
         .orderBy(col("doc_id"))
+    }),
+
+    // M-3: the REAL WAV codec under the oracle gate — mono PCM-16
+    // payloads assembled byte-exactly in SQL (44-byte canonical header
+    // as a hex literal + 32 LE samples in [-512, 511] via two's
+    // complement), parsed by the actual RIFF chunk walker. With 32
+    // samples of <=10 bits, mono=s/32768 and mono^2 sums are exact
+    // dyadic doubles, so sqrt is correctly rounded identically in both
+    // engines: RMS, ZCR and energy windows are bitwise-comparable. The
+    // oracle derives them from the sample formula, never from bytes.
+    "m3_wav_decode" -> ((s, d) => {
+      val sample = "pmod(pmod(doc_id * 37 + f * 11, 1024) - 512, 65536)"
+      val withP = t(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"))
+        .withColumn("payload", expr(
+          s"unhex(concat('$wavHeaderHex', concat_ws('', " +
+            s"transform(sequence(0, 31), f -> concat(" +
+            s"lpad(hex($sample % 256), 2, '0'), " +
+            s"lpad(hex($sample div 256), 2, '0'))))))"))
+      graft.operators.Multimodal.decode(withP, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("n_bytes").cast("int").as("n_bytes"),
+          element_at(col("feature"), 1).as("f_rms"),
+          element_at(col("feature"), 2).as("f_zcr"),
+          element_at(col("feature"), 3).as("f_e1"),
+          element_at(col("feature"), 16).as("f_e14"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // M-4: resize→decode roundtrip under the oracle gate — the real
+    // nearest-neighbor PPM downscale (8×4, factor 2 → 4×2) emits a
+    // valid smaller P6 whose sampled pixel set {16y+2x} the oracle
+    // reproduces arithmetically; a wrong stride, source index, or
+    // rewritten header breaks the hash.
+    "m4_ppm_resize" -> ((s, d) => {
+      val withP = t(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"))
+        .withColumn("payload", expr(
+          "CAST(concat('P6\n8 4\n127\n', concat_ws('', " +
+            "transform(sequence(0, 95), i -> char(1 + pmod(doc_id * 31 + i * 7, 127))))) AS BINARY)"))
+      val small = graft.operators.Multimodal.resize(withP, "doc_id", "payload", factor = 2)
+      graft.operators.Multimodal.decode(small, "doc_id", "resized")
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"), col("n_bytes").cast("int").as("n_bytes"),
+          element_at(col("feature"), 1).as("f_r"),
+          element_at(col("feature"), 2).as("f_g"),
+          element_at(col("feature"), 3).as("f_b"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Canonical 44-byte PCM-16 header, mono, 8 kHz, 64 data bytes —
+    * RIFF/WAVE/fmt(16,PCM,1ch,8000Hz,16000Bps,align2,16bit)/data(64),
+    * all multi-byte fields little-endian. */
+  private val wavHeaderHex =
+    "52494646" + "64000000" + "57415645" + "666d7420" + "10000000" +
+      "0100" + "0100" + "401f0000" + "803e0000" + "0200" + "1000" +
+      "64617461" + "40000000"
 
   val oracles: Map[String, String] = Map(
     "t1_classify" -> {
@@ -176,6 +232,39 @@ object TextQueries {
         |  CAST(sr::DOUBLE / 32 / 127 * 2 - 1 AS REAL) AS f_r,
         |  CAST(sg::DOUBLE / 32 / 127 * 2 - 1 AS REAL) AS f_g,
         |  CAST(sb::DOUBLE / 32 / 127 * 2 - 1 AS REAL) AS f_b
+        |FROM sums ORDER BY doc_id""".stripMargin,
+    "m3_wav_decode" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, 31)) AS f
+        |  FROM documents WHERE doc_id < 200),
+        |sm AS (SELECT doc_id, f, (doc_id * 37 + f * 11) % 1024 - 512 AS s FROM fr),
+        |lg AS (SELECT doc_id, f, s,
+        |         lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps FROM sm),
+        |agg AS (SELECT doc_id,
+        |    sum(s * s) AS ssq,
+        |    sum(CASE WHEN f > 0 AND (s >= 0) <> (ps >= 0) THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN f * 14 // 32 = 0 THEN s * s ELSE 0 END) AS sw0,
+        |    sum(CASE WHEN f * 14 // 32 = 13 THEN s * s ELSE 0 END) AS sw13
+        |  FROM lg GROUP BY 1)
+        |SELECT doc_id, 'wav' AS format, 32 AS width, 1 AS height, 108 AS n_bytes,
+        |  CAST(sqrt(ssq::DOUBLE / 34359738368) * 2 - 1 AS REAL) AS f_rms,
+        |  CAST(nc::DOUBLE / 31 * 2 - 1 AS REAL) AS f_zcr,
+        |  CAST(sqrt(sw0::DOUBLE / 2147483648) * 2 - 1 AS REAL) AS f_e1,
+        |  CAST(sqrt(sw13::DOUBLE / 2147483648) * 2 - 1 AS REAL) AS f_e14
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "m4_ppm_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id, unnest(generate_series(0, 7)) AS q
+        |  FROM documents WHERE doc_id < 200),
+        |sums AS (SELECT doc_id,
+        |    sum(1 + (doc_id * 31 + 21 * ((q // 4) * 16 + (q % 4) * 2)) % 127) AS sr,
+        |    sum(1 + (doc_id * 31 + 21 * ((q // 4) * 16 + (q % 4) * 2) + 7) % 127) AS sg,
+        |    sum(1 + (doc_id * 31 + 21 * ((q // 4) * 16 + (q % 4) * 2) + 14) % 127) AS sb
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, 'ppm' AS format, 4 AS width, 2 AS height, 35 AS n_bytes,
+        |  CAST(sr::DOUBLE / 8 / 127 * 2 - 1 AS REAL) AS f_r,
+        |  CAST(sg::DOUBLE / 8 / 127 * 2 - 1 AS REAL) AS f_g,
+        |  CAST(sb::DOUBLE / 8 / 127 * 2 - 1 AS REAL) AS f_b
         |FROM sums ORDER BY doc_id""".stripMargin
   )
 }
