@@ -42,7 +42,8 @@ object DumpPlans {
       "p2_stratified_sample" -> "Stratified sample: a 1024-bucket hash histogram per stratum (partial agg) broadcasts per-stratum bucket edges back; only rows at or below the edge enter the rank window — window input is ~k + |stratum|/1024 rows, never the whole stratum.",
       "n4_ann_ivf_lloyd" -> "IVF + one Lloyd round: reassignment streams the corpus against broadcast centroids and slims to (id, cluster, cdist) BEFORE the argmin window; median re-centroids are one partial-aggregated groupBy; probe and score equi-join on cluster id only.",
       "n5_ann_pq" -> "PQ ANN: the corpus-wide stage carries (id, 8-int code) — ~8x less than the float embedding payload; encode/decode are codegen'd folds over literal codewords; full vectors re-join by id only for the rerank x k survivors.",
-      "d8_sig_verified_neardup" -> "Signature-estimate verification: the store side is (id, sig, bands) only; agreement is a codegen'd zip_with/aggregate over two 16-long arrays — no shingle arrays anywhere in the plan.")
+      "d8_sig_verified_neardup" -> "Signature-estimate verification: the store side is (id, sig, bands) only; agreement is a codegen'd zip_with/aggregate over two 16-long arrays — no shingle arrays anywhere in the plan.",
+      "m2_ppm_decode" -> "Multimodal decode: payload assembly is a codegen'd expression and the codec runs as a narrow mapPartitions — no exchange anywhere before the final presentation sort, so a 100 TB binary corpus decodes at scan speed.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
