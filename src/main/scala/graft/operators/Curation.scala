@@ -188,6 +188,44 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-pre-filtered decontamination — output-identical to
+    * [[decontaminate]] (a Bloom filter admits no false negatives, and
+    * the exact gram join removes its false positives), but the
+    * corpus-side gram stream is cut map-side BEFORE any exchange: the
+    * held-out gram set aggregates into one Bloom sketch that reaches
+    * the probe as a scalar subquery (the same shape Spark's own
+    * InjectRuntimeFilter produces), so at 100 TB the distinct/join
+    * shuffle carries only true overlaps + fpp × stream instead of
+    * every distinct train gram. `expectedGrams` sizes the sketch to
+    * the held-out side, which is benchmark-sized by construction.
+    */
+  def decontaminateBloom(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, k: Int,
+                         expectedGrams: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ExprBridge
+    def xx(c: org.apache.spark.sql.Column) =
+      new XxHash64(Seq(ExprBridge.toExpression(c)))
+    val testGrams = test
+      .select(explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
+      .distinct()
+    val bloom = testGrams.agg(ExprBridge.toColumn(
+      new BloomFilterAggregate(xx(col("gh")), expectedGrams)
+        .toAggregateExpression()).as("bf")).scalar()
+    // explode → bloom-probe → distinct: the probe is a narrow filter on
+    // the map side of the distinct's exchange (PlanSpec pins this), and
+    // filter-then-distinct ≡ distinct-then-filter for a per-row predicate
+    train.select(col(idCol),
+        explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
+      .filter(ExprBridge.toColumn(
+        BloomFilterMightContain(ExprBridge.toExpression(bloom), xx(col("gh")))))
+      .distinct()
+      .join(testGrams, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Sequential token packing: concatenate documents in a stable order
     * into fixed token-budget bins — `bin = floor(cum_tokens_before /
     * budget)`, the streaming packer a tokenize-and-concat pretraining

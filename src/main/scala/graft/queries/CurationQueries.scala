@@ -75,6 +75,21 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C-4: the same decontamination through the Bloom-pre-filtered
+    // scale path — output-identical to c1 by construction (no false
+    // negatives; exact join kills false positives), so it shares c1's
+    // oracle verbatim; what changes is the plan: the corpus gram
+    // stream is probed against a scalar-subquery Bloom sketch before
+    // any exchange
+    "c4_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminateBloom(
+          Tables.spread(docs.filter(col("doc_id") % 97 =!= 0)),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 3, expectedGrams = 1L << 18)
+        .orderBy(col("doc_id"))
+    }),
+
     // T-6: repetition quality signal — duplicate-token fraction
     "t6_repetition" -> ((s, d) => {
       val w = split(col("text"), " ")
@@ -127,6 +142,18 @@ object CurationQueries {
 
   private val h = Hashing.sql.hash64("CAST(doc_id AS VARCHAR)")
 
+  /** Shared by c1 and c4: the Bloom path is output-identical. */
+  private val decontaminateOracle: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),
+       |hashed AS (SELECT DISTINCT doc_id, ${Hashing.sql.hash64("gram")} % 2147483647 AS gh
+       |           FROM grams),
+       |test_g AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 97 = 0)
+       |SELECT h.doc_id, count(*) AS n_shared
+       |FROM hashed h JOIN test_g USING (gh)
+       |WHERE h.doc_id % 97 <> 0
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p1_hash_split" ->
       s"""SELECT doc_id, CAST(h % 1000 AS INT) AS bucket,
@@ -174,16 +201,9 @@ object CurationQueries {
         |        WHERE cum * 100 >= 90 * tot GROUP BY 1)
         |SELECT doc_id, source, n_tokens, threshold, n_tokens > threshold AS is_outlier
         |FROM tok JOIN thr USING (source) ORDER BY doc_id""".stripMargin,
-    "c1_decontaminate" ->
-      s"""WITH grams AS (
-         |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),
-         |hashed AS (SELECT DISTINCT doc_id, ${Hashing.sql.hash64("gram")} % 2147483647 AS gh
-         |           FROM grams),
-         |test_g AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 97 = 0)
-         |SELECT h.doc_id, count(*) AS n_shared
-         |FROM hashed h JOIN test_g USING (gh)
-         |WHERE h.doc_id % 97 <> 0
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "c1_decontaminate" -> decontaminateOracle,
+    // identical contract: the Bloom pre-filter is plan-shape only
+    "c4_bloom_decontaminate" -> decontaminateOracle,
     "t6_repetition" ->
       """SELECT doc_id, CAST(len(w) AS INT) AS n_words,
         |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,

@@ -119,6 +119,24 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("decontaminateBloom is output-identical to exact, even at heavy fp rates") {
+    val test = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a lazy dog saw the quick brown fox leave"),
+      (2L, "completely different words entirely here"),
+      (3L, "quick brown fox")
+    ).toDF("doc_id", "text")
+    // undersized sketch (expectedGrams = 1) forces a high false-positive
+    // rate: extra grams pass the probe, but the exact join must kill
+    // every one of them — the contract is bit-identical output
+    for (eg <- Seq(1L, 1L << 16)) {
+      val out = Curation.decontaminateBloom(train, test, "doc_id", "text",
+          k = 3, expectedGrams = eg)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 2L, 3L -> 1L), s"expectedGrams=$eg")
+    }
+  }
+
   test("packSequential fills bins by running budget, allowing straddle") {
     val df = Seq(("s", 1L, 300), ("s", 2L, 300), ("s", 3L, 300), ("s", 4L, 500),
       ("t", 9L, 100)).toDF("part", "ord", "tok")

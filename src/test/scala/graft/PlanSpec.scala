@@ -191,6 +191,24 @@ class PlanSpec extends SparkSpec {
       s"gram stream must never self-join all-pairs:\n$p")
   }
 
+  test("c4: bloom probe is a map-side narrow filter fed by one scalar subquery") {
+    val df = SparkEntry.queries("c4_bloom_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_filter_agg"),
+      s"expected the held-out gram set to aggregate into a Bloom sketch in:\n$p")
+    val lines = p.linesIterator.toVector
+    val i = lines.indexWhere(_.contains("Filter might_contain"))
+    assert(i > 0, s"expected a might_contain probe filter in:\n$p")
+    // the probe must gate the exploded gram stream BEFORE the distinct's
+    // exchange: its parent is the partial distinct agg and its child
+    // (past the subquery line) is the explode itself
+    assert(lines(i - 1).contains("HashAggregate"),
+      s"probe should sit directly under the partial distinct agg:\n$p")
+    assert(lines.slice(i, i + 4).exists(_.contains("Generate explode")),
+      s"probe should consume the explode output narrowly:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
