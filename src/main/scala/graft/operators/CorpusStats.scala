@@ -62,6 +62,52 @@ object CorpusStats {
     *
     * @return (idCol, n_grams, n_shared, boilerplate_ratio)
     */
+  /** Corpus-boilerplate REMOVAL (the transform t8's ratio only measures):
+    * C4/RefinedWeb-style span scrubbing — drop every token covered by a
+    * word-k-gram that appears in at least `minDf` documents, keeping the
+    * remaining tokens in order.
+    *
+    * Scale shape mirrors [[boilerplateRatio]]: the gram stream is slim
+    * (id, pos, 60-bit hash) longs, the shared-gram head set is small and
+    * broadcast, and only the covered POSITIONS of shared occurrences are
+    * shuffled back per doc (O(shared occurrences), not O(corpus
+    * tokens)) — the text column itself never enters a shuffle; the final
+    * token filter is a narrow per-row array op against the collected
+    * position set.
+    *
+    * A document shorter than k tokens hashes as one whole-text gram
+    * (ShingleHashes64 semantics); if that gram is shared the whole
+    * document is scrubbed.
+    *
+    * @return (idCol, n_tokens, n_kept, cleaned)
+    */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDf: Long): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        posexplode(graft.plans.ShingleHashes64.column(col(textCol), k))
+          .as(Seq("pos", "gh")))
+      .persist()
+    val shared = grams.select(col(idCol), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= minDf)
+      .select(col("gh"))
+    val covered = grams.join(broadcast(shared), "gh")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("cpos")).as("__covered"))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("__toks", Hashing.tokens(col(textCol)))
+      .withColumn("__cov", coalesce(col("__covered"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) => !array_contains(col("__cov"), i)))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("cleaned"))
+  }
+
   def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
                        k: Int, minDf: Long): DataFrame = {
     val grams = df

@@ -68,4 +68,79 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Band (tolerance) join: pairs (l, r) with equal `keys` and
+    * |l.ts − r.ts| <= delta, over LONG time columns.
+    *
+    * Same decomposition idea as [[pointInInterval]] with bucket width =
+    * delta: a qualifying pair's buckets differ by at most one, so the
+    * left side explodes onto {b−1, b, b+1}, the right side keeps its
+    * single bucket, and the hash join runs on (keys, bucket). The three
+    * exploded bucket ids are distinct, so each qualifying pair surfaces
+    * EXACTLY once — no post-join dedup. Shuffle volume is 3·|L| + |R|
+    * slim rows, partitioned by (keys, bucket) like any equi-join (AQE
+    * skew-splits hot buckets).
+    *
+    * Column layout: left columns keep their names, right columns are
+    * suffixed `_r` (callers project before joining to keep the shuffle
+    * slim).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, delta: Long): DataFrame = {
+    require(delta > 0, "band width must be positive")
+    val l = withFloorDiv(left, "__b0", col(tsCol), delta)
+      .withColumn("__bucket", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val r0 = right.columns.foldLeft(right)((df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, c + "_r"))
+    val r = withFloorDiv(r0, "__bucket", col(tsCol + "_r"), delta)
+    l.join(r, keys :+ "__bucket")
+      .filter(abs(col(tsCol) - col(tsCol + "_r")) <= delta)
+      .drop("__bucket")
+  }
+
+  /** Interval-overlap join: pairs of intervals `[l.lo, l.hi)` ×
+    * `[r.lo, r.hi)` with `l.lo < r.hi AND r.lo < l.hi` (and equal
+    * `keys`, if any).
+    *
+    * Both sides explode onto the buckets their interval covers (width
+    * W), the join runs on (keys, bucket), and the overlap predicate is
+    * re-checked exactly. Emit-once without a DISTINCT: a pair is kept
+    * only in the bucket containing `greatest(l.lo, r.lo)` — for an
+    * overlapping pair that value lies inside BOTH intervals, so exactly
+    * one exploded bucket on each side matches it.
+    *
+    * Right columns are suffixed `_r`. Intervals are inclusive-lo /
+    * exclusive-hi LONGs; W tunes the span/W explode factor exactly as in
+    * [[pointInInterval]].
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      loCol: String, hiCol: String, width: Long,
+                      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    def expand(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val bounded = withFloorDiv(withFloorDiv(
+        df.filter(col(hi) > col(lo)),
+        "__blo", col(lo), width), "__bhi", col(hi) - 1, width)
+      val guardedHi = when(col("__bhi") - col("__blo") >= maxBucketsPerInterval,
+          raise_error(concat(
+            lit(s"interval spans more than $maxBucketsPerInterval buckets at " +
+              s"width $width — widen the bucket or clamp the interval: lo="),
+            col(lo), lit(" hi="), col(hi))).cast("long"))
+        .otherwise(col("__bhi"))
+      bounded
+        .withColumn("__bucket", explode(sequence(col("__blo"), guardedHi)))
+        .drop("__blo", "__bhi")
+    }
+    val l = expand(left, loCol, hiCol)
+    val r0 = right.columns.foldLeft(right)((df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, c + "_r"))
+    val r = expand(r0, loCol + "_r", hiCol + "_r")
+    withFloorDiv(
+      l.join(r, keys :+ "__bucket")
+        .filter(col(loCol) < col(hiCol + "_r") && col(loCol + "_r") < col(hiCol)),
+      "__anchor", greatest(col(loCol), col(loCol + "_r")), width)
+      .filter(col("__anchor") === col("__bucket"))
+      .drop("__bucket", "__anchor")
+  }
 }

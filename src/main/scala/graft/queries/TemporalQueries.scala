@@ -71,6 +71,55 @@ object TemporalQueries {
         .groupBy(col("n_nationkey"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"), sum(col("price_e2")).as("sum_price_e2"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    // Y-4: band (tolerance) self-join — same-user event pairs within one
+    // hour, via the ±1-bucket decomposition (equi-join on (user, bucket),
+    // never a nested-loop time join); the DuckDB oracle runs the native
+    // inequality join. Aggregated per user so the output stays bounded
+    // while the pair stream is what's verified.
+    "y4_band_join" -> ((s, d) => {
+      val deltaUs = 3600L * 1000000L
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t_us"))
+      RangeJoin.bandJoin(ev, ev, Seq("user_id"), "t_us", deltaUs)
+        .filter(col("event_id") < col("event_id_r"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("t_us") - col("t_us_r"))).as("sum_gap_us"),
+          max(abs(col("t_us") - col("t_us_r"))).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Y-5: interval-overlap self-join — concurrent user sessions
+    // (30-min-gap sessionization, active window padded by the gap), via
+    // bucket decomposition with the emit-once anchor trick (a pair
+    // survives only in the bucket of greatest(lo_a, lo_b) — no DISTINCT
+    // over the pair stream). Oracle = native inequality overlap join
+    // over the identical session CTE.
+    "y5_interval_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapNs = 30L * 60L * 1000000000L
+      val padUs = 1800000000L
+      val sessions = t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(expr("min(ts) DIV 1000").as("lo_us"),
+          (expr("max(ts) DIV 1000") + lit(padUs)).as("hi_us"))
+      RangeJoin.intervalOverlap(sessions, sessions, Seq.empty,
+          "lo_us", "hi_us", width = padUs)
+        .filter(col("user_id") < col("user_id_r"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          countDistinct(col("user_id_r")).as("n_users"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -98,6 +147,35 @@ object TemporalQueries {
         |SELECT n_nationkey, n_name, count(*) AS n_orders,
         |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2
         |FROM i JOIN p ON price_e2 >= lo_e2 AND price_e2 < hi_e2
-        |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin
+        |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin,
+    "y4_band_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  CAST(sum(abs(a.t_us - b.t_us)) AS BIGINT) AS sum_gap_us,
+        |  CAST(max(abs(a.t_us - b.t_us)) AS BIGINT) AS max_gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.t_us - b.t_us) <= 3600000000
+        |GROUP BY 1 ORDER BY a.user_id""".stripMargin,
+    "y5_interval_overlap" ->
+      """WITH seg AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
+        |      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) > 1800000000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, tns,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM seg),
+        |iv AS (
+        |  SELECT user_id, session_seq, min(tns) // 1000 AS lo_us,
+        |    max(tns) // 1000 + 1800000000 AS hi_us
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT a.user_id, count(*) AS n_overlaps,
+        |  CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_users
+        |FROM iv a JOIN iv b ON a.user_id < b.user_id
+        |  AND a.lo_us < b.hi_us AND b.lo_us < a.hi_us
+        |GROUP BY 1 ORDER BY a.user_id""".stripMargin
   )
 }

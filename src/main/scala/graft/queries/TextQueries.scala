@@ -76,6 +76,16 @@ object TextQueries {
           "doc_id", "text", k = 3, minDf = 3L)
         .orderBy(col("doc_id"))),
 
+    // T-9: corpus-boilerplate REMOVAL — the transform t8 only measures:
+    // scrub every token covered by a word-3-gram shared by >= 3 docs,
+    // keep the rest in order. The oracle rebuilds positional grams,
+    // covered positions, and the ordered reassembly independently.
+    "t9_scrub_boilerplate" -> ((s, d) =>
+      graft.operators.CorpusStats.removeSharedSpans(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 3, minDf = 3L)
+        .orderBy(col("doc_id"))),
+
     // M-1: opaque binary column + typed metadata (multimodal plumbing)
     "m1_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
@@ -216,6 +226,31 @@ object TextQueries {
          |SELECT t.doc_id, t.n_grams, coalesce(s.n_shared, 0) AS n_shared,
          |  coalesce(s.n_shared, 0)::DOUBLE / t.n_grams::DOUBLE AS boilerplate_ratio
          |FROM tot t LEFT JOIN sh s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t9_scrub_boilerplate" ->
+      """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, text, toks,
+        |          unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS pos FROM base),
+        |grams AS (SELECT doc_id, pos,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN ('0x' || substr(md5(array_to_string(list_slice(toks, pos + 1, pos + 3), ' ')), 1, 15))::BIGINT % 2147483647
+        |    ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483647 END AS gh
+        |  FROM pos),
+        |shared AS (SELECT gh FROM (
+        |  SELECT gh, count(*) AS gdf FROM (SELECT DISTINCT doc_id, gh FROM grams) GROUP BY 1)
+        |  WHERE gdf >= 3),
+        |hits AS (SELECT doc_id, pos, unnest([0, 1, 2]) AS off FROM grams JOIN shared USING (gh)),
+        |covered AS (SELECT DISTINCT doc_id, pos + off AS cpos FROM hits),
+        |tokpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM base),
+        |tp AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok FROM tokpos),
+        |kept AS (SELECT t.doc_id, t.tpos, t.tok FROM tp t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.cpos
+        |  WHERE c.cpos IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY tpos) AS cleaned FROM kept GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(b.toks) AS INT) AS n_tokens,
+        |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+        |  coalesce(a.cleaned, '') AS cleaned
+        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

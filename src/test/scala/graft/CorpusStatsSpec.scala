@@ -53,6 +53,68 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0L, 0.0)))
   }
 
+  test("removeSharedSpans scrubs covered tokens, keeps unique tail in order") {
+    // docs 1-3 share a 5-token template: trigram starts 0..2 are shared
+    // by 3 docs, covering token positions 0..4 exactly — the unique
+    // suffixes survive untouched (boundary trigrams are df=1)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "the quick brown fox jumps into the river"),
+      (3L, "the quick brown fox jumps"),
+      (4L, "completely different words only found once")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.removeSharedSpans(docs, "doc_id", "text", k = 3, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == ((8, 3, "over lazy dogs")))
+    assert(out(2L) == ((8, 3, "into the river")))
+    assert(out(3L) == ((5, 0, "")))
+    assert(out(4L) == ((6, 6, "completely different words only found once")))
+  }
+
+  test("removeSharedSpans scrubs short docs whose whole text is shared") {
+    val docs = Seq(
+      (1L, "hi there"), (2L, "hi there"), (3L, "hi there"),
+      (4L, "bye now")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.removeSharedSpans(docs, "doc_id", "text", k = 3, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((0, "")) && out(3L) == ((0, "")))
+    assert(out(4L) == ((2, "bye now")))
+  }
+
+  test("removeSharedSpans equals a brute-force single-node recompute") {
+    val k = 3; val minDf = 3
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1 to 120).map { i =>
+      val n = 1 + rnd.nextInt(10)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def gramsOf(text: String): Seq[(Int, String)] = {
+      val toks = text.split(" ", -1)
+      if (toks.length >= k)
+        (0 to toks.length - k).map(i => i -> toks.slice(i, i + k).mkString(" "))
+      else Seq(0 -> text)
+    }
+    val df = docs.flatMap { case (id, t) => gramsOf(t).map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val shared = df.collect { case (g, n) if n >= minDf => g }.toSet
+    val want = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val covered = gramsOf(t).collect {
+        case (p, g) if shared(g) => p until (p + k)
+      }.flatten.toSet
+      val kept = toks.zipWithIndex.collect { case (tk, i) if !covered(i) => tk }
+      (id, toks.length, kept.length, kept.mkString(" "))
+    }.toSet
+    val got = CorpusStats.removeSharedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, minDf.toLong)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(got == want)
+  }
+
   test("boilerplateRatio is repartition-stable") {
     val docs = (1 to 200).map(i => (i.toLong,
       if (i % 3 == 0) "shared boilerplate header text plus unique " + i

@@ -63,6 +63,55 @@ class RangeJoinSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("widen the bucket")), e.toString)
   }
 
+  test("bandJoin equals the naive |diff|<=delta join, each pair exactly once") {
+    val rnd = new scala.util.Random(23)
+    val left = (1 to 200).map(i => (rnd.nextInt(4).toLong, i.toLong, rnd.nextLong() % 500))
+    val right = (1 to 200).map(i => (rnd.nextInt(4).toLong, (1000 + i).toLong, rnd.nextLong() % 500))
+    val delta = 37L
+    val got = RangeJoin.bandJoin(
+        left.toDF("k", "id", "t"), right.toDF("k", "id", "t"), Seq("k"), "t", delta)
+      .select($"id", $"id_r").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val want = (for {
+      (lk, li, lt) <- left; (rk, ri, rt) <- right
+      if lk == rk && math.abs(lt - rt) <= delta
+    } yield (li, ri)).toList
+    assert(got.sorted == want.sorted) // list compare: duplicates would fail
+  }
+
+  test("bandJoin boundary is inclusive at exactly delta") {
+    val l = Seq((1L, 10L, 0L)).toDF("k", "id", "t")
+    val r = Seq((1L, 20L, 5L), (1L, 21L, 6L), (1L, 22L, -5L)).toDF("k", "id", "t")
+    val got = RangeJoin.bandJoin(l, r, Seq("k"), "t", 5L)
+      .select($"id_r").collect().map(_.getLong(0)).toSet
+    assert(got == Set(20L, 22L))
+  }
+
+  test("intervalOverlap equals the naive overlap join, each pair exactly once") {
+    val rnd = new scala.util.Random(29)
+    def mk(base: Long) = (1 to 120).map { i =>
+      val lo = rnd.nextLong() % 400
+      (base + i, lo, lo + 1 + rnd.nextInt(120))
+    }
+    val a = mk(0); val b = mk(10000)
+    val got = RangeJoin.intervalOverlap(
+        a.toDF("id", "lo", "hi"), b.toDF("id", "lo", "hi"), Seq.empty,
+        "lo", "hi", width = 43L)
+      .select($"id", $"id_r").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val want = (for {
+      (ai, alo, ahi) <- a; (bi, blo, bhi) <- b
+      if alo < bhi && blo < ahi
+    } yield (ai, bi)).toList
+    assert(got.sorted == want.sorted)
+  }
+
+  test("intervalOverlap: touching intervals do not overlap; empty dropped") {
+    val a = Seq((1L, 0L, 10L)).toDF("id", "lo", "hi")
+    val b = Seq((2L, 10L, 20L), (3L, 9L, 11L), (4L, 5L, 5L)).toDF("id", "lo", "hi")
+    val got = RangeJoin.intervalOverlap(a, b, Seq.empty, "lo", "hi", 7L)
+      .select($"id_r").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+  }
+
   test("plan is an equi-join — no BroadcastNestedLoop or cartesian") {
     val df = RangeJoin.pointInInterval(
       spark.range(1000).select($"id".as("p")), "p",
