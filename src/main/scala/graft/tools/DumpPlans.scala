@@ -43,7 +43,10 @@ object DumpPlans {
       "n4_ann_ivf_lloyd" -> "IVF + one Lloyd round: reassignment streams the corpus against broadcast centroids and slims to (id, cluster, cdist) BEFORE the argmin window; median re-centroids are one partial-aggregated groupBy; probe and score equi-join on cluster id only.",
       "n5_ann_pq" -> "PQ ANN: the corpus-wide stage carries (id, 8-int code) — ~8x less than the float embedding payload; encode/decode are codegen'd folds over literal codewords; full vectors re-join by id only for the rerank x k survivors.",
       "d8_sig_verified_neardup" -> "Signature-estimate verification: the store side is (id, sig, bands) only; agreement is a codegen'd zip_with/aggregate over two 16-long arrays — no shingle arrays anywhere in the plan.",
-      "m2_ppm_decode" -> "Multimodal decode: payload assembly is a codegen'd expression and the codec runs as a narrow mapPartitions — no exchange anywhere before the final presentation sort, so a 100 TB binary corpus decodes at scan speed.")
+      "m2_ppm_decode" -> "Multimodal decode: payload assembly is a codegen'd expression and the codec runs as a narrow mapPartitions — no exchange anywhere before the final presentation sort, so a 100 TB binary corpus decodes at scan speed.",
+      "y4_band_join" -> "Band join as +/-1-bucket decomposition: hash join on (user, bucket) with the exact |diff| <= delta re-check as the post-join filter — no BroadcastNestedLoopJoin; shuffle is 3|L|+|R| slim rows.",
+      "y5_interval_overlap" -> "Interval overlap via bucket decomposition: both session sides explode onto covering buckets, equi-join on bucket, exact overlap + anchor-bucket emit-once filter — no pair DISTINCT and no nested-loop time join.",
+      "t9_scrub_boilerplate" -> "Span scrub: slim (id, pos, hash) gram stream; shared head set broadcast; only shared occurrences' covered positions shuffle back per doc; the final token filter is a narrow array op — text bytes never enter an exchange.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

@@ -113,11 +113,17 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("plan is an equi-join — no BroadcastNestedLoop or cartesian") {
-    val df = RangeJoin.pointInInterval(
+    def assertEqui(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.collect() // settle AQE so the final physical plan is inspectable
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    }
+    assertEqui(RangeJoin.pointInInterval(
       spark.range(1000).select($"id".as("p")), "p",
-      Seq(("i", 10L, 500L)).toDF("name", "lo", "hi"), "lo", "hi", 50L)
-    df.collect() // settle AQE so the final physical plan is inspectable
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      Seq(("i", 10L, 500L)).toDF("name", "lo", "hi"), "lo", "hi", 50L))
+    val ev = spark.range(1000).select(($"id" % 7).as("k"), $"id".as("id"), ($"id" * 13 % 997).as("t"))
+    assertEqui(RangeJoin.bandJoin(ev, ev, Seq("k"), "t", 20L))
+    val iv = spark.range(500).select($"id", ($"id" * 11 % 800).as("lo"), ($"id" * 11 % 800 + 30).as("hi"))
+    assertEqui(RangeJoin.intervalOverlap(iv, iv, Seq.empty, "lo", "hi", 25L))
   }
 }
