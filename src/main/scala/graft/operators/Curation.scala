@@ -243,4 +243,67 @@ object Curation {
       // stays exact where floor(double / budget) would drift past 2^53
       .withColumn("bin", expr(s"cum_before DIV $budget"))
   }
+
+  /** Temperature-based source-mix resampling (the T5/PaLM mixing rule
+    * at alpha = 1/2): a source with n_s rows keeps each row with
+    * probability sqrt(min_n / n_s) — sampling proportional to
+    * n_s^alpha, normalized so the SMALLEST source keeps everything.
+    * Softer than [[balanceSources]] (which flattens every source to the
+    * minimum): large sources still contribute more rows, just
+    * sub-linearly, which is how production training mixes temper
+    * dominant web domains without discarding them.
+    *
+    * Deterministic and cross-engine exact despite the fractional
+    * probability: keep iff `md5(id) % scale < floor(scale *
+    * sqrt(min_n / n_s))`. Division, sqrt, and the product are each
+    * correctly-rounded IEEE-754 double ops (bit-identical in any
+    * engine), floor lands on an exact integer threshold, and the hash
+    * is md5. Per-source counts and the global min are in-plan broadcast
+    * aggregates ([[balanceSources]] shape); the corpus is touched in
+    * one linear pass, no shuffle of the data rows.
+    */
+  def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
+                     scale: Int = 1000000): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val totals = df.groupBy(col(srcCol)).agg(count(lit(1)).as("src_n"))
+    val minN = totals.agg(min(col("src_n")).as("min_n"))
+    df.join(broadcast(totals.crossJoin(minN)), srcCol)
+      .withColumn("keep_threshold",
+        floor(lit(scale.toLong).cast("double") *
+          sqrt(col("min_n").cast("double") / col("src_n").cast("double")))
+          .cast("long"))
+      .filter(Hashing.hash64(col(idCol).cast("string")) % scale
+        < col("keep_threshold"))
+  }
+
+  /** Sliding-window chunking of documents into fixed-size training
+    * sequences: chunk i starts at token i·stride and carries up to
+    * `chunkSize` tokens (stride < chunkSize ⇒ overlapping context, the
+    * standard embedding/training windowing). Trailing starts whose
+    * window adds no token beyond the previous chunk are dropped
+    * (`s == 0 OR s + chunkSize − stride < n`); because that predicate
+    * is monotone in s, surviving starts are exactly the prefix
+    * 0, stride, 2·stride, … and chunk_idx = s DIV stride.
+    *
+    * Purely narrow compute — the explode is linear in emitted chunks
+    * and there is NO exchange anywhere: a 100 TB corpus chunks at scan
+    * speed and writes back partition-local.
+    *
+    * @return (idCol, chunk_idx, n_chunk_tokens, chunk_text)
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    df.withColumn("__toks", Hashing.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__s", explode(filter(
+        sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)),
+        s => s === 0 || s + (chunkSize - stride) < col("__n"))))
+      .withColumn("__chunk", slice(col("__toks"), col("__s") + 1, lit(chunkSize)))
+      .select(col(idCol),
+        expr(s"__s DIV $stride").cast("int").as("chunk_idx"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

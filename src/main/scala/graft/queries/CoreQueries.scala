@@ -164,6 +164,16 @@ object CoreQueries {
         .orderBy(grouping(col("l_returnflag")), grouping(col("l_linestatus")),
           coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))),
 
+    // §2.G breadth: full CUBE — all four grouping-set combos (rollup
+    // g1 emits three); partial-aggregated expand, same FP rounding
+    // discipline as g1
+    "g5_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(grouping(col("l_returnflag")), grouping(col("l_linestatus")),
+          coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))),
+
     // beyond-reference breadth: 3-way join + grouped top-k (TPC-H Q3
     // shape). Revenue in integer 1e-4 units — exact in any aggregation
     // order, so the top-10 cut cannot flake on FP partition noise.
@@ -286,6 +296,12 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
+        |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
+    "g5_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
         |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
     "g3_multijoin_topk" ->

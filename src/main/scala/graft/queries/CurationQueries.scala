@@ -51,6 +51,33 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // P-6: temperature-based source mixing (alpha = 1/2) — each source
+    // keeps rows with probability sqrt(min_n / n_s): softer than p4's
+    // flatten-to-min; deterministic via the integer hash threshold
+    // (sqrt/division/product are correctly-rounded IEEE doubles in both
+    // engines, so the floored threshold is bit-identical)
+    // (the corpus's `source` strata are uniform — 25 docs each — which
+    // would make the mix an identity; a derived 60/30/10 stratum makes
+    // the sqrt thresholds real: sqrt(1/6) ≈ .408, sqrt(1/3) ≈ .577, 1)
+    "p6_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(
+          t(s, d, "documents").select(col("doc_id"),
+            when(col("doc_id") % 10 < 6, "web")
+              .when(col("doc_id") % 10 < 9, "books")
+              .otherwise("code").as("mix_src")),
+          "mix_src", "doc_id")
+        .select(col("doc_id"), col("mix_src"), col("src_n"),
+          col("min_n"), col("keep_threshold"))
+        .orderBy(col("doc_id"))),
+
+    // K-2: sliding-window chunking into training sequences (32-token
+    // chunks, stride 24) — narrow per-row explode, zero exchanges
+    "k2_chunk_documents" -> ((s, d) =>
+      Curation.chunkDocuments(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // P-5: per-source length-outlier gate — exact discrete 90th
     // percentile via the (source, length) histogram two-stage, never a
     // window over raw rows
@@ -185,6 +212,34 @@ object CurationQueries {
          |FROM tok JOIN tot USING (source), tgt
          |WHERE $h % src_total < target
          |ORDER BY doc_id""".stripMargin,
+    "p6_temperature_mix" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 6 THEN 'web'
+         |         WHEN doc_id % 10 < 9 THEN 'books'
+         |         ELSE 'code' END AS mix_src
+         |  FROM documents),
+         |tot AS (SELECT mix_src, count(*) AS src_n FROM docs GROUP BY 1),
+         |mn AS (SELECT min(src_n) AS min_n FROM tot)
+         |SELECT doc_id, mix_src, src_n, min_n,
+         |  CAST(floor(1000000::DOUBLE * sqrt(min_n::DOUBLE / src_n::DOUBLE)) AS BIGINT) AS keep_threshold
+         |FROM docs JOIN tot USING (mix_src), mn
+         |WHERE $h % 1000000 <
+         |  CAST(floor(1000000::DOUBLE * sqrt(min_n::DOUBLE / src_n::DOUBLE)) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+    "k2_chunk_documents" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(list_filter(generate_series(0, greatest(n - 1, 0), 24),
+        |      s -> s = 0 OR s + 8 < n)) AS s
+        |  FROM base)
+        |SELECT doc_id, CAST(s // 24 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, s + 1, least(s + 32, n))) AS INT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, s + 1, least(s + 32, n)), ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
     "p5_length_outliers" ->
       """WITH tok AS (
         |  SELECT doc_id, source,

@@ -40,6 +40,20 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("bucket_us"), col("event_type"))),
 
+    // W-6: hopping (sliding) event-time window — 1-hour windows every
+    // 15 min, each event lands in 4 overlapping windows; the batch
+    // shape of `window(ts, len, slide)` streaming aggregation. Exact
+    // micros arithmetic for the window starts; the oracle enumerates
+    // the 4 covering starts per event with integer generate_series.
+    "w6_hopping_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(timestamp_micros(expr("ts DIV 1000")), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start_us"), col("event_type"))),
+
     // W-5: time-series regularization — hourly grid per user between
     // first and last observation, latest value forward-filled into gaps
     "w5_gapfill" -> ((s, d) =>
@@ -112,6 +126,14 @@ object EventQueries {
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+    "w6_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t_us, event_type, value FROM events),
+        |hops AS (SELECT event_type, value,
+        |  unnest(generate_series((t_us // 900000000) * 900000000 - 2700000000,
+        |                         (t_us // 900000000) * 900000000, 900000000)) AS win_start_us
+        |  FROM e)
+        |SELECT win_start_us, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM hops GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "w5_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
         |              epoch_us(ts) AS us, value FROM events),

@@ -137,6 +137,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix keeps the smallest source whole, others at sqrt rate") {
+    // 900/400/100 rows: thresholds sqrt(1/9)=1/3, sqrt(1/4)=1/2, 1
+    val df = ((1 to 900).map(i => (s"a$i", "big")) ++
+      (1 to 400).map(i => (s"b$i", "mid")) ++
+      (1 to 100).map(i => (s"c$i", "small"))).toDF("id", "src")
+    val out = Curation.temperatureMix(df, "src", "id")
+      .select($"id", $"src", $"keep_threshold")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("small") == 100) // threshold = scale → everything kept
+    assert(out.filter(_._2 == "big").forall(_._3 == 333333L))
+    assert(out.filter(_._2 == "mid").forall(_._3 == 500000L))
+    // md5 is uniform: kept counts land near n_s * sqrt(min/n_s)
+    assert(math.abs(bySrc("big") - 300) < 60 && math.abs(bySrc("mid") - 200) < 50)
+    // deterministic under repartition
+    val out2 = Curation.temperatureMix(df.repartition(11), "src", "id")
+      .select($"id").collect().map(_.getString(0)).toSet
+    assert(out2 == out.map(_._1).toSet)
+  }
+
+  test("chunkDocuments windows tokens with stride, no redundant tail chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: starts 0,4 (8 dropped: 8+? no — see below)
+      (2L, "a b c"),                                  // short doc: one chunk
+      (3L, (1 to 13).map(i => s"t$i").mkString(" "))  // starts 0,4,8: 8+2<13
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkSize = 6, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    // doc 1 (10 toks): s=0 → w1..w6; s=4 → w5..w10; s=8 redundant (8+2 >= 10)
+    // doc 3 (13 toks): s=0,4,8 full-ish; s=12 redundant (12+2 >= 13)
+    assert(out == Set(
+      (1L, 0, 6, "w1 w2 w3 w4 w5 w6"),
+      (1L, 1, 6, "w5 w6 w7 w8 w9 w10"),
+      (2L, 0, 3, "a b c"),
+      (3L, 0, 6, "t1 t2 t3 t4 t5 t6"),
+      (3L, 1, 6, "t5 t6 t7 t8 t9 t10"),
+      (3L, 2, 5, "t9 t10 t11 t12 t13")))
+  }
+
   test("packSequential fills bins by running budget, allowing straddle") {
     val df = Seq(("s", 1L, 300), ("s", 2L, 300), ("s", 3L, 300), ("s", 4L, 500),
       ("t", 9L, 100)).toDF("part", "ord", "tok")
