@@ -191,6 +191,56 @@ object Dedup {
     sigs.select(col(idCol) +: col("sig") +:
       (0 until bands).map(b => col(s"band_$b")): _*)
 
+  /** Full-containment (fragment) detection: pairs (a, b), a ≠ b, where
+    * EVERY distinct word-k-gram of document a also occurs in document b
+    * — the quote/fragment/subset duplicates Jaccard LSH cannot see (a
+    * small fragment's Jaccard against its source is tiny, so minhash
+    * bands never collide).
+    *
+    * Candidate generation is exact, not probabilistic: if b contains
+    * ALL of a's grams it contains a's globally RAREST gram (ties broken
+    * on the hash), so blocking a on that single gram has guaranteed
+    * 100% recall — and the blocks are the smallest available by
+    * construction, the anti-skew mirror of stop-token blocking. The
+    * shuffle is O(Σ rarest-gram doc-frequencies). Verification counts
+    * shared grams with two slim (id, hash) equi-joins and keeps pairs
+    * with inter == |grams(a)|; gram arrays and text never shuffle.
+    *
+    * Gram identity is the RAW 60-bit hash (no mod-2³¹ reduction): at
+    * 31 bits a corpus-scale vocabulary would hash-collide and inflate
+    * the intersection; at 60 bits collisions are ~1e-9 per corpus.
+    *
+    * @return (id_a, id_b, n_grams_a, n_shared) with n_shared == n_grams_a
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.model.Tables.spread(docs)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          graft.plans.ShingleHashes64.column60(col(textCol), shingleK))).as("gh"))
+      .persist()
+    val gdf = grams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    val rare = grams.join(gdf, "gh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gh").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("id_a"), col("gh"))
+    // one rare gram per a and grams is distinct per (id, gh), so the
+    // candidate list is already duplicate-free
+    val cands = rare.join(grams.select(col("id").as("id_b"), col("gh")), "gh")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val na = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams_a"))
+    cands
+      .join(grams.select(col("id").as("id_a"), col("gh")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("gh")), Seq("id_b", "gh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .join(na.withColumnRenamed("id", "id_a"), "id_a")
+      .filter(col("n_shared") === col("n_grams_a"))
+      .select(col("id_a"), col("id_b"), col("n_grams_a"), col("n_shared"))
+  }
+
   /** Per-document SimHash fingerprint (native kernels, value-identical
     * to the declarative tokenHashes→simhashFromHashes chain — DedupSpec). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =

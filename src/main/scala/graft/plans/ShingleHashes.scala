@@ -127,6 +127,11 @@ object ShingleHashes64 {
   def column(text: Column, k: Int): Column =
     ExprBridge.toColumn(ShingleHashes64(ExprBridge.toExpression(text), k))
 
+  /** Raw 60-bit gram hashes (no mod-2³¹) — for set-identity uses where
+    * 31-bit collisions would corrupt intersection counts. */
+  def column60(text: Column, k: Int): Column =
+    ExprBridge.toColumn(ShingleHashes64(ExprBridge.toExpression(text), k, modM31 = false))
+
   /** k=1, no M31 reduction == graft.functions.Hashing.tokenHashes. */
   def tokenColumn(text: Column): Column =
     ExprBridge.toColumn(ShingleHashes64(ExprBridge.toExpression(text), 1, modM31 = false))

@@ -206,6 +206,21 @@ object DedupQueries {
           bits = 48, bands = 3, maxHamming = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // D-11: full-containment (fragment) detection — finds the 15-token
+    // head fragments inside their source docs, exactly the subset dups
+    // whose Jaccard is too low for minhash bands to ever collide.
+    // Candidates block on each doc's globally rarest gram (guaranteed
+    // recall for full containment); the oracle computes exact all-pairs
+    // gram-set containment.
+    "d11_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val frags = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(Hashing.tokens(col("text")), 1, 15), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(frags), "doc_id", "text", K)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // D-4: character-3-gram Jaccard over adjacent doc pairs (first 60 chars)
     "d4_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -356,6 +371,23 @@ object DedupQueries {
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d11_containment" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ')
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |grams AS (SELECT DISTINCT doc_id AS id, unnest(${Hashing.sql.shingles("text", 3)}) AS g
+         |          FROM uni),
+         |na AS (SELECT id, count(*) AS n_grams_a FROM grams GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.id <> b.id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_grams_a, n_shared
+         |FROM inter JOIN na ON na.id = id_a
+         |WHERE n_shared = n_grams_a
+         |ORDER BY id_a, id_b""".stripMargin,
     "d9_keep_canonical" ->
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
          |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs

@@ -196,4 +196,40 @@ class DedupSpec extends SparkSpec {
       .select($"ngram_jaccard100").as[Int].collect().toSeq
     assert(out == Seq(100, 0))
   }
+
+  test("containmentPairs finds fragments; equals brute-force on random corpus") {
+    // planted: doc 10 is a verbatim fragment of doc 1; doc 20 shares
+    // words but not all trigrams
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "beta gamma delta epsilon"),
+      (20L, "alpha beta epsilon zeta"),
+      (2L, "totally unrelated words live here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)))
+
+    // randomized brute-force equivalence (small vocab → real accidental
+    // containments both ways)
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("x", "y", "z", "w")
+    val corpus = (1 to 80).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def gramSet(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= 3)
+        (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+      else Set(t)
+    }
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus
+      if ia != ib && gramSet(ta).subsetOf(gramSet(tb))
+    } yield (ia, ib)).toSet
+    val got2 = Dedup.containmentPairs(corpus.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == want)
+  }
 }
