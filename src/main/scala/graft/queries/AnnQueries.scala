@@ -41,6 +41,18 @@ object AnnQueries {
           "vec_id", "embedding", "label", dim = 64, k = Kk, nProbe = 3)
         .orderBy(col("q_id"), col("rank"))),
 
+    // N-6: metadata-FILTERED vector search — top-k among corpus vectors
+    // satisfying a predicate (the filtered-ANN pattern every vector
+    // store serves). The filter composes BEFORE scoring and reaches the
+    // parquet scan (PlanSpec pins PushedFilters), so a 100 TB corpus
+    // reads only matching row groups instead of post-filtering scored
+    // neighbors (which silently returns < k results).
+    "n6_ann_filtered" -> ((s, d) =>
+      SimilaritySearch.bruteForceTopK(queriesDf(s, d),
+          t(s, d, "embeddings").filter(col("label") % 3 === 0),
+          "vec_id", "embedding", Kk)
+        .orderBy(col("q_id"), col("rank"))),
+
     // N-4: IVF refined by one Lloyd reassignment round — the label seed
     // is non-geometric, so reassigning each vector to its nearest seed
     // centroid makes the probed partitions geometric; equal recall then
@@ -74,6 +86,17 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "n1_ann_bruteforce" ->
       s"""WITH $prepCte,
+         |s AS (SELECT q_id, c_id,
+         |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin,
+    "n6_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, ${Vectors.sql.norm("embedding")} AS q_norm
+         |      FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_vec, ${Vectors.sql.norm("embedding")} AS c_norm
+         |      FROM embeddings WHERE label % 3 = 0),
          |s AS (SELECT q_id, c_id,
          |  ${Vectors.sql.cosineWithNorms("q_vec", "c_vec", "q_norm", "c_norm")} AS cosine
          |  FROM c CROSS JOIN q WHERE q_id <> c_id),

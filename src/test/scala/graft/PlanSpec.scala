@@ -16,6 +16,14 @@ class PlanSpec extends SparkSpec {
       "projection should prune unused columns")
   }
 
+  test("n6: the metadata predicate of filtered ANN reaches the parquet scan") {
+    val p = plan("n6_ann_filtered")
+    // the label filter must run below the scoring join, pushed into the
+    // corpus scan — not applied after cosine ranking
+    assert(p.contains("PushedFilters:") && p.contains("label"),
+      s"expected pushed filter on label in:\n$p")
+  }
+
   test("j6: dimension side is broadcast, not shuffled") {
     val p = plan("j6_equi_join")
     assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$p")
