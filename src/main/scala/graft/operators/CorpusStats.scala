@@ -108,6 +108,55 @@ object CorpusStats {
         array_join(col("__kept"), " ").as("cleaned"))
   }
 
+  /** EXACT corpus heavy hitters — every token whose corpus frequency
+    * exceeds total/`threshold` — via per-partition Misra–Gries
+    * summaries plus one exact recount of the survivors.
+    *
+    * Why not a plain `groupBy(token).count()`: that shuffles one row
+    * per DISTINCT token per partition — at 100 TB the vocabulary tail
+    * (URLs, ids, typos) dominates and the shuffle is vocabulary-sized.
+    * Here stage 1 is a narrow mapPartitions: each task compresses its
+    * token stream into ≤ `threshold` Misra–Gries counters. The MG
+    * guarantee (undercount ≤ N_p/(w+1)) plus an averaging argument —
+    * a token with global count > N/threshold must have local count
+    * > N_p/threshold in at least one partition — makes the union of
+    * per-partition survivors a SUPERSET of the true heavy hitters.
+    * Stage 2 recounts ONLY candidate tokens (a broadcast semi-join,
+    * ≤ threshold × partitions rows) and applies the exact integer
+    * cutoff `cnt × threshold > total`, so the result is bitwise exact
+    * and partitioning-independent despite the sketch — which is what
+    * makes the approximate-looking operator fully oracle-able.
+    *
+    * @return (token, cnt) for cnt × threshold > total tokens
+    */
+  def heavyHitters(df: DataFrame, textCol: String, threshold: Int): DataFrame = {
+    require(threshold > 1, "threshold must be > 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(Hashing.tokens(col(textCol))).as("token"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { tok =>
+        counters.get(tok) match {
+          case Some(n) => counters.update(tok, n + 1)
+          case None if counters.size < threshold => counters.update(tok, 1L)
+          case None => // decrement-all step: amortized O(1) per token
+            val dead = List.newBuilder[String]
+            counters.foreachEntry { (k, v) =>
+              if (v == 1L) dead += k else counters.update(k, v - 1) }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * threshold > col("total"))
+      .select(col("token"), col("cnt"))
+  }
+
   def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
                        k: Int, minDf: Long): DataFrame = {
     val grams = df

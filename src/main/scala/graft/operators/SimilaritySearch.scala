@@ -72,6 +72,46 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** kNN JOIN: top-k cosine neighbors for EVERY corpus row — the
+    * all-pairs form of [[lshTopK]], where the query set IS the corpus
+    * and nothing is broadcastable. Candidate pairs come from a
+    * multi-table sign-LSH bucket SELF-equi-join over a slim
+    * (id, table, bucket) frame: shuffle volume is O(N × tables) rows of
+    * a few bytes each, never the N² cross product, and the embedding
+    * payloads join back per side only for bucket-colliding pairs
+    * (unhinted, so AQE picks broadcast vs shuffle-hash by actual size).
+    * Buckets are deterministic integer hyperplanes, so the approximate
+    * operator has an exact DuckDB oracle (query n7).
+    *
+    * At 100 TB this is the shape that matters: a per-document
+    * neighbor list (retrieval dedup, clustering seeds, curriculum
+    * mining) where both sides are the full corpus. `bits` tunes bucket
+    * size (recall vs candidate volume); `tables` OR-amplifies recall.
+    * A pathological bucket (all-near-identical corpus) degrades toward
+    * its own cross product — the same skew AQE's skew-join splitting
+    * and a higher `bits` both mitigate.
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, bits: Int, tables: Int = 2): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "c")
+    // slim banded frame: ids and bucket keys only — the self-join never
+    // moves an embedding payload
+    val banded = c.select(col("c_id"),
+      posexplode(Vectors.lshBucketsAll(col("c_vec"), bits, tables))
+        .as(Seq("tbl", "bucket")))
+    val pairs = banded.select(col("c_id").as("q_id"), col("tbl"), col("bucket"))
+      .join(banded, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+      .distinct()
+    val q = c.select(col("c_id").as("q_id"), col("c_vec").as("q_vec"),
+      col("c_norm").as("q_norm"))
+    val scored = pairs.join(q, "q_id").join(c, "c_id")
+      .withColumn("cosine", Vectors.cosineWithNorms(
+        col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    rankTopK(scored, k)
+  }
+
   /** IVF with DETERMINISTIC centroids: per-cluster, per-dimension exact
     * medians (order statistics are partition-order-independent, and
     * Spark `percentile(0.5)` interpolates identically to DuckDB

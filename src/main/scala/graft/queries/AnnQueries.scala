@@ -17,6 +17,10 @@ object AnnQueries {
   private val Kk = 5
   private val Bits = 4
   private val NTables = 4
+  // n7 kNN join: 6 bits → ~N/64 per bucket, 2 OR-amplified tables
+  private val KnnK = 3
+  private val KnnBits = 6
+  private val KnnTables = 2
 
   private def queriesDf(s: SparkSession, d: String) =
     t(s, d, "embeddings").filter(col("vec_id") < 8)
@@ -74,6 +78,17 @@ object AnnQueries {
       SimilaritySearch.pqTopK(queriesDf(s, d), t(s, d, "embeddings"),
           "vec_id", "embedding", dim = 64, k = Kk,
           m = 8, codewords = 16, rerank = 4)
+        .orderBy(col("q_id"), col("rank"))),
+
+    // N-7: kNN JOIN — top-k neighbors for EVERY corpus vector (query
+    // set = corpus, nothing broadcastable). Candidates from a slim
+    // sign-LSH bucket self-equi-join: shuffle O(N × tables) id+bucket
+    // rows, payloads joined back only for colliding pairs. The
+    // per-document neighbor-list shape retrieval dedup and cluster
+    // seeding need at corpus scale.
+    "n7_knn_join" -> ((s, d) =>
+      SimilaritySearch.knnJoin(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = KnnK, bits = KnnBits, tables = KnnTables)
         .orderBy(col("q_id"), col("rank")))
   )
 
@@ -211,6 +226,23 @@ object AnnQueries {
          |  FROM approx JOIN q USING (q_id) JOIN c USING (c_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
          |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $Kk
+         |ORDER BY q_id, rank0""".stripMargin
+    },
+    "n7_knn_join" -> {
+      val banded = (0 until KnnTables).map(tb =>
+        s"SELECT c_id, $tb AS tbl, ${Vectors.sql.lshBucket("c_vec", KnnBits, tb)} AS bucket FROM c")
+        .mkString("\nUNION ALL ")
+      s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_vec, ${Vectors.sql.norm("embedding")} AS c_norm
+         |           FROM embeddings),
+         |banded AS ($banded),
+         |cand AS (SELECT DISTINCT a.c_id AS q_id, b.c_id AS c_id
+         |         FROM banded a JOIN banded b USING (tbl, bucket)
+         |         WHERE a.c_id <> b.c_id),
+         |s AS (SELECT cand.q_id, cand.c_id,
+         |  ${Vectors.sql.cosineWithNorms("cq.c_vec", "cc.c_vec", "cq.c_norm", "cc.c_norm")} AS cosine
+         |  FROM cand JOIN c cq ON cq.c_id = cand.q_id JOIN c cc ON cc.c_id = cand.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
+         |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $KnnK
          |ORDER BY q_id, rank0""".stripMargin
     }
   )

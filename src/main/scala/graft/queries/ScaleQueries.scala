@@ -45,6 +45,25 @@ object ScaleQueries {
       orders.crossJoin(parts).crossJoin(exact)
     }),
 
+    // Z-order clustering stats: per-z-bucket row counts and per-bucket
+    // (x, y) bounding boxes over orders — the Morton-curve locality
+    // measure behind Layout.writeZOrdered (each z-bucket = a compact
+    // 2-D rectangle, so clustered files carry tight min/max stats on
+    // BOTH dimensions; LayoutSpec measures the actual written layout).
+    // Pure integer shift/mask arithmetic → exact DuckDB oracle.
+    "x4_zorder_stats" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("x", pmod(col("o_custkey"), lit(1024)).cast("bigint"))
+        .withColumn("y", pmod(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint"), lit(1024)))
+      o.withColumn("z", graft.sources.Layout.zValue(col("x"), col("y"), 10))
+        .groupBy(expr("z DIV 1024").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
+    }),
+
     // Salted fact×dim join (dimension replicated per salt, fact salted):
     // same rows as the plain equi-join + aggregation.
     "x2_salted_join" -> ((s, d) => {
@@ -67,6 +86,16 @@ object ScaleQueries {
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY s_name""".stripMargin,
+    "x4_zorder_stats" -> {
+      val z = graft.sources.Layout.sqlZValue("x", "y", 10)
+      s"""WITH b AS (SELECT o_custkey % 1024 AS x,
+         |  CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT) % 1024 AS y
+         |  FROM orders),
+         |zt AS (SELECT x, y, $z AS z FROM b)
+         |SELECT z // 1024 AS zbucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "x3_approx_stats" ->
       s"""SELECT o.est AS kmv_orders, p.est AS kmv_parts, s.median_price, s.n
          |FROM (${Sketches.kmvOracleSql("lineitem", "l_orderkey", 256)}) o

@@ -86,6 +86,15 @@ object TextQueries {
           "doc_id", "text", k = 3, minDf = 3L)
         .orderBy(col("doc_id"))),
 
+    // T-10: exact corpus heavy hitters (tokens above a frequency
+    // share) via per-partition Misra–Gries + recount of survivors —
+    // the shuffle never carries the vocabulary tail, only candidates,
+    // yet the integer cutoff makes the result exact and oracle-able.
+    "t10_heavy_hitters" -> ((s, d) =>
+      graft.operators.CorpusStats.heavyHitters(
+          t(s, d, "documents"), "text", threshold = 200)
+        .orderBy(col("cnt").desc, col("token"))),
+
     // M-1: opaque binary column + typed metadata (multimodal plumbing)
     "m1_binary_meta" -> ((s, d) =>
       t(s, d, "documents")
@@ -226,6 +235,12 @@ object TextQueries {
          |SELECT t.doc_id, t.n_grams, coalesce(s.n_shared, 0) AS n_shared,
          |  coalesce(s.n_shared, 0)::DOUBLE / t.n_grams::DOUBLE AS boilerplate_ratio
          |FROM tot t LEFT JOIN sh s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t10_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT token, cnt FROM cnt, tot WHERE cnt * 200 > total
+        |ORDER BY cnt DESC, token""".stripMargin,
     "t9_scrub_boilerplate" ->
       """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |pos AS (SELECT doc_id, text, toks,

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout writers — the engine's answer to the reference's
   * serving-side indexes (`sql/schema.sql` puts a B-tree on
@@ -38,6 +39,49 @@ object Layout {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Morton z-value: bit-interleave of two non-negative integer
+    * dimensions (x bit b → z bit 2b, y bit b → z bit 2b+1). Rows close
+    * in z are close in BOTH x and y, so sorting a table by z clusters
+    * it for two-dimensional predicates at once — the multi-column
+    * answer to single-key sort/bucket layout, and the same technique
+    * lakehouse table formats expose as Z-ORDER clustering. Pure integer
+    * arithmetic (shift/mask/add), so it is exactly reproducible in any
+    * engine — query x4 oracles it bit-for-bit.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xs = x.cast("bigint"); val ys = y.cast("bigint")
+    (0 until bits).map { b =>
+      shiftright(xs, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
+        shiftright(ys, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** ANSI-SQL twin of [[zValue]] (DuckDB oracle). */
+  def sqlZValue(x: String, y: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"(((($x)::BIGINT >> $b) & 1) * ${1L << (2 * b)} + " +
+        s"((($y)::BIGINT >> $b) & 1) * ${1L << (2 * b + 1)})"
+    }.mkString("(", " + ", ")")
+
+  /** Write `df` z-order-clustered on two integer dimensions into
+    * `nFiles` range-partitioned files, each sorted by z within. Every
+    * output file then covers a compact z-range — a small rectangle in
+    * (x, y) — so its parquet row-group min/max stats are tight on BOTH
+    * columns and a two-dimensional box predicate prunes most files and
+    * row groups entirely (a single-column sort gives tight stats on one
+    * dimension and full-range stats on the other; LayoutSpec measures
+    * both layouts' per-file ranges). Write-once / read-many, like the
+    * other layout writers: one ranged shuffle at write time buys stats
+    * pruning on every subsequent scan. */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: String, yCol: String,
+                    bits: Int, nFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
 
   /** Compact a small-files parquet directory into ~`targetBytes` output
     * files (by current on-disk size), written to `outDir`.

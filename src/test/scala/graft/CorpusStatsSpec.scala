@@ -115,6 +115,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("heavyHitters equals the exact groupBy cutoff and is partitioning-independent") {
+    // skewed stream: "hot" ~20%, "warm" ~5%, tail of singletons
+    val docs = (1 to 400).map { i =>
+      val toks = Seq("hot") ++ (if (i % 4 == 0) Seq("warm") else Seq()) ++
+        Seq(s"tail$i", s"rare${i % 97}")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def exact(threshold: Int) = {
+      val toks = docs.select(explode(split($"text", " ")).as("token"))
+      val total = toks.count()
+      toks.groupBy($"token").count()
+        .filter($"count" * threshold > total)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    def mg(df: org.apache.spark.sql.DataFrame, threshold: Int) =
+      CorpusStats.heavyHitters(df, "text", threshold)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (threshold <- Seq(3, 10, 50)) {
+      val want = exact(threshold)
+      assert(mg(docs, threshold) == want, s"threshold=$threshold")
+      // the MG candidate set depends on partition boundaries; the exact
+      // recount must erase that
+      assert(mg(docs.repartition(13), threshold) == want,
+        s"threshold=$threshold repartitioned")
+    }
+    // sanity: the skewed head is actually found at a tight threshold
+    assert(exact(10).map(_._1).contains("hot"))
+  }
+
   test("boilerplateRatio is repartition-stable") {
     val docs = (1 to 200).map(i => (i.toLong,
       if (i % 3 == 0) "shared boilerplate header text plus unique " + i

@@ -90,6 +90,47 @@ class SkewBucketSpec extends SparkSpec {
       s"HLL orders $hll vs exact $exactOrders")
   }
 
+  test("zValue interleaves bits exactly") {
+    // x=3 (0b011) → z bits 0,2; y=5 (0b101) → z bits 1,5:
+    // z = 1 + 4 + 2 + 32 = 39
+    val got = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.sources.Layout.zValue($"x", $"y", 3)).as[Long].head()
+    assert(got == 39L)
+    // single-bit sanity: (1,0)→1, (0,1)→2, (1,1)→3
+    val basics = Seq((1L, 0L), (0L, 1L), (1L, 1L)).toDF("x", "y")
+      .select(graft.sources.Layout.zValue($"x", $"y", 1)).as[Long].collect().toSeq
+    assert(basics == Seq(1L, 2L, 3L))
+  }
+
+  test("z-ordered layout bounds BOTH dimensions per file; single-key sort only one") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(pmod($"o_custkey", lit(1024)).cast("bigint").as("x"),
+        pmod(datediff($"o_orderdate".cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint"), lit(1024)).as("y"))
+    def perFileRanges(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    graft.sources.Layout.writeZOrdered(o, zDir, "x", "y", bits = 10, nFiles = 16)
+    val xDir = java.nio.file.Files.createTempDirectory("graft-xsort").toString
+    o.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+    val zr = perFileRanges(zDir)
+    val xr = perFileRanges(xDir)
+    def avg(s: Seq[Long]) = s.sum.toDouble / s.size
+    // a contiguous z-range covers a compact rectangle: BOTH per-file
+    // extents stay well under the 1024 global range...
+    assert(avg(zr.map(_._1)) < 700, s"z-layout x-extent too wide: $zr")
+    assert(avg(zr.map(_._2)) < 700, s"z-layout y-extent too wide: $zr")
+    // ...while the x-sorted layout leaves the un-sorted dimension at
+    // effectively full range per file (no pruning power on y)
+    assert(avg(xr.map(_._2)) > 900, s"x-sort y-extent unexpectedly tight: $xr")
+    assert(avg(zr.map(_._2)) < avg(xr.map(_._2)) / 2,
+      "z-order should at least halve the unsorted dimension's per-file extent")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")

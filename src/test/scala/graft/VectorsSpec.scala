@@ -58,6 +58,32 @@ class VectorsSpec extends SparkSpec {
     assert(recall > 0.3, s"LSH recall too low: $recall") // 4 tables × 16 buckets
   }
 
+  test("kNN join: per-row top-k shape, exact cosines, planted near-dups recovered") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 200).select($"vec_id", $"embedding")
+    // plant a near-identical copy of every vector (cosine ~0.999): the
+    // high-cosine neighborhood is what LSH blocking is built to keep
+    val planted = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding",
+        (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val out = SimilaritySearch.knnJoin(e.unionByName(planted),
+      "vec_id", "embedding", k = 3, bits = 6, tables = 2)
+    val rows = out.collect()
+    // shape: <= k per q, ranks contiguous from 1, cosines descending
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2))
+      assert(byRank.length <= 3)
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to byRank.length))
+      val cs = byRank.map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    // recall: each original's planted twin is its true top neighbor;
+    // 6-bit × 2-table sign-LSH keeps cos≈0.999 pairs w.p. ~0.99
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 200).count(i => pairs.contains((i.toLong, i + 100000L)))
+    assert(found >= 190, s"planted near-dup recall too low: $found/200")
+  }
+
   test("IVF median-centroid variant: decent recall vs brute force") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = SimilaritySearch.bruteForceTopK(e.filter($"vec_id" < 10), e, "vec_id", "embedding", 5)
