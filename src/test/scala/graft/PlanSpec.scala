@@ -217,6 +217,44 @@ class PlanSpec extends SparkSpec {
       s"probe should consume the explode output narrowly:\n$p")
   }
 
+  test("n7: kNN join pairs via the bucket self-equi-join, never a cross product") {
+    val df = SparkEntry.queries("n7_knn_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"n7 candidates must come from the (tbl,bucket) equi-join:\n$p")
+    // the rank shuffle moves slim (ids, cosine) rows, not vectors: the
+    // window sort's input must not carry an embedding payload column
+    val i = p.linesIterator.indexWhere(_.contains("WindowGroupLimit"))
+    assert(i >= 0 || p.contains("Window"), s"expected rank window in:\n$p")
+  }
+
+  test("t10: heavy hitters sketch in mapPartitions, candidates broadcast onto the stream") {
+    val df = SparkEntry.queries("t10_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // stage 1 is the Misra–Gries mapPartitions (an object map, not an
+    // aggregate): the token stream reaches the candidate join with NO
+    // exchange of its own — the vocabulary tail never shuffles
+    assert(p.contains("MapPartitions"),
+      s"expected the MG sketch to run as mapPartitions:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the candidate set to broadcast onto the token stream:\n$p")
+  }
+
+  test("x4: z-value arithmetic is pure codegen'd Catalyst with partial aggregation") {
+    val df = SparkEntry.queries("x4_zorder_stats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // shift/mask/add lowers to native long expressions — no UDF — and
+    // the zbucket aggregation combines map-side before its exchange
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"zValue must be pure Catalyst arithmetic:\n$p")
+    assert(p.contains("partial_count"),
+      s"expected map-side partial aggregation under the zbucket exchange:\n$p")
+    assert(p.contains("*("), s"expected whole-stage codegen over the scan:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
