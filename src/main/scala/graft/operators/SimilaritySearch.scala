@@ -228,6 +228,10 @@ object SimilaritySearch {
       .limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // loud argument error, not an index crash downstream: a codebook
+    // needs at least one anchor (EmptyInputSpec pins the message)
+    require(anchors.nonEmpty,
+      "PQ codebook training corpus is empty — nothing to sample codewords from")
     Array.tabulate(m)(mi => anchors.map(_.slice(mi * subDim, (mi + 1) * subDim)))
   }
 

@@ -174,6 +174,18 @@ object CoreQueries {
         .orderBy(grouping(col("l_returnflag")), grouping(col("l_linestatus")),
           coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))),
 
+    // §2.G breadth: explicit GROUPING SETS — an ASYMMETRIC set list
+    // ((flag, status), (status)) that neither rollup (g1) nor cube (g5)
+    // can express; same partial-aggregated expand + FP rounding
+    "g6_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(grouping(col("l_returnflag")), grouping(col("l_linestatus")),
+          coalesce(col("l_returnflag"), lit("")), coalesce(col("l_linestatus"), lit("")))),
+
     // beyond-reference breadth: 3-way join + grouped top-k (TPC-H Q3
     // shape). Revenue in integer 1e-4 units — exact in any aggregation
     // order, so the top-10 cut cannot flake on FP partition noise.
@@ -302,6 +314,13 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
+        |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
+    "g6_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
         |ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
         |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
     "g3_multijoin_topk" ->

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Empty-input totality: every library operator must map empty input to
+  * empty output (or raise a DOCUMENTED argument error) — never an
+  * ArrayIndexOutOfBounds/NoSuchElement from an internal collect. At
+  * 100 TB an empty slice is routine: a zero-row incremental batch, a
+  * filter that matches nothing, a new source directory. An operator
+  * that crashes on it takes down the whole pipeline run.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs0: DataFrame = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def vecs0: DataFrame =
+    Seq.empty[(Long, Array[Float], Long)].toDF("vec_id", "embedding", "label")
+  private def kv0: DataFrame = Seq.empty[(Long, String, Double)].toDF("id", "src", "v")
+  private def ts0: DataFrame = Seq.empty[(Long, Long, Double)].toDF("k", "ts", "v")
+
+  test("dedup family: empty corpus → empty pairs/signatures") {
+    assert(Dedup.exactDedup(docs0, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashSignatures(docs0, "doc_id", "text", 3, 16, 4).count() == 0)
+    assert(Dedup.minhashPairs(docs0, "doc_id", "text", 3, 16, 4, 50).count() == 0)
+    assert(Dedup.simhashes(docs0, "doc_id", "text", 48).count() == 0)
+    assert(Dedup.simhashNearDup(docs0, "doc_id", "text", 48, 3, 16).count() == 0)
+    assert(Dedup.containmentPairs(docs0, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("similarity search: empty corpus and empty query set → empty top-k") {
+    val q = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val v0 = vecs0.select($"vec_id", $"embedding")
+    assert(SimilaritySearch.bruteForceTopK(q, v0, "vec_id", "embedding", 3).count() == 0)
+    assert(SimilaritySearch.bruteForceTopK(v0, c, "vec_id", "embedding", 3).count() == 0)
+    assert(SimilaritySearch.lshTopK(q, v0, "vec_id", "embedding", 3, 4, 2).count() == 0)
+    assert(SimilaritySearch.knnJoin(v0, "vec_id", "embedding", 3, 4, 2).count() == 0)
+    assert(SimilaritySearch.ivfMedianTopK(q, vecs0, "vec_id", "embedding", "label",
+      dim = 4, k = 3, nProbe = 2).count() == 0)
+  }
+
+  test("PQ codebook training on an empty corpus raises a documented error") {
+    val v0 = vecs0.select($"vec_id", $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTrainCodebook(v0, "vec_id", "embedding", dim = 4, m = 2, k = 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("corpus stats: empty corpus → empty stats") {
+    assert(CorpusStats.tfidfTopK(docs0, "doc_id", "text", 3).count() == 0)
+    assert(CorpusStats.boilerplateRatio(docs0, "doc_id", "text", 3, 3L).count() == 0)
+    assert(CorpusStats.removeSharedSpans(docs0, "doc_id", "text", 3, 3L).count() == 0)
+    assert(CorpusStats.heavyHitters(docs0, "text", 200).count() == 0)
+  }
+
+  test("curation: empty corpus → empty splits/samples/outliers") {
+    assert(Curation.hashSplit(kv0, "id").count() == 0)
+    assert(Curation.weightedSample(kv0, "id", lit(5), 10).count() == 0)
+    assert(Curation.stratifiedSample(kv0, Seq("src"), "id", 5).count() == 0)
+    assert(Curation.lengthOutliers(kv0.withColumn("n", lit(1)), "src", "n", 95)
+      .count() == 0)
+  }
+
+  test("components: empty edge set → empty labeling; empty batch is a no-op") {
+    val edges0 = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(edges0, "a", "b").count() == 0)
+    assert(Components.connectedComponentsStar(edges0, "a", "b").count() == 0)
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("node", "cluster")
+    val merged = Components.mergeIncrementalClusters(labels, edges0, "a", "b")
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("temporal joins: one or both sides empty → left rows or nothing, no crash") {
+    val l = Seq((1L, 100L, 1.0)).toDF("k", "ts", "v")
+    val r0 = ts0.withColumnRenamed("v", "rv")
+    assert(AsOfJoin.backward(l, r0, Seq("k"), "ts").count() == 1)
+    assert(AsOfJoin.backward(r0, l, Seq("k"), "ts").count() == 0)
+    assert(RangeJoin.bandJoin(ts0, l, Seq("k"), "ts", 10L).count() == 0)
+  }
+
+  test("sketches and skew: empty input → empty estimates, not division errors") {
+    assert(Sketches.kmvDistinctEstimate(kv0, "id", 16).collect()
+      .forall(r => r.isNullAt(0) || r.getDouble(0) == 0.0))
+    assert(Skew.saltedSumCount(kv0, "src", "v", 4).count() == 0)
+  }
+}
