@@ -307,6 +307,62 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Embedding near-dup with PQ-COMPRESSED verification — the d5 shape
+    * with the pair-stage payload shrunk ~8×: candidates come from the
+    * same multi-table sign-LSH bucket self-join, but the colliding
+    * pairs are first screened on decoded PQ codes (symmetric approx
+    * cosine ≥ threshold − margin) and only approx-survivors re-join
+    * the full-precision vectors for the exact threshold test.
+    *
+    * Why at 100 TB: in d5 every colliding pair moves two full float
+    * vectors through the verification join; here the corpus-wide pair
+    * stage moves (id, m small ints) codes — the full vectors are
+    * fetched for the (far fewer) approx-survivors only. `margin`
+    * absorbs PQ distortion: too small loses true pairs (DedupSpec
+    * measures recall vs the exact verifier), larger just verifies more
+    * candidates exactly. One pass computes buckets AND codes per
+    * vector; the whole chain (deterministic codebook → encode →
+    * decode → screen → exact) is bitwise oracle-expressible (d10).
+    */
+  def pqNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double, margin: Double,
+                     bits: Int, tables: Int,
+                     m: Int = 8, codewords: Int = 16): DataFrame = {
+    val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
+    // ONE corpus-wide pass: buckets (for blocking) + code (for approx
+    // verification); the float vector is dropped immediately after
+    val u = graft.model.Tables.spread(corpus).select(col(idCol).as("id"),
+      Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
+      graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"))
+    val banded = u.select(col("id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val pairs = banded.select(col("id").as("id_a"), col("tbl"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // approx screen on decoded codes — the only payload here is m ints
+    val codes = u.select(col("id"), col("code"))
+    def decoded(p: String) = codes
+      .select(col("id").as(s"id_$p"), pqDecode(col("code"), codebook).as(s"dec_$p"))
+      .withColumn(s"dnorm_$p", Vectors.norm(col(s"dec_$p")))
+    val screened = pairs
+      .join(decoded("a"), "id_a").join(decoded("b"), "id_b")
+      .filter(Vectors.cosineWithNorms(col("dec_a"), col("dec_b"),
+        col("dnorm_a"), col("dnorm_b")) >= threshold - margin)
+      .select(col("id_a"), col("id_b"))
+    // exact verification: full vectors fetched for approx-survivors only
+    def full(p: String) = corpus
+      .select(col(idCol).as(s"id_$p"), col(vecCol).as(s"vec_$p"))
+      .withColumn(s"norm_$p", Vectors.norm(col(s"vec_$p")))
+    screened.join(full("a"), "id_a").join(full("b"), "id_b")
+      .withColumn("cosine", Vectors.cosineWithNorms(col("vec_a"), col("vec_b"),
+        col("norm_a"), col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF-style coarse quantization: centroids = per-cluster mean vectors
     * (computed from a labeled/assigned corpus), probe = nearest
     * `nProbe` centroids, score only vectors in probed clusters.

@@ -239,6 +239,25 @@ object DedupQueries {
     // (id_a, id_b) list back to vectors on id — no wide payloads in
     // the candidate shuffle. OR-amplified recall (4 tables × 8 bits)
     // is measured in DedupSpec; see SCALE.md.
+    // D-10: the d5 shape with PQ-COMPRESSED pair verification — the
+    // corpus-wide pair stage carries 8-int codes (~8× smaller than the
+    // float vectors); full vectors join only for approx-survivors. Same
+    // universe and 0.9 cutoff as d5; margin 0.15 absorbs PQ distortion
+    // (DedupSpec measures recall vs the exact d5 verifier).
+    "d10_pq_neardup" -> ((s, d) => {
+      val Bits = 8; val NTables = 4
+      val e = t(s, d, "embeddings")
+      val orig = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val mut = e.select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+          (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
+      graft.operators.SimilaritySearch.pqNearDupPairs(
+          orig.unionByName(mut), "vec_id", "vec", dim = 64,
+          threshold = 0.9, margin = 0.15, bits = Bits, tables = NTables)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "d5_embedding_neardup" -> ((s, d) => {
       val Bits = 8; val NTables = 4
       val e = t(s, d, "embeddings")
@@ -452,6 +471,56 @@ object DedupQueries {
          |FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS text_a, b.text AS text_b
          |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
          |ORDER BY id_a""".stripMargin,
+    "d10_pq_neardup" -> {
+      val Bits = 8; val NTables = 4
+      val M = 8; val Kcw = 16; val SubDim = 8
+      val u =
+        """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+          |UNION ALL
+          |SELECT vec_id + 100000,
+          |  list_transform(generate_series(1, len(embedding)),
+          |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
+          |FROM embeddings""".stripMargin
+      val banded = (0 until NTables).map(tb =>
+        s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
+        .mkString("\nUNION ALL ")
+      val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
+        "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
+      val approxCos = Vectors.sql.cosineWithNorms("da.dv", "db.dv", "da.dnorm", "db.dnorm")
+      val exactCos = Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")
+      s"""WITH u AS ($u),
+         |anch AS (SELECT ki, av FROM (
+         |  SELECT row_number() OVER (ORDER BY
+         |      ${Hashing.sql.hash64("CAST(vec_id AS VARCHAR)")} ASC,
+         |      vec_id ASC) AS ki, vec AS av
+         |  FROM u) WHERE ki <= $Kcw),
+         |subs AS (SELECT unnest([${(0 until M).mkString(", ")}]) AS mi),
+         |cw AS (SELECT mi, ki, list_slice(av, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS cw
+         |       FROM anch CROSS JOIN subs),
+         |pqd AS (SELECT vec_id, mi, ki, $l2 AS dist FROM (
+         |  SELECT vec_id, mi, ki,
+         |    list_slice(vec, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS sv, cw
+         |  FROM u CROSS JOIN cw)),
+         |enc AS (SELECT vec_id, mi, ki FROM (
+         |  SELECT vec_id, mi, ki,
+         |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist ASC, ki ASC) AS rr
+         |  FROM pqd) WHERE rr = 1),
+         |dec AS (SELECT vec_id, flatten(list(cw ORDER BY mi)) AS dv
+         |        FROM enc JOIN cw USING (mi, ki) GROUP BY vec_id),
+         |banded AS ($banded),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |dn AS (SELECT vec_id, dv, ${Vectors.sql.norm("dv")} AS dnorm FROM dec),
+         |scr AS (SELECT id_a, id_b
+         |  FROM pairs JOIN dn da ON da.vec_id = id_a JOIN dn db ON db.vec_id = id_b
+         |  WHERE $approxCos >= (0.9 - 0.15)::DOUBLE),
+         |un AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm FROM u)
+         |SELECT id_a, id_b, $exactCos AS cosine
+         |FROM scr JOIN un ua ON ua.vec_id = id_a JOIN un ub ON ub.vec_id = id_b
+         |WHERE $exactCos >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "d5_embedding_neardup" -> {
       val Bits = 8; val NTables = 4
       val u =

@@ -54,6 +54,31 @@ object EventQueries {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("win_start_us"), col("event_type"))),
 
+    // W-7: ordered conversion funnel — users reaching view → click →
+    // purchase where each stage's FIRST occurrence must be at/after the
+    // previous stage's. Three conditional-min aggregations chained on
+    // user_id: after the first exchange the data is already partitioned
+    // by user, so stages 2–3 reuse the partitioning (no extra shuffle of
+    // the event stream); no self-join, no window sort over raw events.
+    "w7_funnel" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+      val s1 = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val s2 = e.join(s1, "user_id")
+        .groupBy(col("user_id"))
+        .agg(first(col("t_view")).as("t_view"),
+          min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+            col("ts"))).as("t_click"))
+      val s3 = e.join(s2, "user_id")
+        .groupBy(col("user_id"))
+        .agg(first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"),
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+            col("ts"))).as("t_purchase"))
+      s3.agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+    }),
+
     // W-5: time-series regularization — hourly grid per user between
     // first and last observation, latest value forward-filled into gaps
     "w5_gapfill" -> ((s, d) =>
@@ -134,6 +159,17 @@ object EventQueries {
         |  FROM e)
         |SELECT win_start_us, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM hops GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "w7_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |            FROM events GROUP BY 1),
+        |s2 AS (SELECT e.user_id, any_value(s1.t_view) AS t_view,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_view THEN e.ts END) AS t_click
+        |       FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id, any_value(s2.t_click) AS t_click, any_value(s2.t_view) AS t_view,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click THEN e.ts END) AS t_purchase
+        |       FROM events e JOIN s2 USING (user_id) GROUP BY 1)
+        |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+        |  count(t_purchase) AS n_purchase FROM s3""".stripMargin,
     "w5_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
         |              epoch_us(ts) AS us, value FROM events),

@@ -46,7 +46,11 @@ object DumpPlans {
       "m2_ppm_decode" -> "Multimodal decode: payload assembly is a codegen'd expression and the codec runs as a narrow mapPartitions — no exchange anywhere before the final presentation sort, so a 100 TB binary corpus decodes at scan speed.",
       "y4_band_join" -> "Band join as +/-1-bucket decomposition: hash join on (user, bucket) with the exact |diff| <= delta re-check as the post-join filter — no BroadcastNestedLoopJoin; shuffle is 3|L|+|R| slim rows.",
       "y5_interval_overlap" -> "Interval overlap via bucket decomposition: both session sides explode onto covering buckets, equi-join on bucket, exact overlap + anchor-bucket emit-once filter — no pair DISTINCT and no nested-loop time join.",
-      "t9_scrub_boilerplate" -> "Span scrub: slim (id, pos, hash) gram stream; shared head set broadcast; only shared occurrences' covered positions shuffle back per doc; the final token filter is a narrow array op — text bytes never enter an exchange.")
+      "t9_scrub_boilerplate" -> "Span scrub: slim (id, pos, hash) gram stream; shared head set broadcast; only shared occurrences' covered positions shuffle back per doc; the final token filter is a narrow array op — text bytes never enter an exchange.",
+      "n7_knn_join" -> "kNN JOIN (query set = corpus): candidates from a sign-LSH bucket SELF-equi-join over slim (id, table, bucket) rows — O(N x tables) shuffle, never N^2; embedding payloads re-join by id only for colliding pairs; the rank window sees (ids, cosine) only.",
+      "t10_heavy_hitters" -> "Exact heavy hitters: Misra-Gries summaries run as a narrow mapPartitions (no exchange carries the vocabulary tail); the tiny candidate superset broadcasts onto the token stream; one exact recount + integer cutoff makes the sketch's output exact.",
+      "x4_zorder_stats" -> "Z-order stats: the Morton interleave lowers to pure codegen'd shift/mask/add longs over the scan; one partial-aggregated groupBy on the z-bucket — the layout writer reuses the same z-value for range-partitioned clustered writes.",
+      "w7_funnel" -> "Conversion funnel: three conditional-min aggregations chained on user_id — after the first hash exchange the stream stays partitioned by user, so later stages add no event-stream shuffle; no self-join, no window sort over raw events.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

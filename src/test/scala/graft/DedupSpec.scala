@@ -190,6 +190,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH blocking recall $recall below 0.95 (found ${blocked.size} pairs)")
   }
 
+  test("d10 PQ-screened near-dup: recall vs the exact d5 verifier") {
+    // d10 adds a compressed screen between blocking and the exact
+    // cosine test — it can only LOSE pairs whose PQ distortion exceeds
+    // the margin; this measures that loss against d5's exact result
+    val exact = graft.queries.DedupQueries.queries("d5_embedding_neardup")(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pq = graft.queries.DedupQueries.queries("d10_pq_neardup")(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pq.subsetOf(exact),
+      "PQ screen must only remove candidates — final exact filter is the same")
+    val recall = (exact intersect pq).size.toDouble / math.max(1, exact.size)
+    assert(recall >= 0.9,
+      s"PQ-screen recall $recall below 0.9 (${pq.size}/${exact.size} pairs)")
+  }
+
   test("ngram jaccard: identical=100, disjoint=0") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("text_a", "text_b")
     val out = Dedup.ngramJaccard(pairs, "text_a", "text_b", 3, 60)
