@@ -56,27 +56,29 @@ object EventQueries {
 
     // W-7: ordered conversion funnel — users reaching view → click →
     // purchase where each stage's FIRST occurrence must be at/after the
-    // previous stage's. Three conditional-min aggregations chained on
-    // user_id: after the first exchange the data is already partitioned
-    // by user, so stages 2–3 reuse the partitioning (no extra shuffle of
-    // the event stream); no self-join, no window sort over raw events.
+    // previous stage's. The sequential dependency (stage n+1's cutoff is
+    // stage n's min) is expressed as three UNORDERED per-user window
+    // minima over ONE partitioning: the event stream hash-shuffles on
+    // user_id exactly once (PlanSpec pins it) — a join/re-aggregate
+    // formulation re-reads and re-exchanges the 100 TB stream per stage.
     "w7_funnel" -> ((s, d) => {
-      val e = t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
-      val s1 = e.groupBy(col("user_id"))
-        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
-      val s2 = e.join(s1, "user_id")
-        .groupBy(col("user_id"))
-        .agg(first(col("t_view")).as("t_view"),
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t_click",
           min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
-            col("ts"))).as("t_click"))
-      val s3 = e.join(s2, "user_id")
+            col("ts"))).over(byUser))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+            col("ts"))).over(byUser))
         .groupBy(col("user_id"))
         .agg(first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"),
-          min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
-            col("ts"))).as("t_purchase"))
-      s3.agg(count(col("t_view")).as("n_view"),
-        count(col("t_click")).as("n_click"),
-        count(col("t_purchase")).as("n_purchase"))
+          first(col("t_purchase")).as("t_purchase"))
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
     }),
 
     // W-5: time-series regularization — hourly grid per user between

@@ -50,7 +50,7 @@ object DumpPlans {
       "n7_knn_join" -> "kNN JOIN (query set = corpus): candidates from a sign-LSH bucket SELF-equi-join over slim (id, table, bucket) rows — O(N x tables) shuffle, never N^2; embedding payloads re-join by id only for colliding pairs; the rank window sees (ids, cosine) only.",
       "t10_heavy_hitters" -> "Exact heavy hitters: Misra-Gries summaries run as a narrow mapPartitions (no exchange carries the vocabulary tail); the tiny candidate superset broadcasts onto the token stream; one exact recount + integer cutoff makes the sketch's output exact.",
       "x4_zorder_stats" -> "Z-order stats: the Morton interleave lowers to pure codegen'd shift/mask/add longs over the scan; one partial-aggregated groupBy on the z-bucket — the layout writer reuses the same z-value for range-partitioned clustered writes.",
-      "w7_funnel" -> "Conversion funnel: three conditional-min aggregations chained on user_id — after the first hash exchange the stream stays partitioned by user, so later stages add no event-stream shuffle; no self-join, no window sort over raw events.")
+      "w7_funnel" -> "Conversion funnel: the sequential stage dependency runs as three unordered per-user window minima over ONE partitioning — the event stream hash-shuffles on user_id exactly once; no self-join, no per-stage re-read of the stream.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

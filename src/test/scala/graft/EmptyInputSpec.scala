@@ -82,6 +82,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(RangeJoin.bandJoin(ts0, l, Seq("k"), "ts", 10L).count() == 0)
   }
 
+  test("null text rows flow through the text operators without crashing") {
+    val docsN = Seq((1L, "alpha beta gamma delta epsilon"), (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // null text hashes to a null group / no shingles — never an NPE
+    assert(Dedup.exactDedup(docsN, "doc_id", "text").count() >= 1)
+    assert(Dedup.minhashSignatures(docsN, "doc_id", "text", 3, 16, 4).count() == 3)
+    assert(Dedup.minhashPairs(docsN, "doc_id", "text", 3, 16, 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    assert(CorpusStats.tfidfTopK(docsN, "doc_id", "text", 3).count() > 0)
+    assert(CorpusStats.heavyHitters(docsN, "text", 3).count() >= 0)
+  }
+
+  test("null embedding rows flow through the vector operators without crashing") {
+    val vecsN = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+    val knn = SimilaritySearch.knnJoin(vecsN, "vec_id", "embedding", 2, 2, 2)
+    // the null vector produces null buckets → excluded from candidates
+    assert(!knn.collect().exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+    val bf = SimilaritySearch.bruteForceTopK(
+      vecsN.filter($"vec_id" === 1), vecsN, "vec_id", "embedding", 2)
+    bf.collect() // null candidate scores null cosine; must not throw
+  }
+
   test("sketches and skew: empty input → empty estimates, not division errors") {
     assert(Sketches.kmvDistinctEstimate(kv0, "id", 16).collect()
       .forall(r => r.isNullAt(0) || r.getDouble(0) == 0.0))

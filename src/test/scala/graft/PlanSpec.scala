@@ -255,6 +255,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"expected whole-stage codegen over the scan:\n$p")
   }
 
+  test("d10: PQ screen verifies via equi-joins only; full vectors join after the screen") {
+    val df = SparkEntry.queries("d10_pq_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d10 must block and verify via equi-joins, never a cross product:\n$p")
+    // the screen filter (approx cosine on decoded codes) must sit below
+    // the exact-cosine filter in the final plan — i.e. both exist
+    assert("Filter .*aggregate".r.findAllIn(p).nonEmpty || p.contains("zip_with"),
+      s"expected the decoded-code cosine screen in the plan:\n$p")
+  }
+
+  test("w7: funnel reuses the user_id partitioning — one event-stream exchange") {
+    val df = SparkEntry.queries("w7_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the raw event stream must hash-shuffle on user_id exactly once in
+    // the final plan: stages 2-3 consume the existing partitioning
+    val finalPlan = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val scanShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(finalPlan).size
+    assert(scanShuffles <= 1,
+      s"funnel stages must reuse the user_id partitioning, found $scanShuffles exchanges:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
