@@ -129,7 +129,9 @@ object Components {
       sym.join(m, sym("u") === m("cu"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+      // no distinct here: small-star's groupBy(min) is duplicate-
+      // insensitive and its final distinct canonicalizes the round's
+      // output set — dropping this exchange saves a shuffle per round
     }
 
     // small-star: u's smaller-neighbor min adopts u and the rest of
@@ -148,7 +150,9 @@ object Components {
     var eCnt = e.count()
     var converged = eCnt == 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // LAZY checkpoint: the count() below is the materializing action,
+      // so lineage truncation costs no extra job per round
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       // both sides are distinct sets, so equal counts are NECESSARY for
       // the fixed point — and counting freshly-checkpointed data is one
       // cheap job, while the exact symmetric-difference check is two

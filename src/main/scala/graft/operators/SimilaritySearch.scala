@@ -330,10 +330,13 @@ object SimilaritySearch {
                      m: Int = 8, codewords: Int = 16): DataFrame = {
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
-    // verification); the float vector is dropped immediately after
+    // verification); the float vector is dropped immediately after.
+    // Persisted because it feeds two subtrees (banding + the code
+    // lookup) — without it the hash+encode pass runs once per subtree.
     val u = graft.model.Tables.spread(corpus).select(col(idCol).as("id"),
       Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
       graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = u.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val pairs = banded.select(col("id").as("id_a"), col("tbl"), col("bucket"))
