@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Continuous corpus statistics: each micro-batch APPENDS its partial
+  * per-token aggregates — (token, tf, df) summed over just the batch —
+  * as a `batch_id=<n>` partition of the store; read-time resolution
+  * merges the partials, and [[compactTo]] periodically folds the
+  * partition pile back into one base. The streaming sibling of the
+  * batch corpus-stats operators (t7/t10).
+  *
+  * Why partials, not a maintained table: a vocabulary-sized store
+  * rewritten per batch costs O(vocabulary) writes per ingest — the
+  * tail of URLs/ids/typos dominates and grows without bound. Appending
+  * per-batch partials costs O(batch vocabulary) and stays exact
+  * because tf and df are both algebraic (sums): doc-freq partials sum
+  * exactly as long as a document arrives whole in one batch, the same
+  * uniqueness contract the signature store already relies on. The
+  * read-merge-compact lifecycle is the LSM shape every streaming
+  * aggregate store converges to; small-files pressure is the
+  * documented `Layout.compact` chore.
+  *
+  * Idempotence: a replayed micro-batch (foreachBatch is
+  * at-least-once) overwrites its own `batch_id=` partition instead of
+  * double-counting — same discipline as the dedup/ANN stores.
+  */
+object IncrementalCorpusStats {
+
+  /** Ingest any new files under `inputDir` once (AvailableNow), then
+    * stop. Call repeatedly for a scheduled-cadence pipeline. */
+  def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
+              idCol: String, textCol: String,
+              storeDir: String, checkpointDir: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+      .select(col(idCol), col(textCol))
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchPartial(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One batch's partial aggregates: (token, tf = occurrences in the
+    * batch, df = docs of the batch containing it). Map-side combined
+    * both stages; the batch's text never leaves the executors. */
+  private[streaming] def batchPartial(batch: DataFrame, idCol: String,
+                                      textCol: String): DataFrame =
+    batch
+      .select(col(idCol).as("__doc"),
+        explode(graft.functions.Hashing.tokens(col(textCol))).as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+
+  /** Merge all partials into the current (token, tf, df) truth. */
+  def resolveStats(spark: SparkSession, storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      return spark.emptyDataFrame
+        .withColumn("token", lit("")).withColumn("tf", lit(0L))
+        .withColumn("df", lit(0L)).limit(0)
+    spark.read.parquet(storeDir)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+  }
+
+  /** Fold the partial pile into a single base partition at `outDir`
+    * (`batch_id=0`), after which new batches append on top — run on a
+    * maintenance cadence to bound read-merge fan-in and file count. */
+  def compactTo(spark: SparkSession, storeDir: String, outDir: String): Unit =
+    resolveStats(spark, storeDir)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+
+  /** Corpus heavy hitters straight from the store: tokens whose total
+    * tf exceeds corpusTokens/threshold — the continuous form of t10's
+    * exact cutoff (the store already holds exact counts, so no
+    * sketch/recount round trip is needed). */
+  def heavyHittersFromStore(spark: SparkSession, storeDir: String,
+                            threshold: Int): DataFrame = {
+    val stats = resolveStats(spark, storeDir)
+    val total = stats.agg(sum(col("tf")).as("total"))
+    stats.crossJoin(broadcast(total))
+      .filter(col("tf") * threshold > col("total"))
+      .select(col("token"), col("tf").as("cnt"))
+  }
+}

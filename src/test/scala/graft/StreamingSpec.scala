@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{IncrementalAnn, IncrementalDedup, IncrementalLedger}
+import graft.streaming.{IncrementalAnn, IncrementalCorpusStats, IncrementalDedup, IncrementalLedger}
 
 /** S-3 / §2.I: exactly-once file-grain incremental processing. */
 class StreamingSpec extends SparkSpec {
@@ -188,5 +188,50 @@ class StreamingSpec extends SparkSpec {
       df => df.withColumn("v", upper(col("v"))))
     val rows = spark.read.parquet(out).orderBy($"id").as[(Long, String)].collect().toSeq
     assert(rows == Seq((1L, "A"), (2L, "B"), (3L, "C")))
+  }
+
+  test("streaming corpus stats: partials resolve to the batch recompute; compaction preserves") {
+    val root = Files.createTempDirectory("graft-incstats")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b0 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    val b1 = Seq((3L, "alpha delta"), (4L, "beta beta alpha"))
+    def ingest(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+      IncrementalCorpusStats.runOnce(spark, schema, in.toString,
+        "doc_id", "text", store, ckpt)
+    }
+    def resolved: Set[(String, Long, Long)] =
+      IncrementalCorpusStats.resolveStats(spark, store)
+        .as[(String, Long, Long)].collect().toSet
+    def recompute(rows: Seq[(Long, String)]): Set[(String, Long, Long)] = {
+      val toks = rows.toDF("doc_id", "text")
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+      toks.groupBy($"token")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+        .as[(String, Long, Long)].collect().toSet
+    }
+    ingest(b0)
+    assert(resolved == recompute(b0))
+    ingest(b1)
+    assert(resolved == recompute(b0 ++ b1))
+    // the store is append-only partials: batch 0's partition unchanged
+    assert(spark.read.parquet(store).filter($"batch_id" === 0)
+      .as[(String, Long, Long, Long)].collect().map(t => (t._1, t._2, t._3)).toSet
+      == recompute(b0))
+    // continuous heavy hitters agree with the batch operator's cutoff
+    val hh = IncrementalCorpusStats.heavyHittersFromStore(spark, store, 4)
+      .as[(String, Long)].collect().toSet
+    val want = graft.operators.CorpusStats.heavyHitters(
+        (b0 ++ b1).toDF("doc_id", "text"), "text", 4)
+      .as[(String, Long)].collect().toSet
+    assert(hh == want)
+    // compaction folds partials into one base with identical truth
+    val compacted = root.resolve("compacted").toString
+    IncrementalCorpusStats.compactTo(spark, store, compacted)
+    assert(IncrementalCorpusStats.resolveStats(spark, compacted)
+      .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1))
   }
 }
