@@ -16,20 +16,46 @@ class ForcedShuffleSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.toSeq
   }
 
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, value); body }
+    finally spark.conf.set(key, prev)
+  }
+
   test("unhinted-join queries are result-identical with auto-broadcast disabled") {
     val names = Seq("j6_equi_join", "d5_embedding_neardup", "d10_pq_neardup",
       "c1_decontaminate", "n7_knn_join", "y4_band_join", "t10_heavy_hitters",
       "c2_dup_clusters", "w7_funnel")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     for (name <- names) {
       val withBroadcast = rows(name)
-      val forced = try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        rows(name)
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val forced = withConf("spark.sql.autoBroadcastJoinThreshold", "-1")(rows(name))
       assert(forced == withBroadcast,
         s"$name diverges under forced shuffle joins " +
           s"(${forced.size} vs ${withBroadcast.size} rows)")
+    }
+  }
+
+  test("queries are result-identical with AQE disabled") {
+    // AQE re-plans joins, coalesces partitions, and splits skew at
+    // runtime — none of which may change RESULTS
+    val names = Seq("d2_minhash_pairs", "d5_embedding_neardup", "n7_knn_join",
+      "x2_salted_join", "u3_curation_pipeline")
+    for (name <- names) {
+      val adaptive = rows(name)
+      val static = withConf("spark.sql.adaptive.enabled", "false")(rows(name))
+      assert(static == adaptive, s"$name diverges with AQE off")
+    }
+  }
+
+  test("FP-aggregating queries are partition-count invariant") {
+    // partition count changes FP addition order; the declared rounding
+    // discipline (round / integer units / dyadic values) must absorb it
+    val names = Seq("a2_pricing_summary", "w2_user_running", "x1_salted_agg",
+      "u2_quality_report", "t2_quality_score", "x3_approx_stats")
+    for (name <- names) {
+      val p4 = rows(name)
+      val p7 = withConf("spark.sql.shuffle.partitions", "7")(rows(name))
+      assert(p7 == p4, s"$name diverges at a different shuffle partition count")
     }
   }
 }
