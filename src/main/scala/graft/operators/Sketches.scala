@@ -57,6 +57,41 @@ object Sketches {
       .select(when(col("c") < k, col("c").cast("double"))
         .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as("est"))
 
+  /** Per-GROUP KMV distinct-count estimates: one `(group, est)` row per
+    * group. Same estimator as [[kmvDistinctEstimate]]; the bottom-k per
+    * group comes from a rank window that Spark 4 rewrites with a
+    * WindowGroupLimit partial — each map task keeps only its k smallest
+    * hashes per group BEFORE the exchange, so the shuffle carries
+    * O(groups × k × partitions) longs, never a group's full distinct
+    * set, and no group ever funnels its whole key space through one
+    * sort (PlanSpec pins the partial). The grouped form every
+    * per-source / per-day cardinality dashboard needs at corpus scale. */
+  def kmvGroupedDistinctEstimate(df: DataFrame, groupCol: String,
+                                 keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
+    df.select(col(groupCol), hash60(col(keyCol)).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
+      .select(col(groupCol),
+        when(col("c") < k, col("c").cast("double"))
+          .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as("est"))
+  }
+
+  /** DuckDB twin of [[kmvGroupedDistinctEstimate]]. */
+  def kmvGroupedOracleSql(table: String, groupCol: String,
+                          keyCol: String, k: Int): String =
+    s"""SELECT $groupCol, CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+       |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / hk END AS est FROM (
+       |  SELECT $groupCol, max(h) AS hk, count(*) AS cnt FROM (
+       |    SELECT $groupCol, h, row_number() OVER (PARTITION BY $groupCol ORDER BY h ASC) AS rk FROM (
+       |      SELECT DISTINCT $groupCol, ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
+       |      FROM $table))
+       |  WHERE rk <= $k GROUP BY $groupCol)""".stripMargin
+
   /** DuckDB twin of [[kmvDistinctEstimate]], for oracle SQL assembly. */
   def kmvOracleSql(table: String, keyCol: String, k: Int): String =
     s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)

@@ -64,6 +64,14 @@ object ScaleQueries {
         .orderBy(col("zbucket"))
     }),
 
+    // Per-group KMV distinct estimates — the grouped cardinality
+    // dashboard (distinct orders per return flag) with the bottom-k
+    // located by a WindowGroupLimit partial, never a full per-group sort
+    "x6_grouped_kmv" -> ((s, d) =>
+      Sketches.kmvGroupedDistinctEstimate(
+          t(s, d, "lineitem"), "l_returnflag", "l_orderkey", 128)
+        .orderBy(col("l_returnflag"))),
+
     // Salted fact×dim join (dimension replicated per salt, fact salted):
     // same rows as the plain equi-join + aggregation.
     "x2_salted_join" -> ((s, d) => {
@@ -96,6 +104,10 @@ object ScaleQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "x6_grouped_kmv" ->
+      s"""SELECT l_returnflag, est
+         |FROM (${Sketches.kmvGroupedOracleSql("lineitem", "l_returnflag", "l_orderkey", 128)})
+         |ORDER BY l_returnflag""".stripMargin,
     "x3_approx_stats" ->
       s"""SELECT o.est AS kmv_orders, p.est AS kmv_parts, s.median_price, s.n
          |FROM (${Sketches.kmvOracleSql("lineitem", "l_orderkey", 256)}) o

@@ -279,6 +279,15 @@ class PlanSpec extends SparkSpec {
       s"funnel stages must reuse the user_id partitioning, found $scanShuffles exchanges:\n$p")
   }
 
+  test("x6: grouped KMV locates the bottom-k via a WindowGroupLimit partial") {
+    val df = SparkEntry.queries("x6_grouped_kmv")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the rank filter must push a partial group-limit below the window's
+    // exchange — no group ever sorts its full distinct hash set
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {

@@ -90,6 +90,23 @@ class SkewBucketSpec extends SparkSpec {
       s"HLL orders $hll vs exact $exactOrders")
   }
 
+  test("grouped KMV estimates land within tolerance of exact per-group counts") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.operators.Sketches
+      .kmvGroupedDistinctEstimate(li, "l_returnflag", "l_orderkey", 128)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((g, n) <- exact) {
+      // err ~ 1/sqrt(k) ≈ 8.8%; allow 3 sigma (or exact when n < k)
+      val tol = if (n < 128) 0.0 else 0.27 * n
+      assert(math.abs(est(g) - n) <= math.max(tol, 0.0),
+        s"group $g: est ${est(g)} vs exact $n")
+    }
+  }
+
   test("zValue interleaves bits exactly") {
     // x=3 (0b011) → z bits 0,2; y=5 (0b101) → z bits 1,5:
     // z = 1 + 4 + 2 + 32 = 39
