@@ -92,6 +92,67 @@ object Sketches {
        |      FROM $table))
        |  WHERE rk <= $k GROUP BY $groupCol)""".stripMargin
 
+  /** KMV set algebra: estimate |A|, |B|, |A∪B| and |A∩B| from bottom-k
+    * sketches of two key sets — overlap measured WITHOUT joining the
+    * full sets. The union sketch is the bottom-k of the two sketches'
+    * union (a property unique to minimum-value sketches); the Jaccard
+    * fraction is the share of union-sketch members present in both
+    * side sketches, and |A∩B| ≈ J × |A∪B|est (Beyer et al., SIGMOD
+    * 2007). Everything is integer hashes + one exact double divide/
+    * multiply, so the estimate chain is bitwise cross-engine (x7).
+    *
+    * Why in a training pipeline: contamination triage. An exact
+    * decontamination join (c1/c4) over 100 TB is a real job; this
+    * answers "is the overlap ~0.01% or ~10%?" from two
+    * O(n_distinct)-shuffle sketch builds, cheap enough to run per
+    * ingest batch against every benchmark suite.
+    *
+    * @param a,b single-column frames of keys (duplicates collapse)
+    * @return one row: (est_a, est_b, est_union, est_inter)
+    */
+  def kmvOverlapEstimate(a: DataFrame, b: DataFrame, keyCol: String,
+                         k: Int): DataFrame = {
+    def sketch(df: DataFrame): DataFrame =
+      df.select(hash60(col(keyCol)).as("h")).distinct()
+        .orderBy(col("h")).limit(k)
+    def est(sk: DataFrame, name: String): DataFrame =
+      sk.agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
+        .select(when(col("c") < k, col("c").cast("double"))
+          .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as(name))
+    val sa = sketch(a).persist()
+    val sb = sketch(b).persist()
+    val su = sa.union(sb).distinct().orderBy(col("h")).limit(k).persist()
+    val inBoth = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val uCnt = su.agg(count(lit(1)).as("n_union"))
+    est(sa, "est_a").crossJoin(est(sb, "est_b")).crossJoin(est(su, "est_union"))
+      .crossJoin(broadcast(inBoth)).crossJoin(broadcast(uCnt))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        ((col("n_both").cast("double") / col("n_union").cast("double")) *
+          col("est_union")).as("est_inter"))
+  }
+
+  /** DuckDB twin of [[kmvOverlapEstimate]] — `aSql`/`bSql` are queries
+    * yielding one `key` column. */
+  def kmvOverlapOracleSql(aSql: String, bSql: String, k: Int): String = {
+    def h(src: String) =
+      s"SELECT DISTINCT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h FROM ($src)"
+    def est(sk: String, name: String) =
+      s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS $name FROM $sk""".stripMargin
+    s"""WITH sa AS (SELECT h FROM (${h(aSql)}) ORDER BY h LIMIT $k),
+       |sb AS (SELECT h FROM (${h(bSql)}) ORDER BY h LIMIT $k),
+       |su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       |       ORDER BY h LIMIT $k),
+       |nb AS (SELECT count(*) AS n_both FROM su
+       |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+       |nu AS (SELECT count(*) AS n_union FROM su)
+       |SELECT ea.est_a, eb.est_b, eu.est_union,
+       |  (nb.n_both::DOUBLE / nu.n_union::DOUBLE) * eu.est_union AS est_inter
+       |FROM (${est("sa", "est_a")}) ea, (${est("sb", "est_b")}) eb,
+       |     (${est("su", "est_union")}) eu, nb, nu""".stripMargin
+  }
+
   /** DuckDB twin of [[kmvDistinctEstimate]], for oracle SQL assembly. */
   def kmvOracleSql(table: String, keyCol: String, k: Int): String =
     s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)

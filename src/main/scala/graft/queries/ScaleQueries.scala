@@ -72,6 +72,19 @@ object ScaleQueries {
           t(s, d, "lineitem"), "l_returnflag", "l_orderkey", 128)
         .orderBy(col("l_returnflag"))),
 
+    // KMV set algebra: estimated gram overlap between the held-out set
+    // and the training corpus (contamination TRIAGE — is it 0.01% or
+    // 10%? — from two sketch builds, no corpus×heldout join; c1/c4 do
+    // the exact removal when triage says it matters)
+    "x7_kmv_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(graft.functions.Hashing.shingles(col("text"), 3)).as("key"))
+      Sketches.kmvOverlapEstimate(
+        grams(docs.filter(col("doc_id") % 97 === 0)),
+        grams(docs.filter(col("doc_id") % 97 =!= 0)), "key", 256)
+    }),
+
     // Salted fact×dim join (dimension replicated per salt, fact salted):
     // same rows as the plain equi-join + aggregation.
     "x2_salted_join" -> ((s, d) => {
@@ -108,6 +121,13 @@ object ScaleQueries {
       s"""SELECT l_returnflag, est
          |FROM (${Sketches.kmvGroupedOracleSql("lineitem", "l_returnflag", "l_orderkey", 128)})
          |ORDER BY l_returnflag""".stripMargin,
+    "x7_kmv_overlap" -> {
+      def grams(filter: String) =
+        s"""SELECT unnest(${graft.functions.Hashing.sql.shingles("text", 3)}) AS key
+           |FROM documents WHERE $filter""".stripMargin
+      Sketches.kmvOverlapOracleSql(
+        grams("doc_id % 97 = 0"), grams("doc_id % 97 <> 0"), 256)
+    },
     "x3_approx_stats" ->
       s"""SELECT o.est AS kmv_orders, p.est AS kmv_parts, s.median_price, s.n
          |FROM (${Sketches.kmvOracleSql("lineitem", "l_orderkey", 256)}) o

@@ -107,6 +107,22 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("KMV overlap estimate tracks the exact intersection within tolerance") {
+    // two key sets with known overlap: A = 0..5999, B = 4000..9999
+    // → |A∩B| = 2000, |A∪B| = 10000
+    val a = (0 until 6000).map(_.toLong).toDF("key")
+    val b = (4000 until 10000).map(_.toLong).toDF("key")
+    val row = graft.operators.Sketches.kmvOverlapEstimate(a, b, "key", 256).head()
+    val (estA, estB, estU, estI) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // err ~ 1/sqrt(256) ≈ 6.3%; 3-sigma bounds (intersection compounds
+    // the union estimate with the Jaccard fraction — give it 4 sigma)
+    assert(math.abs(estA - 6000) < 0.19 * 6000, s"est_a $estA")
+    assert(math.abs(estB - 6000) < 0.19 * 6000, s"est_b $estB")
+    assert(math.abs(estU - 10000) < 0.19 * 10000, s"est_union $estU")
+    assert(math.abs(estI - 2000) < 0.25 * 2000, s"est_inter $estI")
+  }
+
   test("zValue interleaves bits exactly") {
     // x=3 (0b011) → z bits 0,2; y=5 (0b101) → z bits 1,5:
     // z = 1 + 4 + 2 + 32 = 39
