@@ -50,7 +50,10 @@ object DumpPlans {
       "n7_knn_join" -> "kNN JOIN (query set = corpus): candidates from a sign-LSH bucket SELF-equi-join over slim (id, table, bucket) rows — O(N x tables) shuffle, never N^2; embedding payloads re-join by id only for colliding pairs; the rank window sees (ids, cosine) only.",
       "t10_heavy_hitters" -> "Exact heavy hitters: Misra-Gries summaries run as a narrow mapPartitions (no exchange carries the vocabulary tail); the tiny candidate superset broadcasts onto the token stream; one exact recount + integer cutoff makes the sketch's output exact.",
       "x4_zorder_stats" -> "Z-order stats: the Morton interleave lowers to pure codegen'd shift/mask/add longs over the scan; one partial-aggregated groupBy on the z-bucket — the layout writer reuses the same z-value for range-partitioned clustered writes.",
-      "w7_funnel" -> "Conversion funnel: the sequential stage dependency runs as three unordered per-user window minima over ONE partitioning — the event stream hash-shuffles on user_id exactly once; no self-join, no per-stage re-read of the stream.")
+      "w7_funnel" -> "Conversion funnel: the sequential stage dependency runs as three unordered per-user window minima over ONE partitioning — the event stream hash-shuffles on user_id exactly once; no self-join, no per-stage re-read of the stream.",
+      "x6_grouped_kmv" -> "Grouped KMV: per-group bottom-k hashes located by a WindowGroupLimit partial — each map task keeps k rows per group before the exchange; no group ever sorts its full distinct set.",
+      "x7_kmv_overlap" -> "KMV set algebra: two sketch builds (distinct -> TakeOrdered(k)) and sketch-sized semi-joins estimate |A|, |B|, |union|, |intersection| — the corpus and held-out gram sets are never joined against each other.",
+      "d10_pq_neardup" -> "PQ-screened near-dup: one persisted corpus pass computes LSH buckets + PQ codes; pairs block on the bucket equi-join, screen on decoded codes (m ints per side), and only approx-survivors re-join the full vectors for the exact cosine.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

@@ -107,6 +107,32 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition without salting, same results") {
+    // the no-code-change alternative to x1/x2's salting: with skew-join
+    // enabled AQE splits the hot key's oversized partition at runtime
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    def run(): (Long, String) = {
+      val joined = skewed.join(dim, "key").groupBy($"label").count()
+      val n = joined.collect().map(_.getLong(1)).sum
+      (n, joined.queryExecution.executedPlan.toString)
+    }
+    val (nPlain, _) = run()
+    val confs = Seq(
+      // tiny thresholds: the fixture's hot partition is only ~100 KB
+      // and shuffle compression shrinks repeated keys further
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // SMJ, so skew applies
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (nSkew, plan) = run()
+      assert(nSkew == nPlain, "skew-split run must not change results")
+      assert(plan.contains("skew=true"), s"expected AQE skew-split markers in:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("KMV overlap estimate tracks the exact intersection within tolerance") {
     // two key sets with known overlap: A = 0..5999, B = 4000..9999
     // → |A∩B| = 2000, |A∪B| = 10000
