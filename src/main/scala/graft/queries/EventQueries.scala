@@ -81,6 +81,26 @@ object EventQueries {
           count(col("t_purchase")).as("n_purchase"))
     }),
 
+    // W-8: trailing-hour moving aggregates via a RANGE frame over the
+    // raw nanosecond timeline (event-time sliding window per row, not
+    // w6's fixed hop grid). Integer 1e-2 value units keep the moving
+    // sum exact under any frame-evaluation order — DuckDB computes
+    // sliding aggregates with a segment tree, so a double sum would
+    // differ in the last ulp.
+    "w8_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+        .rangeBetween(-hourNs, 0)
+      t(s, d, "events")
+        .withColumn("v_e2", round(col("value") * 100).cast("long"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_e2_1h", sum(col("v_e2")).over(w))
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us"), col("n_1h"), col("sum_e2_1h"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // W-5: time-series regularization — hourly grid per user between
     // first and last observation, latest value forward-filled into gaps
     "w5_gapfill" -> ((s, d) =>
@@ -172,6 +192,14 @@ object EventQueries {
         |       FROM events e JOIN s2 USING (user_id) GROUP BY 1)
         |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
         |  count(t_purchase) AS n_purchase FROM s3""".stripMargin,
+    "w8_moving_avg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_e2_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "w5_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
         |              epoch_us(ts) AS us, value FROM events),
