@@ -190,6 +190,41 @@ class SkewBucketSpec extends SparkSpec {
       "z-order should at least halve the unsorted dimension's per-file extent")
   }
 
+  test("z-ordered layout prunes row groups under a 2-D box predicate") {
+    // the payoff measurement for writeZOrdered: parquet min/max stats
+    // skip whole row groups, so a box predicate on BOTH dimensions
+    // reads fewer rows from the z-clustered layout than from a
+    // single-key sort (which only bounds one dimension per file)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(pmod($"o_custkey", lit(1024)).cast("bigint").as("x"),
+        pmod(datediff($"o_orderdate".cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint"), lit(1024)).as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    graft.sources.Layout.writeZOrdered(o, zDir, "x", "y", bits = 10, nFiles = 16)
+    val xDir = java.nio.file.Files.createTempDirectory("graft-xprune").toString
+    o.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+    def rowsRead(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter($"x".between(100, 227) && $"y".between(300, 427))
+      // drive THIS queryExecution (count() would execute a separate
+      // plan instance whose metrics we couldn't read)
+      val n = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .get
+      (scan.metrics("numOutputRows").value, n)
+    }
+    val total = o.count()
+    val (zScan, zHits) = rowsRead(zDir)
+    val (xScan, xHits) = rowsRead(xDir)
+    assert(zHits == xHits, "both layouts must return the same matching rows")
+    // x-sort prunes on x only (~1/8 of files); z-order prunes on both
+    assert(zScan < xScan,
+      s"z-order should read fewer rows than single-key sort ($zScan vs $xScan)")
+    assert(zScan < total / 2, s"z-order scan read $zScan of $total rows")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val c = spark.read.parquet(s"$sf/customer.parquet")
