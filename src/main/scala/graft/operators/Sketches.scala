@@ -128,8 +128,10 @@ object Sketches {
     est(sa, "est_a").crossJoin(est(sb, "est_b")).crossJoin(est(su, "est_union"))
       .crossJoin(broadcast(inBoth)).crossJoin(broadcast(uCnt))
       .select(col("est_a"), col("est_b"), col("est_union"),
-        ((col("n_both").cast("double") / col("n_union").cast("double")) *
-          col("est_union")).as("est_inter"))
+        // empty union sketch → overlap 0, not 0/0 = NaN
+        when(col("n_union") === 0, lit(0.0))
+          .otherwise((col("n_both").cast("double") / col("n_union").cast("double")) *
+            col("est_union")).as("est_inter"))
   }
 
   /** DuckDB twin of [[kmvOverlapEstimate]] — `aSql`/`bSql` are queries
@@ -148,7 +150,8 @@ object Sketches {
        |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
        |nu AS (SELECT count(*) AS n_union FROM su)
        |SELECT ea.est_a, eb.est_b, eu.est_union,
-       |  (nb.n_both::DOUBLE / nu.n_union::DOUBLE) * eu.est_union AS est_inter
+       |  CASE WHEN nu.n_union = 0 THEN 0.0::DOUBLE
+       |       ELSE (nb.n_both::DOUBLE / nu.n_union::DOUBLE) * eu.est_union END AS est_inter
        |FROM (${est("sa", "est_a")}) ea, (${est("sb", "est_b")}) eb,
        |     (${est("su", "est_union")}) eu, nb, nu""".stripMargin
   }
