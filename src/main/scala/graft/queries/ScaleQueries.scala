@@ -49,7 +49,7 @@ object ScaleQueries {
     // (x, y) bounding boxes over orders — the Morton-curve locality
     // measure behind Layout.writeZOrdered (each z-bucket = a compact
     // 2-D rectangle, so clustered files carry tight min/max stats on
-    // BOTH dimensions; LayoutSpec measures the actual written layout).
+    // BOTH dimensions; SkewBucketSpec measures the actual written layout).
     // Pure integer shift/mask arithmetic → exact DuckDB oracle.
     "x4_zorder_stats" -> ((s, d) => {
       val o = t(s, d, "orders")

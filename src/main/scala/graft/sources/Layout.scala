@@ -71,7 +71,7 @@ object Layout {
     * (x, y) — so its parquet row-group min/max stats are tight on BOTH
     * columns and a two-dimensional box predicate prunes most files and
     * row groups entirely (a single-column sort gives tight stats on one
-    * dimension and full-range stats on the other; LayoutSpec measures
+    * dimension and full-range stats on the other; SkewBucketSpec measures
     * both layouts' per-file ranges). Write-once / read-many, like the
     * other layout writers: one ranged shuffle at write time buys stats
     * pruning on every subsequent scan. */
