@@ -134,9 +134,16 @@ object CorpusStats {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(explode(Hashing.tokens(col(textCol))).as("token"))
-    val candidates = toks.as[String].mapPartitions { it =>
+    // pass 1 (narrow): MG candidate survivors AND the partition's token
+    // total in one sweep — a null-token row per partition carries the
+    // total, so the corpus is NOT rescanned just to count it. The tiny
+    // result (≤ threshold+1 rows/partition) is persisted because both
+    // the candidate set and the total read it.
+    val sketch = toks.as[String].mapPartitions { it =>
+      var pn = 0L
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { tok =>
+        pn += 1
         counters.get(tok) match {
           case Some(n) => counters.update(tok, n + 1)
           case None if counters.size < threshold => counters.update(tok, 1L)
@@ -147,9 +154,12 @@ object CorpusStats {
             dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).as("total"))
+      Iterator.single((null: String, pn)) ++ counters.keysIterator.map((_, 0L))
+    }.toDF("token", "pn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = sketch.filter(col("token").isNotNull).select(col("token")).distinct()
+    val total = sketch.filter(col("token").isNull).agg(sum(col("pn")).as("total"))
+    // pass 2: exact recount of candidates only + the integer cutoff
     toks.join(broadcast(candidates), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
