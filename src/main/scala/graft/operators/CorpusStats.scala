@@ -34,6 +34,9 @@ object CorpusStats {
       .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      // both the doc-frequency aggregate and the scoring join consume
+      // tf — without the persist the corpus tokenize+count runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf is already distinct per (doc, token): df = plain count per token
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
