@@ -68,11 +68,54 @@ object DedupQueries {
           minhashPairsDf(s, d), "id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** d5's thresholded embedding near-dup pairs, shared by the pair dump
+    * (d5) and the cluster formation (c5) — the same one-modality-in,
+    * many-consumers memo shape as the minhash pair table. */
+  private val embPairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def embeddingPairsDf(s: SparkSession, d: String): DataFrame =
+    embPairsMemo.getOrElseUpdate(s.hashCode + "|" + d, {
+      val Bits = 8; val NTables = 4
+      val e = t(s, d, "embeddings")
+      val orig = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val mut = e.select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+          (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
+      val u = orig.unionByName(mut)
+        .withColumn("nrm", graft.functions.Vectors.norm(col("vec")))
+      val banded = u.select(col("vec_id"),
+        posexplode(graft.functions.Vectors.lshBucketsAll(col("vec"), Bits, NTables))
+          .as(Seq("tbl", "bucket")))
+      val pairs = banded.as("ba").join(banded.as("bb"),
+          col("ba.tbl") === col("bb.tbl") && col("ba.bucket") === col("bb.bucket") &&
+            col("ba.vec_id") < col("bb.vec_id"))
+        .select(col("ba.vec_id").as("id_a"), col("bb.vec_id").as("id_b"))
+        .distinct()
+      val ua = u.select(col("vec_id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
+      val ub = u.select(col("vec_id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
+      pairs.join(ua, "id_a").join(ub, "id_b")
+        .withColumn("cosine", graft.functions.Vectors.cosineWithNorms(
+          col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
+        .filter(col("cosine") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   val queries: Map[String, Q] = Map(
     // D-1: exact dedup by content hash, keep-lowest-id
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(docsWithCopies(s, d), "doc_id", "text")
         .orderBy(col("content_hash"))),
+
+    // C-5: duplicate clusters over EMBEDDING near-dup pairs — the same
+    // star-contraction machinery c2 runs on text-minhash pairs, proving
+    // the cluster stage is modality-independent: any pair generator
+    // (minhash, simhash, embedding LSH) feeds the same closure.
+    "c5_embedding_clusters" -> ((s, d) =>
+      graft.operators.Components.connectedComponentsStar(
+          embeddingPairsDf(s, d), "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("vec_id"))),
 
     // D-2a: MinHash signatures + band keys (shingle k=3, 16 hashes, 4 bands)
     "d2_minhash_signature" -> ((s, d) =>
@@ -258,31 +301,8 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "d5_embedding_neardup" -> ((s, d) => {
-      val Bits = 8; val NTables = 4
-      val e = t(s, d, "embeddings")
-      val orig = e.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val mut = e.select((col("vec_id") + 100000).as("vec_id"),
-        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
-          (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
-      val u = orig.unionByName(mut)
-        .withColumn("nrm", Vectors.norm(col("vec")))
-      val banded = u.select(col("vec_id"),
-        posexplode(Vectors.lshBucketsAll(col("vec"), Bits, NTables)).as(Seq("tbl", "bucket")))
-      val pairs = banded.as("ba").join(banded.as("bb"),
-          col("ba.tbl") === col("bb.tbl") && col("ba.bucket") === col("bb.bucket") &&
-            col("ba.vec_id") < col("bb.vec_id"))
-        .select(col("ba.vec_id").as("id_a"), col("bb.vec_id").as("id_b"))
-        .distinct()
-      val ua = u.select(col("vec_id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
-      val ub = u.select(col("vec_id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
-      pairs.join(ua, "id_a").join(ub, "id_b")
-        .withColumn("cosine", Vectors.cosineWithNorms(col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
-        .filter(col("cosine") >= 0.9)
-        .select(col("id_a"), col("id_b"), col("cosine"))
-        .orderBy(col("id_a"), col("id_b"))
-    })
+    "d5_embedding_neardup" -> ((s, d) =>
+      embeddingPairsDf(s, d).orderBy(col("id_a"), col("id_b")))
   )
 
   // ───── oracle SQL ─────
@@ -521,28 +541,41 @@ object DedupQueries {
          |WHERE $exactCos >= 0.9
          |ORDER BY id_a, id_b""".stripMargin
     },
-    "d5_embedding_neardup" -> {
-      val Bits = 8; val NTables = 4
-      val u =
-        """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
-          |UNION ALL
-          |SELECT vec_id + 100000,
-          |  list_transform(generate_series(1, len(embedding)),
-          |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
-          |FROM embeddings""".stripMargin
-      val banded = (0 until NTables).map(tb =>
-        s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
-        .mkString("\nUNION ALL ")
-      s"""WITH u AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm FROM ($u)),
-         |banded AS ($banded),
-         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |  WHERE a.vec_id < b.vec_id)
-         |SELECT id_a, id_b,
-         |  ${Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")} AS cosine
-         |FROM pairs JOIN u ua ON ua.vec_id = id_a JOIN u ub ON ub.vec_id = id_b
-         |WHERE ${Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")} >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
-    }
+    "d5_embedding_neardup" -> d5OracleSql,
+    "c5_embedding_clusters" ->
+      s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d5OracleSql) dp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
+         |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
   )
+
+  /** d5's oracle SQL, shared verbatim with c5's recursive closure. */
+  private lazy val d5OracleSql: String = {
+    val Bits = 8; val NTables = 4
+    val u =
+      """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 100000,
+        |  list_transform(generate_series(1, len(embedding)),
+        |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
+        |FROM embeddings""".stripMargin
+    val banded = (0 until NTables).map(tb =>
+      s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
+      .mkString("\nUNION ALL ")
+    s"""WITH u AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm FROM ($u)),
+       |banded AS ($banded),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |  ${Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")} AS cosine
+       |FROM pairs JOIN u ua ON ua.vec_id = id_a JOIN u ub ON ub.vec_id = id_b
+       |WHERE ${Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")} >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }
