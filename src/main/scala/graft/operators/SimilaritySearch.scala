@@ -345,15 +345,19 @@ object SimilaritySearch {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // approx screen on decoded codes — the only payload here is m ints
+    // approx screen: the pair joins move (id, code) rows — m small ints
+    // per side — and the decode/norm/cosine run map-side on the JOINED
+    // pair rows (decoding before the join would put full-dim double
+    // vectors into the join shuffle, forfeiting the compression)
     val codes = u.select(col("id"), col("code"))
-    def decoded(p: String) = codes
-      .select(col("id").as(s"id_$p"), pqDecode(col("code"), codebook).as(s"dec_$p"))
-      .withColumn(s"dnorm_$p", Vectors.norm(col(s"dec_$p")))
+    def codeSide(p: String) = codes
+      .select(col("id").as(s"id_$p"), col("code").as(s"code_$p"))
     val screened = pairs
-      .join(decoded("a"), "id_a").join(decoded("b"), "id_b")
+      .join(codeSide("a"), "id_a").join(codeSide("b"), "id_b")
+      .withColumn("dec_a", pqDecode(col("code_a"), codebook))
+      .withColumn("dec_b", pqDecode(col("code_b"), codebook))
       .filter(Vectors.cosineWithNorms(col("dec_a"), col("dec_b"),
-        col("dnorm_a"), col("dnorm_b")) >= threshold - margin)
+        Vectors.norm(col("dec_a")), Vectors.norm(col("dec_b"))) >= threshold - margin)
       .select(col("id_a"), col("id_b"))
     // exact verification: full vectors fetched for approx-survivors only
     def full(p: String) = corpus

@@ -45,6 +45,10 @@ object Sketches {
     * as the estimator requires. */
   def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.select(hash60(col(keyCol)).as("h"))
+      // COUNT(DISTINCT x) semantics: null keys don't count — and a null
+      // hash would sort FIRST in Spark but LAST in DuckDB, silently
+      // stealing a bottom-k slot on one side only
+      .filter(col("h").isNotNull)
       .distinct()
       .orderBy(col("h"))
       .limit(k)
@@ -71,6 +75,7 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
     df.select(col(groupCol), hash60(col(keyCol)).as("h"))
+      .filter(col("h").isNotNull) // see kmvDistinctEstimate
       .distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -89,7 +94,7 @@ object Sketches {
        |  SELECT $groupCol, max(h) AS hk, count(*) AS cnt FROM (
        |    SELECT $groupCol, h, row_number() OVER (PARTITION BY $groupCol ORDER BY h ASC) AS rk FROM (
        |      SELECT DISTINCT $groupCol, ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
-       |      FROM $table))
+       |      FROM $table WHERE $keyCol IS NOT NULL))
        |  WHERE rk <= $k GROUP BY $groupCol)""".stripMargin
 
   /** KMV set algebra: estimate |A|, |B|, |A∪B| and |A∩B| from bottom-k
@@ -113,7 +118,9 @@ object Sketches {
   def kmvOverlapEstimate(a: DataFrame, b: DataFrame, keyCol: String,
                          k: Int): DataFrame = {
     def sketch(df: DataFrame): DataFrame =
-      df.select(hash60(col(keyCol)).as("h")).distinct()
+      df.select(hash60(col(keyCol)).as("h"))
+        .filter(col("h").isNotNull) // see kmvDistinctEstimate
+        .distinct()
         .orderBy(col("h")).limit(k)
     def est(sk: DataFrame, name: String): DataFrame =
       sk.agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
@@ -138,7 +145,7 @@ object Sketches {
     * yielding one `key` column. */
   def kmvOverlapOracleSql(aSql: String, bSql: String, k: Int): String = {
     def h(src: String) =
-      s"SELECT DISTINCT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h FROM ($src)"
+      s"SELECT DISTINCT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h FROM ($src) WHERE key IS NOT NULL"
     def est(sk: String, name: String) =
       s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
          |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS $name FROM $sk""".stripMargin
@@ -162,6 +169,6 @@ object Sketches {
        |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS est FROM (
        |  SELECT h FROM (
        |    SELECT DISTINCT ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
-       |    FROM $table)
+       |    FROM $table WHERE $keyCol IS NOT NULL)
        |  ORDER BY h LIMIT $k)""".stripMargin
 }

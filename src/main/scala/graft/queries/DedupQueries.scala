@@ -68,6 +68,21 @@ object DedupQueries {
           minhashPairsDf(s, d), "id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The embedding near-dup universe — originals plus a +0.05-on-dim-1
+    * mutated copy of every vector (id + 100000) — shared by d5/c5
+    * (via [[embeddingPairsDf]]) and d10. ONE definition: the d10-is-a-
+    * subset-of-d5 invariant DedupSpec checks is only meaningful while
+    * all consumers see byte-identical inputs. */
+  private def embeddingUniverse(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val orig = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val mut = e.select((col("vec_id") + 100000).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
+        (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
+    orig.unionByName(mut)
+  }
+
   /** d5's thresholded embedding near-dup pairs, shared by the pair dump
     * (d5) and the cluster formation (c5) — the same one-modality-in,
     * many-consumers memo shape as the minhash pair table. */
@@ -75,13 +90,7 @@ object DedupQueries {
   private def embeddingPairsDf(s: SparkSession, d: String): DataFrame =
     embPairsMemo.getOrElseUpdate(s.hashCode + "|" + d, {
       val Bits = 8; val NTables = 4
-      val e = t(s, d, "embeddings")
-      val orig = e.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val mut = e.select((col("vec_id") + 100000).as("vec_id"),
-        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
-          (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
-      val u = orig.unionByName(mut)
+      val u = embeddingUniverse(s, d)
         .withColumn("nrm", graft.functions.Vectors.norm(col("vec")))
       val banded = u.select(col("vec_id"),
         posexplode(graft.functions.Vectors.lshBucketsAll(col("vec"), Bits, NTables))
@@ -287,19 +296,11 @@ object DedupQueries {
     // float vectors); full vectors join only for approx-survivors. Same
     // universe and 0.9 cutoff as d5; margin 0.15 absorbs PQ distortion
     // (DedupSpec measures recall vs the exact d5 verifier).
-    "d10_pq_neardup" -> ((s, d) => {
-      val Bits = 8; val NTables = 4
-      val e = t(s, d, "embeddings")
-      val orig = e.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val mut = e.select((col("vec_id") + 100000).as("vec_id"),
-        zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
-          (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
+    "d10_pq_neardup" -> ((s, d) =>
       graft.operators.SimilaritySearch.pqNearDupPairs(
-          orig.unionByName(mut), "vec_id", "vec", dim = 64,
-          threshold = 0.9, margin = 0.15, bits = Bits, tables = NTables)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+          embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
+          threshold = 0.9, margin = 0.15, bits = 8, tables = 4)
+        .orderBy(col("id_a"), col("id_b"))),
 
     "d5_embedding_neardup" -> ((s, d) =>
       embeddingPairsDf(s, d).orderBy(col("id_a"), col("id_b")))
@@ -494,13 +495,7 @@ object DedupQueries {
     "d10_pq_neardup" -> {
       val Bits = 8; val NTables = 4
       val M = 8; val Kcw = 16; val SubDim = 8
-      val u =
-        """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
-          |UNION ALL
-          |SELECT vec_id + 100000,
-          |  list_transform(generate_series(1, len(embedding)),
-          |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
-          |FROM embeddings""".stripMargin
+      val u = embUniverseSql
       val banded = (0 until NTables).map(tb =>
         s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
         .mkString("\nUNION ALL ")
@@ -554,16 +549,21 @@ object DedupQueries {
          |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
   )
 
+  /** SQL twin of [[embeddingUniverse]] — one definition for the d5,
+    * c5, and d10 oracles. Lazy: the oracles map interpolates it during
+    * object init, which runs top-to-bottom. */
+  private lazy val embUniverseSql: String =
+    """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000,
+      |  list_transform(generate_series(1, len(embedding)),
+      |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
+      |FROM embeddings""".stripMargin
+
   /** d5's oracle SQL, shared verbatim with c5's recursive closure. */
   private lazy val d5OracleSql: String = {
     val Bits = 8; val NTables = 4
-    val u =
-      """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
-        |UNION ALL
-        |SELECT vec_id + 100000,
-        |  list_transform(generate_series(1, len(embedding)),
-        |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
-        |FROM embeddings""".stripMargin
+    val u = embUniverseSql
     val banded = (0 until NTables).map(tb =>
       s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
       .mkString("\nUNION ALL ")

@@ -51,7 +51,14 @@ object Layout {
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = x.cast("bigint"); val ys = y.cast("bigint")
+    // mask explicitly to the declared domain: without it, inputs wider
+    // than `bits` would silently interleave only their low bits (rows
+    // 2^bits apart collide to one z — no locality, no error) and a
+    // negative input would sign-extend into the high z bits. Reduce
+    // wider domains deliberately (pmod/bucketing) before calling —
+    // Morton locality only exists within the masked [0, 2^bits) square.
+    val m = lit((1L << bits) - 1)
+    val xs = x.cast("bigint").bitwiseAND(m); val ys = y.cast("bigint").bitwiseAND(m)
     (0 until bits).map { b =>
       shiftright(xs, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
         shiftright(ys, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
@@ -59,11 +66,13 @@ object Layout {
   }
 
   /** ANSI-SQL twin of [[zValue]] (DuckDB oracle). */
-  def sqlZValue(x: String, y: String, bits: Int): String =
+  def sqlZValue(x: String, y: String, bits: Int): String = {
+    val m = (1L << bits) - 1
     (0 until bits).map { b =>
-      s"(((($x)::BIGINT >> $b) & 1) * ${1L << (2 * b)} + " +
-        s"((($y)::BIGINT >> $b) & 1) * ${1L << (2 * b + 1)})"
+      s"((((($x)::BIGINT & $m) >> $b) & 1) * ${1L << (2 * b)} + " +
+        s"(((($y)::BIGINT & $m) >> $b) & 1) * ${1L << (2 * b + 1)})"
     }.mkString("(", " + ", ")")
+  }
 
   /** Write `df` z-order-clustered on two integer dimensions into
     * `nFiles` range-partitioned files, each sorted by z within. Every

@@ -74,13 +74,22 @@ object IncrementalCorpusStats {
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
   }
 
-  /** Fold the partial pile into a single base partition at `outDir`
-    * (`batch_id=0`), after which new batches append on top — run on a
-    * maintenance cadence to bound read-merge fan-in and file count. */
-  def compactTo(spark: SparkSession, storeDir: String, outDir: String): Unit =
+  /** Fold the partial pile into a single BASE partition at `outDir`
+    * (`batch_id=-1` — reserved: stream batch ids are non-negative, so a
+    * restarted stream with a fresh checkpoint can never overwrite the
+    * base), after which new batches append on top — run on a
+    * maintenance cadence to bound read-merge fan-in and file count.
+    * Must write to a fresh directory: compacting in place would read
+    * and double-count the surviving partials on the next resolve. */
+  def compactTo(spark: SparkSession, storeDir: String, outDir: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(outDir).toUri !=
+      new org.apache.hadoop.fs.Path(storeDir).toUri,
+      "compactTo must target a fresh directory — in-place compaction " +
+        "would double-count the partials left beside the base")
     resolveStats(spark, storeDir)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=-1")
+  }
 
   /** Corpus heavy hitters straight from the store: tokens whose total
     * tf exceeds corpusTokens/threshold — the continuous form of t10's

@@ -1,20 +1,51 @@
 package graft
 
-/** Broadcast-independence: the UNHINTED joins across the operator
-  * library must produce byte-identical results when auto-broadcast is
-  * disabled and every join falls back to shuffle-hash / sort-merge.
-  * At 100 TB this is the path that actually runs — "small" sides stop
-  * fitting the broadcast threshold — so correctness must not depend on
-  * AQE's local join choice. (Explicitly `broadcast()`-hinted plans are
-  * unaffected by the threshold; this sweep targets the AQE-decided
-  * ones.)
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Execution-robustness sweeps: results must be identical whatever the
+  * runtime picks — broadcast vs shuffle joins, AQE re-planning on or
+  * off, and any shuffle partition count (FP addition order).
+  *
+  * At 100 TB the shuffle paths are what actually run — "small" sides
+  * stop fitting the broadcast threshold — so correctness must not
+  * depend on AQE's local join choice. (Explicitly `broadcast()`-hinted
+  * plans are unaffected by the threshold; the sweeps target the
+  * AQE-decided ones.)
+  *
+  * NB: memo-backed queries (d5/c2/d2 route through persisted TrieMap
+  * memos) would serve the SECOND run from cache and make the sweep
+  * vacuous — those operators are rebuilt fresh per run here instead of
+  * going through SparkEntry.
   */
 class ForcedShuffleSpec extends SparkSpec {
 
-  private def rows(name: String): Seq[String] = {
-    val df = SparkEntry.queries(name)(spark, sf)
-    df.collect().map(_.toString).sorted.toSeq
-  }
+  private def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+    .selectExpr("doc_id", "text")
+  private def vecs: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+    .selectExpr("vec_id", "embedding")
+
+  // fresh plans per invocation — conf changes apply to every run
+  private val targets: Map[String, () => DataFrame] = Map(
+    "j6_equi_join" -> (() => SparkEntry.queries("j6_equi_join")(spark, sf)),
+    "c1_decontaminate" -> (() => SparkEntry.queries("c1_decontaminate")(spark, sf)),
+    "n7_knn_join" -> (() => SparkEntry.queries("n7_knn_join")(spark, sf)),
+    "y4_band_join" -> (() => SparkEntry.queries("y4_band_join")(spark, sf)),
+    "t10_heavy_hitters" -> (() => SparkEntry.queries("t10_heavy_hitters")(spark, sf)),
+    "w7_funnel" -> (() => SparkEntry.queries("w7_funnel")(spark, sf)),
+    "d10_pq_neardup" -> (() => SparkEntry.queries("d10_pq_neardup")(spark, sf)),
+    "minhash_pairs(fresh)" -> (() =>
+      graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 50)),
+    "dup_clusters(fresh)" -> (() =>
+      graft.operators.Components.connectedComponentsStar(
+        graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 50),
+        "id_a", "id_b")),
+    "embedding_knn(fresh)" -> (() =>
+      graft.operators.SimilaritySearch.knnJoin(vecs, "vec_id", "embedding", 3, 6, 2))
+  )
+
+  private def rows(name: String): Seq[String] =
+    targets(name)().collect().map(_.toString).sorted.toSeq
 
   private def withConf[A](key: String, value: String)(body: => A): A = {
     val prev = spark.conf.get(key)
@@ -22,10 +53,10 @@ class ForcedShuffleSpec extends SparkSpec {
     finally spark.conf.set(key, prev)
   }
 
-  test("unhinted-join queries are result-identical with auto-broadcast disabled") {
-    val names = Seq("j6_equi_join", "d5_embedding_neardup", "d10_pq_neardup",
-      "c1_decontaminate", "n7_knn_join", "y4_band_join", "t10_heavy_hitters",
-      "c2_dup_clusters", "w7_funnel")
+  test("unhinted-join operators are result-identical with auto-broadcast disabled") {
+    val names = Seq("j6_equi_join", "c1_decontaminate", "n7_knn_join",
+      "y4_band_join", "t10_heavy_hitters", "w7_funnel", "d10_pq_neardup",
+      "minhash_pairs(fresh)", "dup_clusters(fresh)", "embedding_knn(fresh)")
     for (name <- names) {
       val withBroadcast = rows(name)
       val forced = withConf("spark.sql.autoBroadcastJoinThreshold", "-1")(rows(name))
@@ -35,11 +66,11 @@ class ForcedShuffleSpec extends SparkSpec {
     }
   }
 
-  test("queries are result-identical with AQE disabled") {
+  test("operators are result-identical with AQE disabled") {
     // AQE re-plans joins, coalesces partitions, and splits skew at
     // runtime — none of which may change RESULTS
-    val names = Seq("d2_minhash_pairs", "d5_embedding_neardup", "n7_knn_join",
-      "x2_salted_join", "u3_curation_pipeline")
+    val names = Seq("minhash_pairs(fresh)", "embedding_knn(fresh)",
+      "n7_knn_join", "d10_pq_neardup", "w7_funnel")
     for (name <- names) {
       val adaptive = rows(name)
       val static = withConf("spark.sql.adaptive.enabled", "false")(rows(name))
@@ -52,9 +83,11 @@ class ForcedShuffleSpec extends SparkSpec {
     // discipline (round / integer units / dyadic values) must absorb it
     val names = Seq("a2_pricing_summary", "w2_user_running", "x1_salted_agg",
       "u2_quality_report", "t2_quality_score", "x3_approx_stats")
+    def qrows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
     for (name <- names) {
-      val p4 = rows(name)
-      val p7 = withConf("spark.sql.shuffle.partitions", "7")(rows(name))
+      val p4 = qrows(name)
+      val p7 = withConf("spark.sql.shuffle.partitions", "7")(qrows(name))
       assert(p7 == p4, s"$name diverges at a different shuffle partition count")
     }
   }
