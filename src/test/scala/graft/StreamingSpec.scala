@@ -233,5 +233,14 @@ class StreamingSpec extends SparkSpec {
     IncrementalCorpusStats.compactTo(spark, store, compacted)
     assert(IncrementalCorpusStats.resolveStats(spark, compacted)
       .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1))
+    // the base lands in the reserved batch_id=-1 partition a restarted
+    // stream (fresh checkpoint, ids from 0) can never overwrite
+    assert(spark.read.parquet(compacted).select($"batch_id").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    // in-place compaction would double-count surviving partials
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCorpusStats.compactTo(spark, store, store)
+    }
+    assert(e.getMessage.contains("fresh directory"))
   }
 }
