@@ -345,19 +345,24 @@ object SimilaritySearch {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // approx screen: the pair joins move (id, code) rows — m small ints
-    // per side — and the decode/norm/cosine run map-side on the JOINED
-    // pair rows (decoding before the join would put full-dim double
-    // vectors into the join shuffle, forfeiting the compression)
-    val codes = u.select(col("id"), col("code"))
-    def codeSide(p: String) = codes
-      .select(col("id").as(s"id_$p"), col("code").as(s"code_$p"))
+    // approx screen: the pair joins move (id, code, dnorm) rows — m
+    // small ints + one double per side — and the decode + dot run
+    // map-side on the JOINED pair rows. Decoding before the join would
+    // put full-dim double vectors into the join shuffle (forfeiting the
+    // compression); the NORM of the decoded vector depends only on the
+    // code, so it is computed once per id here and carried as 8 bytes —
+    // the cosine below then references each decoded vector exactly once
+    // (a norm recomputed per pair would make Catalyst inline a second
+    // decode per reference).
+    val codes = u.select(col("id"), col("code"),
+      Vectors.norm(pqDecode(col("code"), codebook)).as("dnorm"))
+    def codeSide(p: String) = codes.select(col("id").as(s"id_$p"),
+      col("code").as(s"code_$p"), col("dnorm").as(s"dnorm_$p"))
     val screened = pairs
       .join(codeSide("a"), "id_a").join(codeSide("b"), "id_b")
-      .withColumn("dec_a", pqDecode(col("code_a"), codebook))
-      .withColumn("dec_b", pqDecode(col("code_b"), codebook))
-      .filter(Vectors.cosineWithNorms(col("dec_a"), col("dec_b"),
-        Vectors.norm(col("dec_a")), Vectors.norm(col("dec_b"))) >= threshold - margin)
+      .filter(Vectors.cosineWithNorms(
+        pqDecode(col("code_a"), codebook), pqDecode(col("code_b"), codebook),
+        col("dnorm_a"), col("dnorm_b")) >= threshold - margin)
       .select(col("id_a"), col("id_b"))
     // exact verification: full vectors fetched for approx-survivors only
     def full(p: String) = corpus
