@@ -84,27 +84,42 @@ object CorpusStats {
     *
     * @return (idCol, n_tokens, n_kept, cleaned)
     */
-  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, minDf: Long): DataFrame = {
-    val grams = df
-      .select(col(idCol),
-        posexplode(graft.plans.ShingleHashes64.column(col(textCol), k))
-          .as(Seq("pos", "gh")))
-      .persist()
-    val shared = grams.select(col(idCol), col("gh")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+  /** Grams appearing in at least `minDf` docs, from a per-doc-DISTINCT
+    * (id, gh) stream — the one shared-set derivation t8 and t9 build
+    * on (keeping it in one place keeps their semantics in lockstep). */
+  private def sharedGramSet(distinctGrams: DataFrame, minDf: Long): DataFrame =
+    distinctGrams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= minDf)
       .select(col("gh"))
+
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDf: Long): DataFrame = {
+    // raw 60-bit gram hashes: this transform DELETES tokens, so a
+    // 31-bit bucket collision (certain at corpus vocabulary scale)
+    // would scrub non-boilerplate text — same reasoning as
+    // containmentPairs' set-identity hashes
+    val grams = df
+      .select(col(idCol),
+        posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+          .as(Seq("pos", "gh")))
+      .persist()
+    val shared = sharedGramSet(grams.select(col(idCol), col("gh")).distinct(), minDf)
     val covered = grams.join(broadcast(shared), "gh")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
       .groupBy(col(idCol))
       .agg(collect_set(col("cpos")).as("__covered"))
+    // kept positions via array_except (hash-based, order-preserving on
+    // its first argument): linear in the token count — a per-token
+    // array_contains over the covered set would be O(tokens × covered),
+    // quadratic exactly on the template-heavy docs this targets
     df.join(covered, Seq(idCol), "left")
       .withColumn("__toks", Hashing.tokens(col(textCol)))
       .withColumn("__cov", coalesce(col("__covered"), array().cast("array<int>")))
+      .withColumn("__keptpos",
+        array_except(sequence(lit(0), size(col("__toks")) - 1), col("__cov")))
       .withColumn("__kept",
-        filter(col("__toks"), (t, i) => !array_contains(col("__cov"), i)))
+        transform(col("__keptpos"), p => element_at(col("__toks"), p + 1)))
       .select(col(idCol),
         size(col("__toks")).as("n_tokens"),
         size(col("__kept")).as("n_kept"),
@@ -172,14 +187,14 @@ object CorpusStats {
 
   def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
                        k: Int, minDf: Long): DataFrame = {
+    // 60-bit hashes for the same collision reasoning as
+    // removeSharedSpans (a 31-bit collision would inflate the ratio)
     val grams = df
       .select(col(idCol),
-        explode(graft.plans.ShingleHashes64.column(col(textCol), k)).as("gh"))
+        explode(graft.plans.ShingleHashes64.column60(col(textCol), k)).as("gh"))
       .distinct()
       .persist()
-    val shared = grams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
-      .filter(col("gdf") >= minDf)
-      .select(col("gh"))
+    val shared = sharedGramSet(grams, minDf)
     val nShared = grams.join(broadcast(shared), "gh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
     val out = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))

@@ -214,18 +214,20 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = graft.model.Tables.spread(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(
           graft.plans.ShingleHashes64.column60(col(textCol), shingleK))).as("gh"))
       .persist()
     val gdf = grams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    // rarest gram per doc as a partial-aggregating argmin — min(struct)
+    // compares (gdf, gh) lexicographically, the same winner a
+    // (gdf asc, gh asc) rank-1 window picks, but with map-side combine
+    // instead of shuffling + sorting the whole corpus gram stream
     val rare = grams.join(gdf, "gh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gh").asc)))
-      .filter(col("rk") === 1)
-      .select(col("id").as("id_a"), col("gh"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("gdf"), col("gh"))).as("m"))
+      .select(col("id").as("id_a"), col("m.gh").as("gh"))
     // one rare gram per a and grams is distinct per (id, gh), so the
     // candidate list is already duplicate-free
     val cands = rare.join(grams.select(col("id").as("id_b"), col("gh")), "gh")

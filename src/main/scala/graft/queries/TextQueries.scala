@@ -225,7 +225,7 @@ object TextQueries {
     "t8_boilerplate" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(${Hashing.sql.shingles("text", 3)}) AS gram FROM documents),
-         |hashed AS (SELECT DISTINCT doc_id, ${Hashing.sql.hash64("gram")} % 2147483647 AS gh
+         |hashed AS (SELECT DISTINCT doc_id, ${Hashing.sql.hash64("gram")} AS gh
          |           FROM grams),
          |shared AS (SELECT gh FROM (
          |  SELECT gh, count(*) AS gdf FROM hashed GROUP BY 1) WHERE gdf >= 3),
@@ -247,8 +247,8 @@ object TextQueries {
         |          unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS pos FROM base),
         |grams AS (SELECT doc_id, pos,
         |  CASE WHEN len(toks) >= 3
-        |    THEN ('0x' || substr(md5(array_to_string(list_slice(toks, pos + 1, pos + 3), ' ')), 1, 15))::BIGINT % 2147483647
-        |    ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483647 END AS gh
+        |    THEN ('0x' || substr(md5(array_to_string(list_slice(toks, pos + 1, pos + 3), ' ')), 1, 15))::BIGINT
+        |    ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT END AS gh
         |  FROM pos),
         |shared AS (SELECT gh FROM (
         |  SELECT gh, count(*) AS gdf FROM (SELECT DISTINCT doc_id, gh FROM grams) GROUP BY 1)

@@ -16,12 +16,22 @@ class PlanSpec extends SparkSpec {
       "projection should prune unused columns")
   }
 
-  test("n6: the metadata predicate of filtered ANN reaches the parquet scan") {
+  test("n6: the metadata predicate of filtered ANN runs below the scoring join") {
     val p = plan("n6_ann_filtered")
-    // the label filter must run below the scoring join, pushed into the
-    // corpus scan — not applied after cosine ranking
-    assert(p.contains("PushedFilters:") && p.contains("label"),
-      s"expected pushed filter on label in:\n$p")
+    // `label % 3 = 0` is not a translatable source predicate (only
+    // IsNotNull pushes to parquet), so the real pin is PLACEMENT: the
+    // filter must sit BELOW the scoring join — post-scoring filtering
+    // silently returns < k results AND scores the whole corpus
+    val lines = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toVector
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("Join") && (l.contains("BroadcastNestedLoop") || l.contains("Cross")))
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("% 3"))
+    assert(joinIdx >= 0, s"expected the scoring join in:\n$p")
+    assert(filterIdx > joinIdx,
+      s"label filter must be below (deeper than) the scoring join:\n$p")
+    // and the scan under it still pushes the derived IsNotNull
+    assert(lines.exists(l => l.contains("PushedFilters: [IsNotNull(label)")),
+      s"expected IsNotNull(label) pushed to the corpus scan in:\n$p")
   }
 
   test("j6: dimension side is broadcast, not shuffled") {
