@@ -20,6 +20,21 @@ object Curation {
     * re-partitioning and incremental appends (a new row's split never
     * depends on what else is in the dataset).
     */
+  /** Deterministic per-epoch corpus shuffle: a fixed pseudo-random
+    * permutation keyed by `md5(key || ':' || epoch)` — every epoch is a
+    * DIFFERENT uniform order, every re-run of the same epoch is the
+    * SAME order (resume a crashed epoch mid-stream, replay a training
+    * run bit-exactly, shard deterministically across workers). The
+    * epoch column (`shuffle_key`) is a narrow map; materializing the
+    * order is one range exchange (`repartitionByRange` + sort within,
+    * the writeZOrdered shape) — never a single-task global sort.
+    * Ties cannot occur for distinct keys (the hash is keyed by the
+    * unique id), so the order is total.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.withColumn("shuffle_key",
+      Hashing.hash64(concat(col(keyCol).cast("string"), lit(":" + epoch))))
+
   def hashSplit(df: DataFrame, keyCol: String, buckets: Int = 1000,
                 trainUpto: Int = 800, valUpto: Int = 900): DataFrame = {
     val b = Hashing.hash64(col(keyCol).cast("string")) % buckets

@@ -70,6 +70,17 @@ object CurationQueries {
           col("min_n"), col("keep_threshold"))
         .orderBy(col("doc_id"))),
 
+    // P-7: deterministic per-epoch shuffle — epoch 1's first 100 docs
+    // in the fixed md5-keyed permutation order (reproducible training
+    // order: re-runs and resumes see the identical sequence; the next
+    // epoch is a different uniform order). TakeOrdered at the limit —
+    // no global sort materializes for a head slice.
+    "p7_epoch_shuffle" -> ((s, d) =>
+      Curation.epochShuffle(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", epoch = 1)
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .limit(100)),
+
     // K-2: sliding-window chunking into training sequences (32-token
     // chunks, stride 24) — narrow per-row explode, zero exchanges
     "k2_chunk_documents" -> ((s, d) =>
@@ -212,6 +223,11 @@ object CurationQueries {
          |FROM tok JOIN tot USING (source), tgt
          |WHERE $h % src_total < target
          |ORDER BY doc_id""".stripMargin,
+    "p7_epoch_shuffle" -> {
+      val h = Hashing.sql.hash64("CAST(doc_id AS VARCHAR) || ':1'")
+      s"""SELECT doc_id, $h AS shuffle_key FROM documents
+         |ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin
+    },
     "p6_temperature_mix" ->
       s"""WITH docs AS (SELECT doc_id,
          |    CASE WHEN doc_id % 10 < 6 THEN 'web'

@@ -61,15 +61,22 @@ object IncrementalCorpusStats {
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
 
-  /** Merge all partials into the current (token, tf, df) truth. */
-  def resolveStats(spark: SparkSession, storeDir: String): DataFrame = {
+  /** Merge partials into the (token, tf, df) truth — current, or AS OF
+    * a batch (`uptoBatch = Some(n)` reads only partitions with
+    * batch_id <= n): because partials are append-only and immutable,
+    * any historical corpus-statistics snapshot stays reproducible
+    * forever — the property a training run needs to pin the exact
+    * data statistics it was built against. */
+  def resolveStats(spark: SparkSession, storeDir: String,
+                   uptoBatch: Option[Long] = None): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path))
       return spark.emptyDataFrame
         .withColumn("token", lit("")).withColumn("tf", lit(0L))
         .withColumn("df", lit(0L)).limit(0)
-    spark.read.parquet(storeDir)
+    val all = spark.read.parquet(storeDir)
+    uptoBatch.fold(all)(n => all.filter(col("batch_id") <= n))
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
   }

@@ -217,6 +217,10 @@ class StreamingSpec extends SparkSpec {
     assert(resolved == recompute(b0))
     ingest(b1)
     assert(resolved == recompute(b0 ++ b1))
+    // snapshot read: the as-of-batch-0 statistics stay reproducible
+    // after later ingests (append-only immutable partials)
+    assert(IncrementalCorpusStats.resolveStats(spark, store, uptoBatch = Some(0L))
+      .as[(String, Long, Long)].collect().toSet == recompute(b0))
     // the store is append-only partials: batch 0's partition unchanged
     assert(spark.read.parquet(store).filter($"batch_id" === 0)
       .as[(String, Long, Long, Long)].collect().map(t => (t._1, t._2, t._3)).toSet
