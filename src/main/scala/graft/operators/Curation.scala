@@ -20,21 +20,6 @@ object Curation {
     * re-partitioning and incremental appends (a new row's split never
     * depends on what else is in the dataset).
     */
-  /** Deterministic per-epoch corpus shuffle: a fixed pseudo-random
-    * permutation keyed by `md5(key || ':' || epoch)` — every epoch is a
-    * DIFFERENT uniform order, every re-run of the same epoch is the
-    * SAME order (resume a crashed epoch mid-stream, replay a training
-    * run bit-exactly, shard deterministically across workers). The
-    * epoch column (`shuffle_key`) is a narrow map; materializing the
-    * order is one range exchange (`repartitionByRange` + sort within,
-    * the writeZOrdered shape) — never a single-task global sort.
-    * Ties cannot occur for distinct keys (the hash is keyed by the
-    * unique id), so the order is total.
-    */
-  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
-    df.withColumn("shuffle_key",
-      Hashing.hash64(concat(col(keyCol).cast("string"), lit(":" + epoch))))
-
   def hashSplit(df: DataFrame, keyCol: String, buckets: Int = 1000,
                 trainUpto: Int = 800, valUpto: Int = 900): DataFrame = {
     val b = Hashing.hash64(col(keyCol).cast("string")) % buckets
@@ -44,6 +29,26 @@ object Curation {
           .when(col("bucket") < valUpto, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic per-epoch corpus shuffle: a fixed pseudo-random
+    * permutation keyed by `md5(key || ':' || epoch)` — every epoch is a
+    * DIFFERENT uniform order, every re-run of the same epoch is the
+    * SAME order (resume a crashed epoch mid-stream, replay a training
+    * run bit-exactly, shard deterministically across workers). The
+    * `shuffle_key` column is a narrow map; materializing the order is
+    * one range exchange (`repartitionByRange` + sort within, the
+    * writeZOrdered shape) — never a single-task global sort.
+    *
+    * The 60-bit hash CAN collide once the corpus reaches billions of
+    * keys (birthday bound ~2^30), so consumers must tie-break on the
+    * key column when ordering — `ORDER BY shuffle_key, key` — or the
+    * tied rows' relative order depends on input partitioning and the
+    * replay guarantee is lost (query p7 and CurationSpec both order
+    * that way).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.withColumn("shuffle_key",
+      Hashing.hash64(concat(col(keyCol).cast("string"), lit(":" + epoch))))
 
   /** Deterministic weighted Bernoulli sample: keep a row iff
     * `md5(key) % denom < weight`, i.e. with probability weight/denom —

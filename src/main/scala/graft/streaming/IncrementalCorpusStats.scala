@@ -63,10 +63,13 @@ object IncrementalCorpusStats {
 
   /** Merge partials into the (token, tf, df) truth — current, or AS OF
     * a batch (`uptoBatch = Some(n)` reads only partitions with
-    * batch_id <= n): because partials are append-only and immutable,
-    * any historical corpus-statistics snapshot stays reproducible
-    * forever — the property a training run needs to pin the exact
-    * data statistics it was built against. */
+    * batch_id <= n): partials are append-only and immutable, so a
+    * historical snapshot stays reproducible for as long as its batches
+    * survive — which is exactly UNTIL a compaction folds them. A
+    * compacted store carries a `_compacted_upto` horizon marker, and a
+    * snapshot request BELOW that horizon fails loudly (the per-batch
+    * history it needs was deliberately discarded; silently returning
+    * the folded totals would hand a training run the wrong pin). */
   def resolveStats(spark: SparkSession, storeDir: String,
                    uptoBatch: Option[Long] = None): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
@@ -75,10 +78,32 @@ object IncrementalCorpusStats {
       return spark.emptyDataFrame
         .withColumn("token", lit("")).withColumn("tf", lit(0L))
         .withColumn("df", lit(0L)).limit(0)
+    uptoBatch.foreach { n =>
+      compactionHorizon(fs, storeDir).foreach { horizon =>
+        require(n >= horizon,
+          s"snapshot at batch $n predates the compaction horizon $horizon — " +
+            "per-batch history below the horizon was folded away by compactTo")
+      }
+    }
     val all = spark.read.parquet(storeDir)
     uptoBatch.fold(all)(n => all.filter(col("batch_id") <= n))
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+  }
+
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_compacted_upto")
+
+  private def compactionHorizon(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String): Option[Long] = {
+    val p = markerPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Fold the partial pile into a single BASE partition at `outDir`
@@ -87,15 +112,32 @@ object IncrementalCorpusStats {
     * base), after which new batches append on top — run on a
     * maintenance cadence to bound read-merge fan-in and file count.
     * Must write to a fresh directory: compacting in place would read
-    * and double-count the surviving partials on the next resolve. */
+    * and double-count the surviving partials on the next resolve.
+    * Continue the SAME stream checkpoint against `outDir` so batch ids
+    * keep increasing past the horizon — a fresh checkpoint restarts at
+    * 0 and its partitions would alias the folded-away ids in as-of
+    * snapshot reads. */
   def compactTo(spark: SparkSession, storeDir: String, outDir: String): Unit = {
     require(new org.apache.hadoop.fs.Path(outDir).toUri !=
       new org.apache.hadoop.fs.Path(storeDir).toUri,
       "compactTo must target a fresh directory — in-place compaction " +
         "would double-count the partials left beside the base")
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the folded horizon: snapshots below it are unanswerable from the
+    // compacted store and must fail loudly in resolveStats
+    val horizon =
+      if (!fs.exists(path)) -1L
+      else fs.listStatus(path).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+        .foldLeft(-1L)(math.max)
     resolveStats(spark, storeDir)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=-1")
+    val out = fs.create(markerPath(outDir), true)
+    try out.write(horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Corpus heavy hitters straight from the store: tokens whose total

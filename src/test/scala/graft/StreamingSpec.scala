@@ -246,5 +246,16 @@ class StreamingSpec extends SparkSpec {
       IncrementalCorpusStats.compactTo(spark, store, store)
     }
     assert(e.getMessage.contains("fresh directory"))
+    // snapshots BELOW the folded horizon are unanswerable and must fail
+    // loudly (the base partition would otherwise satisfy batch_id <= 0
+    // and silently return the full folded totals as "batch 0")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalCorpusStats.resolveStats(spark, compacted, uptoBatch = Some(0L))
+        .collect()
+    }
+    assert(e2.getMessage.contains("compaction horizon"))
+    // at/above the horizon the compacted store still answers
+    assert(IncrementalCorpusStats.resolveStats(spark, compacted, uptoBatch = Some(1L))
+      .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1))
   }
 }
