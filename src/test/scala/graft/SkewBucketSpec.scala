@@ -149,6 +149,38 @@ class SkewBucketSpec extends SparkSpec {
     assert(math.abs(estI - 2000) < 0.25 * 2000, s"est_inter $estI")
   }
 
+  test("zValue roundtrips: deinterleaving recovers (x, y) for random inputs") {
+    val rng = new scala.util.Random(7)
+    val bits = 10
+    val pts = Seq.fill(200)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", graft.sources.Layout.zValue($"x", $"y", bits).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val dx = (0 until bits).map(b => ((z >> (2 * b)) & 1L) << b).sum
+      val dy = (0 until bits).map(b => ((z >> (2 * b + 1)) & 1L) << b).sum
+      assert(dx == x && dy == y, s"z=$z deinterleaved to ($dx,$dy), want ($x,$y)")
+    }
+  }
+
+  test("KMV overlap is EXACT when the union fits the sketch") {
+    // below k nothing is estimated: every hash survives, so all four
+    // outputs are exact integers — the property that keeps small-SF
+    // oracle tests honest and gives calibrated behavior at the tail
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val a = rng.shuffle((0 until 300).toList).take(rng.nextInt(80) + 20).map(_.toLong)
+      val b = rng.shuffle((0 until 300).toList).take(rng.nextInt(80) + 20).map(_.toLong)
+      val row = graft.operators.Sketches.kmvOverlapEstimate(
+        a.toDF("key"), b.toDF("key"), "key", 256).head()
+      assert(row.getDouble(0) == a.toSet.size.toDouble)
+      assert(row.getDouble(1) == b.toSet.size.toDouble)
+      assert(row.getDouble(2) == (a.toSet ++ b.toSet).size.toDouble)
+      assert(row.getDouble(3) == a.toSet.intersect(b.toSet).size.toDouble)
+    }
+  }
+
   test("zValue interleaves bits exactly") {
     // x=3 (0b011) → z bits 0,2; y=5 (0b101) → z bits 1,5:
     // z = 1 + 4 + 2 + 32 = 39
