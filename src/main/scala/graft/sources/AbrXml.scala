@@ -70,6 +70,18 @@ object AbrXml {
       case (_, Nil) => true
       case (s: StructType, h :: t) =>
         s.fields.find(_.name == h).exists(f => step(f.dataType, t))
+      // XML structure inference is corpus-wide: ONE file with a repeated
+      // element turns the field into array<struct> for EVERY record.
+      // Treating that as "absent" would silently null the projected
+      // column corpus-wide (and the abn filter would then drop every
+      // row) — dirty bulk extracts must fail loudly instead.
+      case (ArrayType(elem, _), parts @ (_ :: _)) =>
+        if (step(elem, parts))
+          throw new IllegalArgumentException(
+            s"XML path '$path' crosses a REPEATED element (inferred array) — " +
+              "some input file carries duplicate occurrences of this element; " +
+              "deduplicate the extract or project the array explicitly")
+        else false
       case _ => false
     }
     step(df.schema, path.split('.').toList)

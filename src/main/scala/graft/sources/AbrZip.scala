@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, ByteArrayInputStream, FileOutputStream}
+import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,43 +17,66 @@ import org.apache.spark.sql.functions._
   */
 object AbrZip {
 
+  /** 16 hex chars of md5 — the per-archive / per-member namespace key.
+    * A 32-bit hashCode birthday-collides at ~77k archives (a real bulk
+    * -extract count); 64 bits of md5 pushes the bound past 10^9. */
+  private def md5Prefix(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** Expand every member of every ZIP under `zipGlob` into `outDir`.
     * Returns the member manifest (zip, member, bytes written) — also the
     * natural input to the S-3 processed-files ledger.
     *
     * Collision safety: members land under a per-archive subdirectory
-    * (hash of the zip path — two ZIPs with identically-named members
-    * cannot overwrite each other), and each member file name carries a
-    * hash of the RAW member path before sanitization (`a/b.xml` vs
-    * `a_b.xml` stay distinct). Callers wanting run isolation should
-    * stage into a fresh directory — [[readZipped]] does. */
+    * (64-bit md5 of the zip path — two ZIPs with identically-named
+    * members cannot overwrite each other short of an md5-64 collision),
+    * and each member file name carries the md5 of the RAW member path
+    * before sanitization (`a/b.xml` vs `a_b.xml` stay distinct).
+    * Callers wanting run isolation should stage into a fresh directory
+    * — [[readZipped]] does.
+    *
+    * Writes go through the Hadoop FileSystem resolved from the target
+    * path on the EXECUTOR (task-side `Configuration` picks up the
+    * cluster's core-site defaults), so the staging dir can be HDFS or
+    * object storage — a `java.io` write would land on each executor's
+    * local disk where the driver-side XML scan could never see it. */
   def expand(spark: SparkSession, zipGlob: String, outDir: String): DataFrame = {
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val bin = spark.read.format("binaryFile").load(zipGlob)
       .select(col("path"), col("content"))
-    bin.as[(String, Array[Byte])].mapPartitions(_.flatMap { case (zipPath, bytes) =>
-      val zipDir = f"$outDir/zip_${zipPath.hashCode & 0xffffffffL}%08x"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(zipDir))
-      val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory)
-        .map { entry =>
-          val raw = entry.getName
-          val safeName =
-            f"m${raw.hashCode & 0xffffffffL}%08x_${raw.replaceAll("[/\\\\]", "_")}"
-          val target = s"$zipDir/$safeName"
-          val out = new BufferedOutputStream(new FileOutputStream(target))
-          val buf = new Array[Byte](64 * 1024)
-          var n = 0L
-          var r = zin.read(buf)
-          while (r >= 0) {
-            out.write(buf, 0, r); n += r; r = zin.read(buf)
-          }
-          out.close()
-          (zipPath, raw, n)
-        }.toList
-    }).toDF("zip", "member", "bytes")
+    bin.as[(String, Array[Byte])].mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { case (zipPath, bytes) =>
+        val zipDir = new org.apache.hadoop.fs.Path(outDir, s"zip_${md5Prefix(zipPath)}")
+        val fs = zipDir.getFileSystem(conf)
+        fs.mkdirs(zipDir)
+        val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+        try {
+          Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+            .filterNot(_.isDirectory)
+            .map { entry =>
+              val raw = entry.getName
+              val safeName =
+                s"m${md5Prefix(raw)}_${raw.replaceAll("[/\\\\]", "_")}"
+              // overwrite=true: a speculative/retried attempt rewrites the
+              // same deterministic target instead of corrupting it
+              val out = fs.create(new org.apache.hadoop.fs.Path(zipDir, safeName), true)
+              try {
+                val buf = new Array[Byte](64 * 1024)
+                var n = 0L
+                var r = zin.read(buf)
+                while (r >= 0) {
+                  out.write(buf, 0, r); n += r; r = zin.read(buf)
+                }
+                (zipPath, raw, n)
+              } finally out.close()
+            }.toList
+        } finally zin.close()
+      }
+    }.toDF("zip", "member", "bytes")
   }
 
   /** Full S-4 lifecycle: expand ZIPs, then read the member XMLs into

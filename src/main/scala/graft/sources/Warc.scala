@@ -38,34 +38,49 @@ object Warc {
       .mapPartitions(_.flatMap { case (path, bytes) => parseFile(path, bytes) })
   }
 
-  private[sources] def parseFile(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+  private[graft] def parseFile(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
     val in = new ByteArrayInputStream(bytes)
-    val stream = if (path.endsWith(".gz")) new GZIPInputStream(in) else in
-    val reader = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
+    val stream = new java.io.BufferedInputStream(
+      if (path.endsWith(".gz")) new GZIPInputStream(in) else in)
+    // byte-level line reads: WARC Content-Length counts BYTES, so the
+    // record body must be consumed as bytes — a char Reader over-reads
+    // every multi-byte UTF-8 body by (bytes − chars) and swallows the
+    // following records' header lines into the body
+    def readLine(): String = {
+      val first = stream.read()
+      if (first < 0) return null
+      val sb = new java.io.ByteArrayOutputStream(128)
+      var c = first
+      while (c >= 0 && c != '\n') { if (c != '\r') sb.write(c); c = stream.read() }
+      new String(sb.toByteArray, StandardCharsets.UTF_8)
+    }
     val records = scala.collection.mutable.ArrayBuffer[WarcRecord]()
-    var line = reader.readLine()
+    var line = readLine()
     while (line != null) {
       if (line.startsWith("WARC/")) {
         val headers = scala.collection.mutable.Map[String, String]()
-        var h = reader.readLine()
+        var h = readLine()
         while (h != null && h.nonEmpty) {
           val i = h.indexOf(':')
           if (i > 0) headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
-          h = reader.readLine()
+          h = readLine()
         }
         val len = headers.getOrElse("content-length", "0").toInt
-        val buf = new Array[Char](len)
+        val buf = new Array[Byte](len)
         var read = 0
-        while (read < len) {
-          val n = reader.read(buf, read, len - read)
-          if (n < 0) read = len else read += n
+        var eof = false
+        while (read < len && !eof) {
+          val n = stream.read(buf, read, len - read)
+          if (n < 0) eof = true else read += n
         }
+        // truncated input keeps only the bytes actually read — never
+        // NUL padding from the unwritten buffer tail
         records += WarcRecord(path,
           headers.getOrElse("warc-type", ""),
           headers.getOrElse("warc-target-uri", ""),
-          new String(buf))
+          new String(buf, 0, read, StandardCharsets.UTF_8))
       }
-      line = reader.readLine()
+      line = readLine()
     }
     records.iterator
   }

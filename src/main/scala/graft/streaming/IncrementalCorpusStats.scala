@@ -125,13 +125,18 @@ object IncrementalCorpusStats {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the folded horizon: snapshots below it are unanswerable from the
-    // compacted store and must fail loudly in resolveStats
-    val horizon =
+    // compacted store and must fail loudly in resolveStats. Take the
+    // max with the SOURCE's own horizon — re-compacting an
+    // already-compacted store whose only partition is the base would
+    // otherwise regress the marker to -1 and reopen the silent-wrong-
+    // snapshot hole the marker exists to close.
+    val dirMax =
       if (!fs.exists(path)) -1L
       else fs.listStatus(path).iterator.map(_.getPath.getName)
         .filter(_.startsWith("batch_id="))
         .map(_.stripPrefix("batch_id=").toLong)
         .foldLeft(-1L)(math.max)
+    val horizon = math.max(dirMax, compactionHorizon(fs, storeDir).getOrElse(-1L))
     resolveStats(spark, storeDir)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=-1")
@@ -147,7 +152,15 @@ object IncrementalCorpusStats {
   def heavyHittersFromStore(spark: SparkSession, storeDir: String,
                             threshold: Int): DataFrame = {
     val stats = resolveStats(spark, storeDir)
-    val total = stats.agg(sum(col("tf")).as("total"))
+    // the corpus token total is the sum of PARTIAL tf rows — a single
+    // map-side aggregate over the raw partials, so the vocabulary-wide
+    // merge groupBy in resolveStats runs once, not on both sides of
+    // the cross join
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total =
+      if (!fs.exists(path)) stats.limit(0).agg(sum(col("tf")).as("total"))
+      else spark.read.parquet(storeDir).agg(sum(col("tf")).as("total"))
     stats.crossJoin(broadcast(total))
       .filter(col("tf") * threshold > col("total"))
       .select(col("token"), col("tf").as("cnt"))

@@ -55,6 +55,46 @@ class SourcesSpec extends SparkSpec {
     assert(r1.getDate(7).toString == "2001-03-01") // empty ABN date → GST fallback
   }
 
+  test("WARC: multi-byte bodies honor the BYTE Content-Length; following records survive") {
+    // 'café & naïve' is 2 bytes longer in UTF-8 than in chars — a
+    // char-counting reader over-reads and swallows the next record
+    def rec(uri: String, body: String): String = {
+      val byteLen = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $byteLen\r\n\r\n$body\r\n\r\n"
+    }
+    val b1 = "<html><title>Café Naïve Pty Ltd</title></html>"
+    val b2 = "<html><title>Plain Second</title></html>"
+    val bytes = (rec("https://cafe.com.au/", b1) + rec("https://second.com.au/", b2))
+      .getBytes("UTF-8")
+    val out = Warc.parseFile("f.warc", bytes).toVector
+    assert(out.length == 2, s"second record must survive the multi-byte first: $out")
+    assert(out(0).body == b1)
+    assert(out(1).body == b2)
+    // truncated input: the body carries only the bytes present — no NUL
+    // padding from the unread buffer tail
+    val cut = bytes.take(rec("https://cafe.com.au/", b1).getBytes("UTF-8").length - 20)
+    val trunc = Warc.parseFile("t.warc", cut).toVector
+    assert(trunc.length == 1)
+    assert(!trunc.head.body.contains('\u0000'), "truncated body must not be NUL-padded")
+    assert(b1.startsWith(trunc.head.body))
+  }
+
+  test("ABR XML: a repeated projected element fails loudly, never silent nulls") {
+    val dir = tmpDir()
+    // two GST siblings make the corpus-wide inferred type array<struct>
+    val xml =
+      """<Records><ABR><ABN status="ACT" ABNStatusFromDate="20150701">51824753556</ABN>
+        |<GST GSTStatusFromDate="20150701"/><GST GSTStatusFromDate="20160701"/>
+        |<EntityType><EntityTypeText>Co</EntityTypeText></EntityType>
+        |</ABR></Records>""".stripMargin
+    Files.writeString(dir.resolve("dup.xml"), xml)
+    val e = intercept[IllegalArgumentException] {
+      AbrXml.read(spark, dir.toString + "/dup.xml").collect()
+    }
+    assert(e.getMessage.contains("REPEATED element"))
+  }
+
   test("WARC: gz parse, response filter, .au filter, title/meta extraction") {
     def rec(uri: String, body: String, typ: String = "response"): String = {
       val content = body
