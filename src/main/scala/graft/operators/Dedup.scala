@@ -298,4 +298,59 @@ object Dedup {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** C4-style duplicate-SPAN removal: each document is cut into
+    * disjoint `spanTokens`-token spans on a fixed grid from token 0
+    * (the last span may be short), and every occurrence of a span text
+    * other than its globally FIRST one — min `(id, span_idx)` across
+    * the corpus — is scrubbed. Returns one row per input document:
+    * `(id, n_spans, n_spans_kept, clean_text)` where `clean_text` is
+    * the surviving spans re-joined in document order ("" when every
+    * span was seen before, e.g. a document pasted together from other
+    * documents' spans). Unlike minhash (whole-doc, similarity-gated)
+    * or boilerplate scrub (frequency-gated), this removes even a
+    * SINGLE repetition of a long exact span — the C4 "three-sentence"
+    * rule re-expressed on a token grid.
+    *
+    * Scale shape: one explode (narrow), one groupBy on the FULL
+    * 128-bit md5 of the span (a 100 TB corpus holds ~10^10 spans,
+    * past the birthday bound of the 60-bit [[Hashing.hash64]] prefix
+    * used elsewhere), one per-document regroup. The argmin is a
+    * partial-aggregable `min(struct)` — map-side combine collapses a
+    * boilerplate span repeated millions of times to one candidate per
+    * input partition before the shuffle, so a hot span never skews a
+    * reduce key (the window-rank formulation would). Span text rides
+    * exactly two exchanges (the distinct-span argmin and the
+    * per-document regroup); the final count join moves only
+    * `(id, n_spans)`. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "need spanTokens > 0")
+    val base = df
+      .withColumn("__toks", Hashing.tokens(coalesce(col(textCol), lit(""))))
+      .withColumn("__n", size(col("__toks")))
+    val spans = base
+      .withColumn("__s", explode(
+        sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(spanTokens))))
+      .select(col(idCol),
+        expr(s"__s DIV $spanTokens").cast("int").as("span_idx"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(spanTokens)), " ")
+          .as("span_text"))
+    val winners = spans
+      .groupBy(md5(col("span_text").cast("binary")).as("__h"))
+      .agg(min(struct(col(idCol), col("span_idx"), col("span_text"))).as("w"))
+      .select(col(s"w.$idCol"), col("w.span_idx"), col("w.span_text"))
+    val kept = winners.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_spans_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
+          x => x("span_text")), " ").as("clean_text"))
+    base
+      .select(col(idCol),
+        expr(s"(__n + ${spanTokens - 1}) DIV $spanTokens").cast("int").as("n_spans"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_spans_kept"), lit(0)).as("n_spans_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -303,7 +303,45 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     "d5_embedding_neardup" -> ((s, d) =>
-      embeddingPairsDf(s, d).orderBy(col("id_a"), col("id_b")))
+      embeddingPairsDf(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // D-12: C4-style duplicate-SPAN removal — the corpus plus pasted
+    // docs (+300000) whose 32 tokens are a source doc's first 16-token
+    // span twice over. The grid-aligned paste means both spans lose
+    // the global keep-first race ((orig, 0) < (dup, 0) < (dup, 1)), so
+    // every pasted doc scrubs to "" while originals keep everything —
+    // exercising intra-doc repeats, cross-doc repeats, and the
+    // empty-reassembly edge in one deterministic universe. This is the
+    // sub-document dedup minhash can't do: a doc assembled from other
+    // docs' spans has low whole-doc Jaccard against each source.
+    "d12_span_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val head16 = array_join(slice(Hashing.tokens(col("text")), 1, 16), " ")
+      val pasted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", head16, head16).as("text"))
+      Dedup.spanDedup(docs.unionByName(pasted), "doc_id", "text", 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // P-8: leakage-safe split — train/val/test assignment keyed on the
+    // NEAR-DUP CLUSTER representative (min member id; unclustered docs
+    // key on themselves), so mutated copies of one document can never
+    // straddle the train/test boundary and leak evaluation data into
+    // training. Reuses the memoized c2 labeling; the assignment itself
+    // is p1's md5 bucket arithmetic — one broadcast-or-shuffle join
+    // against the slim label table, then a narrow map. CurationSpec
+    // asserts every cluster lands in exactly one split.
+    "p8_leakage_safe_split" -> ((s, d) => {
+      val labels = dupClustersDf(s, d)
+        .select(col("node").as("doc_id"), col("cluster"))
+      val rep = docsWithMutations(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
+      graft.operators.Curation.hashSplit(rep, "rep")
+        .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ───── oracle SQL ─────
@@ -546,7 +584,49 @@ object DedupQueries {
          |  UNION
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
+    "d12_span_dedup" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') || ' ' ||
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n FROM uni),
+        |spans AS (SELECT doc_id, CAST(s // 16 AS INT) AS span_idx,
+        |    array_to_string(list_slice(toks, s + 1, s + 16), ' ') AS span_text
+        |  FROM (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, greatest(n - 1, 0), 16)) AS s FROM base)),
+        |marked AS (SELECT doc_id, span_idx, span_text,
+        |    row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_spans_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx),
+        |           '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p8_leakage_safe_split" -> {
+      val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")
+      s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
+         |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |corpus AS ($mutationsSrc),
+         |rep AS (SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS rep
+         |        FROM corpus c LEFT JOIN labels l USING (doc_id)),
+         |hashed AS (SELECT doc_id, rep, $h AS h FROM rep)
+         |SELECT doc_id, rep, CAST(h % 1000 AS INT) AS bucket,
+         |  CASE WHEN h % 1000 < 800 THEN 'train'
+         |       WHEN h % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM hashed ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** SQL twin of [[embeddingUniverse]] — one definition for the d5,

@@ -247,4 +247,66 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == want)
   }
+
+  test("spanDedup scrubs later occurrences on the grid, keeps first, reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d a b"), // span 2 repeats span 0 intra-doc
+      (2L, "c d x"),       // "c d" lost to (1,1); short tail span "x" survives
+      (3L, "a b c d"),     // pasted from doc 1's spans — scrubs to ""
+      (4L, null.asInstanceOf[String])) // null text: one "" span, unique
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 2)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3, 2, "a b c d"),
+      (2L, 2, 1, "x"),
+      (3L, 2, 0, ""),
+      (4L, 1, 1, "")))
+  }
+
+  test("spanDedup equals brute-force keep-first on a random small-vocab corpus") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("p", "q", "r")
+    val corpus = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val span = 3
+    def spansOf(t: String): Vector[(Int, String)] = {
+      val toks = t.split(" ", -1).toVector
+      (0 until toks.length by span).zipWithIndex
+        .map { case (s, idx) => (idx, toks.slice(s, s + span).mkString(" ")) }.toVector
+    }
+    val all = corpus.flatMap { case (id, t) =>
+      spansOf(t).map { case (idx, st) => (id, idx, st) } }
+    val firstOf = all.groupBy(_._3).map { case (st, occ) =>
+      st -> occ.map(o => (o._1, o._2)).min }
+    val want = corpus.map { case (id, t) =>
+      val sp = spansOf(t)
+      val kept = sp.filter { case (idx, st) => firstOf(st) == (id, idx) }
+      (id, sp.size, kept.size, kept.map(_._2).mkString(" "))
+    }.toSet
+    val got = Dedup.spanDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", span)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("p8 leakage-safe split: every near-dup cluster lands in exactly one split") {
+    val assigned = graft.queries.DedupQueries.queries("p8_leakage_safe_split")(spark, sf)
+    // all members of a rep share its split by construction; the real
+    // invariant is that CLUSTERED docs got their cluster min as rep —
+    // i.e. a doc and its +100000 mutation never straddle splits
+    val byDoc = assigned.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val planted = byDoc.keys.filter(_ < 100000).toSeq
+    val leaked = planted.filter(id => byDoc.get(id + 100000).exists(_ != byDoc(id)))
+    // leakage is bounded by the upstream LSH pairing recall (the d5/d2
+    // recall tests bound that); a DETECTED pair can never leak
+    assert(leaked.size <= math.max(1, planted.size / 20),
+      s"split leakage ${leaked.size}/${planted.size} exceeds the LSH recall bound: ${leaked.take(5)}")
+    // and the split is the p1 arithmetic on the rep key
+    val perRep = assigned.select($"rep", $"split").distinct()
+      .groupBy($"rep").count().filter($"count" > 1).count()
+    assert(perRep == 0, "a rep key mapped to more than one split")
+  }
 }

@@ -27,6 +27,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashes(docs0, "doc_id", "text", 48).count() == 0)
     assert(Dedup.simhashNearDup(docs0, "doc_id", "text", 48, 3, 16).count() == 0)
     assert(Dedup.containmentPairs(docs0, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.spanDedup(docs0, "doc_id", "text", 16).count() == 0)
   }
 
   test("similarity search: empty corpus and empty query set → empty top-k") {
