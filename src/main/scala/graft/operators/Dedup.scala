@@ -325,32 +325,96 @@ object Dedup {
     * `(id, n_spans)`. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanTokens: Int): DataFrame = {
+    val winners = spanWinners(df, idCol, textCol, spanTokens)
+      .select(col(idCol), col("span_idx"), col("span_text"))
+    reassemble(df, winners, idCol, textCol, spanTokens)
+  }
+
+  /** The disjoint token-grid span stream of a corpus:
+    * `(id, span_idx, span_text)`. */
+  private def spanGrid(df: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int): DataFrame = {
     require(spanTokens > 0, "need spanTokens > 0")
-    val base = df
-      .withColumn("__toks", Hashing.tokens(coalesce(col(textCol), lit(""))))
+    df.withColumn("__toks", Hashing.tokens(coalesce(col(textCol), lit(""))))
       .withColumn("__n", size(col("__toks")))
-    val spans = base
       .withColumn("__s", explode(
         sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(spanTokens))))
       .select(col(idCol),
         expr(s"__s DIV $spanTokens").cast("int").as("span_idx"),
         array_join(slice(col("__toks"), col("__s") + 1, lit(spanTokens)), " ")
           .as("span_text"))
-    val winners = spans
-      .groupBy(md5(col("span_text").cast("binary")).as("__h"))
+  }
+
+  /** First occurrence of every distinct span:
+    * `(span_md5, id, span_idx, span_text)`. */
+  private def spanWinners(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int): DataFrame =
+    spanGrid(df, idCol, textCol, spanTokens)
+      .groupBy(md5(col("span_text").cast("binary")).as("span_md5"))
       .agg(min(struct(col(idCol), col("span_idx"), col("span_text"))).as("w"))
-      .select(col(s"w.$idCol"), col("w.span_idx"), col("w.span_text"))
-    val kept = winners.groupBy(col(idCol)).agg(
+      .select(col("span_md5"), col(s"w.$idCol"), col("w.span_idx"),
+        col("w.span_text"))
+
+  /** Per-document reassembly of kept spans + span counts. */
+  private def reassemble(df: DataFrame, kept: DataFrame, idCol: String,
+                         textCol: String, spanTokens: Int): DataFrame = {
+    val perDoc = kept.groupBy(col(idCol)).agg(
       count(lit(1)).cast("int").as("n_spans_kept"),
       array_join(
         transform(array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
           x => x("span_text")), " ").as("clean_text"))
-    base
+    df.withColumn("__n", size(Hashing.tokens(coalesce(col(textCol), lit("")))))
       .select(col(idCol),
         expr(s"(__n + ${spanTokens - 1}) DIV $spanTokens").cast("int").as("n_spans"))
-      .join(kept, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_spans_kept"), lit(0)).as("n_spans_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** The persisted store layout for [[incrementalSpanDedup]]: ONE
+    * 32-hex-char md5 per distinct span ever seen — no text, no
+    * positions. At 100 TB that is the minimal membership set the C4
+    * scrub needs (write it bucketed on `span_md5` via
+    * [[graft.sources.Layout]] so each ingest batch probes co-located
+    * buckets instead of shuffling the store). */
+  def spanStore(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame =
+    spanWinners(df, idCol, textCol, spanTokens).select(col("span_md5"))
+
+  /** The batch's surviving spans against a prior-ingest store:
+    * intra-batch keep-first winners whose hash the store does NOT
+    * contain — `(span_md5, id, span_idx, span_text)`. This is both
+    * the scrub input ([[reassembleSpans]]) and, projected to
+    * `span_md5`, the store delta to append after the batch — compute
+    * it once (persist in a streaming loop) and derive both. */
+  def freshSpanWinners(incoming: DataFrame, store: DataFrame,
+                       idCol: String, textCol: String,
+                       spanTokens: Int): DataFrame =
+    spanWinners(incoming, idCol, textCol, spanTokens)
+      .join(store.select(col("span_md5")), Seq("span_md5"), "left_anti")
+
+  /** Rebuild each document of `incoming` from its kept spans
+    * (`(id, span_idx, span_text)` rows) — the output shape of
+    * [[spanDedup]]. */
+  def reassembleSpans(incoming: DataFrame, kept: DataFrame, idCol: String,
+                      textCol: String, spanTokens: Int): DataFrame =
+    reassemble(incoming, kept.select(col(idCol), col("span_idx"),
+      col("span_text")), idCol, textCol, spanTokens)
+
+  /** Incremental C4 span scrub: clean an ingest BATCH against the
+    * span-hash store accumulated from all prior ingests — the batch is
+    * the only text ever tokenized (O(batch) hashing + one membership
+    * probe; the corpus is never re-read). Keep-first runs in two
+    * layers with identical semantics to a full [[spanDedup]] over
+    * (corpus ∪ batch) when batch ids sort after corpus ids: the
+    * intra-batch argmin picks each span's first batch occurrence, and
+    * the anti-join against `store` (`span_md5` column) removes any
+    * span the corpus already contains. */
+  def incrementalSpanDedup(incoming: DataFrame, store: DataFrame,
+                           idCol: String, textCol: String,
+                           spanTokens: Int): DataFrame =
+    reassembleSpans(incoming,
+      freshSpanWinners(incoming, store, idCol, textCol, spanTokens),
+      idCol, textCol, spanTokens)
 }

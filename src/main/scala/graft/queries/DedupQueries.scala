@@ -324,6 +324,27 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D-13: INCREMENTAL span scrub — the d12 semantics in ingest form:
+    // the corpus's span hashes are the persisted store (one md5 per
+    // distinct span, no text), and only the batch is tokenized. The
+    // batch docs are pasted from %11 sources' first-16-token heads, so
+    // long-source pastes scrub fully against the store while pastes
+    // from docs SHORTER than the grid survive in part (their 2×head
+    // paste straddles span boundaries — a genuine misalignment case,
+    // not a contrived success). Oracle = full d12-style recompute over
+    // corpus ∪ batch restricted to batch rows (corpus ids sort first,
+    // so global keep-first equals store-precedence-then-batch-argmin).
+    "d13_incremental_span_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val store = Dedup.spanStore(docs, "doc_id", "text", 16)
+      val head16 = array_join(slice(Hashing.tokens(col("text")), 1, 16), " ")
+      val batch = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", head16, head16).as("text"))
+      Dedup.incrementalSpanDedup(batch, store, "doc_id", "text", 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // P-8: leakage-safe split — train/val/test assignment keyed on the
     // NEAR-DUP CLUSTER representative (min member id; unclustered docs
     // key on themselves), so mutated copies of one document can never
@@ -607,6 +628,29 @@ object DedupQueries {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx),
         |           '') AS clean_text
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d13_incremental_span_dedup" ->
+      """WITH uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') || ' ' ||
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n FROM uni),
+        |spans AS (SELECT doc_id, CAST(s // 16 AS INT) AS span_idx,
+        |    array_to_string(list_slice(toks, s + 1, s + 16), ' ') AS span_text
+        |  FROM (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, greatest(n - 1, 0), 16)) AS s FROM base)),
+        |marked AS (SELECT doc_id, span_idx, span_text,
+        |    row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_spans_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx),
+        |           '') AS clean_text
+        |FROM marked WHERE doc_id >= 400000
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p8_leakage_safe_split" -> {
       val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),

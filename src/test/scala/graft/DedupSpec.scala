@@ -292,6 +292,36 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("incremental span dedup equals the full recompute restricted to the batch") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("p", "q", "r")
+    def mk(ids: Range): Seq[(Long, String)] = ids.map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val span = 3
+    val corpus = mk(1 to 50)
+    // batch ids sort AFTER corpus ids — the precondition the operator
+    // documents for keep-first equivalence
+    val batch = mk(100 to 130)
+    val store = Dedup.spanStore(corpus.toDF("doc_id", "text"), "doc_id", "text", span)
+    val inc = Dedup.incrementalSpanDedup(
+        batch.toDF("doc_id", "text"), store, "doc_id", "text", span)
+      .as[(Long, Int, Int, String)].collect().toSet
+    val full = Dedup.spanDedup(
+        (corpus ++ batch).toDF("doc_id", "text"), "doc_id", "text", span)
+      .filter($"doc_id" >= 100)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(inc == full)
+    // the store delta holds exactly the batch's surviving span hashes,
+    // disjoint from the store
+    val delta = Dedup.freshSpanWinners(
+        batch.toDF("doc_id", "text"), store, "doc_id", "text", span)
+      .select($"span_md5")
+    assert(delta.join(store, Seq("span_md5")).count() == 0)
+    assert(delta.distinct().count() == delta.count())
+  }
+
   test("p8 leakage-safe split: every near-dup cluster lands in exactly one split") {
     val assigned = graft.queries.DedupQueries.queries("p8_leakage_safe_split")(spark, sf)
     // all members of a rep share its split by construction; the real

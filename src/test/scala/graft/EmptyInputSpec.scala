@@ -28,6 +28,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashNearDup(docs0, "doc_id", "text", 48, 3, 16).count() == 0)
     assert(Dedup.containmentPairs(docs0, "doc_id", "text", 3).count() == 0)
     assert(Dedup.spanDedup(docs0, "doc_id", "text", 16).count() == 0)
+    val store0 = Dedup.spanStore(docs0, "doc_id", "text", 16)
+    assert(Dedup.incrementalSpanDedup(docs0, store0, "doc_id", "text", 16).count() == 0)
+    // an empty store is a no-op filter, not a crash
+    assert(Dedup.incrementalSpanDedup(
+      Seq((1L, "a b")).toDF("doc_id", "text"), store0, "doc_id", "text", 16).count() == 1)
   }
 
   test("similarity search: empty corpus and empty query set → empty top-k") {

@@ -75,6 +75,46 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 4L), (2L, 4L)))
   }
 
+  test("streaming span scrub: batches clean against the accumulated store") {
+    val root = Files.createTempDirectory("graft-spanscrub")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val out = root.resolve("clean").toString
+    val ckpt = root.resolve("ckpt").toString
+    val span = 3
+
+    // batch 0: doc 2 repeats doc 1's first span intra-batch
+    Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    graft.streaming.IncrementalSpanDedup.runOnce(spark, schema, in.toString,
+      "doc_id", "text", store, out, ckpt, spanTokens = span)
+    def clean(): Map[Long, (Int, Int, String)] =
+      spark.read.parquet(out)
+        .select($"doc_id", $"n_spans", $"n_spans_kept", $"clean_text")
+        .as[(Long, Int, Int, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(clean() == Map(
+      1L -> ((2, 2, "a b c d e f")),
+      2L -> ((2, 1, "x y z"))))
+
+    // batch 1: doc 3 pastes spans seen in batch 0 (cross-batch scrub);
+    // doc 4 is all-new
+    Seq((3L, "d e f x y z"), (4L, "m n o p q r"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    graft.streaming.IncrementalSpanDedup.runOnce(spark, schema, in.toString,
+      "doc_id", "text", store, out, ckpt, spanTokens = span)
+    assert(clean() == Map(
+      1L -> ((2, 2, "a b c d e f")),
+      2L -> ((2, 1, "x y z")),
+      3L -> ((2, 0, "")),
+      4L -> ((2, 2, "m n o p q r"))))
+    // store holds one row per distinct span ever kept, nothing else
+    val hashes = spark.read.parquet(store).select($"span_md5").as[String].collect()
+    assert(hashes.length == hashes.distinct.length)
+    assert(hashes.length == 5) // abc def xyz (b0) + mno pqr (b1); "a b c" only once
+  }
+
   test("streaming cluster maintenance: label deltas resolve to the full closure") {
     val root = Files.createTempDirectory("graft-clusters")
     val in = root.resolve("in"); Files.createDirectories(in)
