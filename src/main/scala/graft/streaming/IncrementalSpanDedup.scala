@@ -62,6 +62,30 @@ object IncrementalSpanDedup {
     q.awaitTermination()
   }
 
+  /** Fold the `batch_id=` partition pile into one snapshot at
+    * `batch_id=uptoBatch` and drop the older partitions — the read-
+    * amplification chore ([[readStore]] otherwise opens every batch's
+    * files forever). Store partitions are DISJOINT by construction
+    * (each batch appends only hashes the store lacked), so the
+    * snapshot is a plain concatenation; safe against a replay of the
+    * next batch, which only touches its own partition and reads
+    * strictly older ones. */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   uptoBatch: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val snapshot = readStore(spark, storeDir, ltBatch = uptoBatch + 1)
+      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=$uptoBatch")
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=") &&
+          name.stripPrefix("batch_id=").toLong < uptoBatch)
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** The span-hash membership set as of just before `ltBatch` (replay
     * safety: a batch's own earlier attempt is excluded). */
   def readStore(spark: SparkSession, storeDir: String,

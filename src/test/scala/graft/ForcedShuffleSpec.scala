@@ -41,7 +41,15 @@ class ForcedShuffleSpec extends SparkSpec {
         graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 50),
         "id_a", "id_b")),
     "embedding_knn(fresh)" -> (() =>
-      graft.operators.SimilaritySearch.knnJoin(vecs, "vec_id", "embedding", 3, 6, 2))
+      graft.operators.SimilaritySearch.knnJoin(vecs, "vec_id", "embedding", 3, 6, 2)),
+    "span_dedup(fresh)" -> (() =>
+      graft.operators.Dedup.spanDedup(docs, "doc_id", "text", 16)),
+    "incr_span_dedup(fresh)" -> (() =>
+      graft.operators.Dedup.incrementalSpanDedup(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")),
+        graft.operators.Dedup.spanStore(docs, "doc_id", "text", 16),
+        "doc_id", "text", 16))
   )
 
   private def rows(name: String): Seq[String] =
@@ -56,7 +64,8 @@ class ForcedShuffleSpec extends SparkSpec {
   test("unhinted-join operators are result-identical with auto-broadcast disabled") {
     val names = Seq("j6_equi_join", "c1_decontaminate", "n7_knn_join",
       "y4_band_join", "t10_heavy_hitters", "w7_funnel", "d10_pq_neardup",
-      "minhash_pairs(fresh)", "dup_clusters(fresh)", "embedding_knn(fresh)")
+      "minhash_pairs(fresh)", "dup_clusters(fresh)", "embedding_knn(fresh)",
+      "span_dedup(fresh)", "incr_span_dedup(fresh)")
     for (name <- names) {
       val withBroadcast = rows(name)
       val forced = withConf("spark.sql.autoBroadcastJoinThreshold", "-1")(rows(name))
@@ -70,7 +79,7 @@ class ForcedShuffleSpec extends SparkSpec {
     // AQE re-plans joins, coalesces partitions, and splits skew at
     // runtime — none of which may change RESULTS
     val names = Seq("minhash_pairs(fresh)", "embedding_knn(fresh)",
-      "n7_knn_join", "d10_pq_neardup", "w7_funnel")
+      "n7_knn_join", "d10_pq_neardup", "w7_funnel", "span_dedup(fresh)")
     for (name <- names) {
       val adaptive = rows(name)
       val static = withConf("spark.sql.adaptive.enabled", "false")(rows(name))

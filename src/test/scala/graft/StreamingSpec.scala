@@ -113,6 +113,17 @@ class StreamingSpec extends SparkSpec {
     val hashes = spark.read.parquet(store).select($"span_md5").as[String].collect()
     assert(hashes.length == hashes.distinct.length)
     assert(hashes.length == 5) // abc def xyz (b0) + mno pqr (b1); "a b c" only once
+
+    // compaction folds the pile into one partition, preserving the set
+    graft.streaming.IncrementalSpanDedup.compactStore(spark, store, uptoBatch = 1)
+    val compacted = spark.read.parquet(store).select($"span_md5").as[String].collect()
+    assert(compacted.sorted.toSeq == hashes.sorted.toSeq)
+    // batch 2 scrubs correctly against the compacted store
+    Seq((5L, "p q r a b c")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    graft.streaming.IncrementalSpanDedup.runOnce(spark, schema, in.toString,
+      "doc_id", "text", store, out, ckpt, spanTokens = span)
+    assert(clean()(5L) == ((2, 0, "")))
   }
 
   test("streaming cluster maintenance: label deltas resolve to the full closure") {
