@@ -55,6 +55,16 @@ object DedupQueries {
           "doc_id", "text", K, H, B)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Labeling of the PLAIN documents corpus (self-pairs of the raw
+    * 500-doc table — typically sparse), the existing-cluster state u5's
+    * ingest merge starts from. */
+  private val plainLabelsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def plainLabelsDf(s: SparkSession, d: String): DataFrame =
+    plainLabelsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      graft.operators.Components.connectedComponentsStar(
+          Dedup.pairsFromSigs(docSigsDf(s, d), "doc_id", B, 50), "id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val pairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s.hashCode + "|" + d,
@@ -342,6 +352,51 @@ object DedupQueries {
         .select((col("doc_id") + 400000).as("doc_id"),
           concat_ws(" ", head16, head16).as("text"))
       Dedup.incrementalSpanDedup(batch, store, "doc_id", "text", 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // U-5: the INCREMENTAL ingest capstone — one batch flows through
+    // the whole continuous-curation path against persisted state, the
+    // way a daily 100 TB ingest actually runs: C4 span scrub vs the
+    // span store (fully-scrubbed docs DROP here), minhash near-dup of
+    // the SCRUBBED text vs the corpus signature store, fold into the
+    // existing cluster labeling (O(batch) contracted merge), then
+    // leakage-safe split on the merged representative. The batch mixes
+    // grid-shifted near-dups (+600000, 'uu' prepended — the scrub
+    // keeps them, the minhash catches them, their split follows the
+    // source's) with span-pasted docs (+700000 — the scrub kills them
+    // before they waste signature work). Oracle = full recompute:
+    // span grid over corpus ∪ batch, sigs over corpus ∪ scrubbed
+    // survivors, recursive closure over ALL verified pairs, md5 split.
+    "u5_incremental_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val head16 = array_join(slice(Hashing.tokens(col("text")), 1, 16), " ")
+      val batch = docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat_ws(" ", lit("uu"), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat_ws(" ", head16, head16).as("text")))
+      val store = Dedup.spanStore(docs, "doc_id", "text", 16)
+      // the scrub result feeds two subtrees (signature pass + final
+      // join); recomputing the light batch-sized chain beats an eager
+      // materialization here (measured), and the streaming twin
+      // persists instead where the batch recurs across sinks
+      val survivors = Dedup.incrementalSpanDedup(batch, store, "doc_id", "text", 16)
+        .filter(col("n_spans_kept") > 0)
+        .select(col("doc_id"), col("n_spans_kept"), col("clean_text"))
+      val batchPairs = Dedup.incrementalMinhashPairs(
+        survivors.select(col("doc_id"), col("clean_text").as("text")),
+        docSigsDf(s, d), "doc_id", "text", K, H, B, 50)
+      val merged = graft.operators.Components.mergeIncrementalClusters(
+        plainLabelsDf(s, d), batchPairs, "id_a", "id_b")
+      val labeled = survivors
+        .join(merged.select(col("node").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans_kept"),
+          coalesce(col("cluster"), col("doc_id")).as("rep"))
+      graft.operators.Curation.hashSplit(labeled, "rep")
+        .select(col("doc_id"), col("n_spans_kept"), col("rep"), col("split"))
         .orderBy(col("doc_id"))
     }),
 
@@ -651,6 +706,61 @@ object DedupQueries {
         |           '') AS clean_text
         |FROM marked WHERE doc_id >= 400000
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "u5_incremental_ingest" -> {
+      val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")
+      val paste =
+        """array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') || ' ' ||
+          |array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')""".stripMargin
+      s"""WITH RECURSIVE uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 600000, 'uu ' || text FROM documents WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000, $paste FROM documents WHERE doc_id % 15 = 0),
+         |sbase AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |          len(string_split(text, ' ')) AS n FROM uni),
+         |spans AS (SELECT doc_id, CAST(s // 16 AS INT) AS span_idx,
+         |    array_to_string(list_slice(toks, s + 1, s + 16), ' ') AS span_text
+         |  FROM (SELECT doc_id, toks, n,
+         |        unnest(generate_series(0, greatest(n - 1, 0), 16)) AS s FROM sbase)),
+         |marked AS (SELECT doc_id, span_idx, span_text,
+         |    row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+         |  FROM spans),
+         |scrubbed AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_spans_kept,
+         |    coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_idx),
+         |             '') AS clean_text
+         |  FROM marked WHERE doc_id >= 600000 GROUP BY doc_id),
+         |survivors AS (SELECT doc_id, n_spans_kept, clean_text
+         |              FROM scrubbed WHERE n_spans_kept > 0),
+         |${sigCte(
+             """SELECT doc_id, text FROM documents
+               |UNION ALL SELECT doc_id, clean_text AS text FROM survivors""".stripMargin)},
+         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+         |apairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id),
+         |vpairs AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS j
+         |    FROM apairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+         |  WHERE j >= 50),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM vpairs
+         |          UNION SELECT id_b, id_a FROM vpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |rep AS (SELECT s.doc_id, s.n_spans_kept,
+         |          coalesce(l.cluster_id, s.doc_id) AS rep
+         |        FROM survivors s LEFT JOIN labels l USING (doc_id)),
+         |hashed AS (SELECT doc_id, n_spans_kept, rep, $h AS h FROM rep)
+         |SELECT doc_id, n_spans_kept, rep,
+         |  CASE WHEN h % 1000 < 800 THEN 'train'
+         |       WHEN h % 1000 < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM hashed ORDER BY doc_id""".stripMargin
+    },
     "p8_leakage_safe_split" -> {
       val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d2PairsSql) dp),
