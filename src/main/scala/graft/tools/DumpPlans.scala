@@ -53,7 +53,9 @@ object DumpPlans {
       "w7_funnel" -> "Conversion funnel: the sequential stage dependency runs as three unordered per-user window minima over ONE partitioning — the event stream hash-shuffles on user_id exactly once; no self-join, no per-stage re-read of the stream.",
       "x6_grouped_kmv" -> "Grouped KMV: per-group bottom-k hashes located by a WindowGroupLimit partial — each map task keeps k rows per group before the exchange; no group ever sorts its full distinct set.",
       "x7_kmv_overlap" -> "KMV set algebra: two sketch builds (distinct -> TakeOrdered(k)) and sketch-sized semi-joins estimate |A|, |B|, |union|, |intersection| — the corpus and held-out gram sets are never joined against each other.",
-      "d10_pq_neardup" -> "PQ-screened near-dup: one persisted corpus pass computes LSH buckets + PQ codes; pairs block on the bucket equi-join, screen on decoded codes (m ints per side), and only approx-survivors re-join the full vectors for the exact cosine.")
+      "d10_pq_neardup" -> "PQ-screened near-dup: one persisted corpus pass computes LSH buckets + PQ codes; pairs block on the bucket equi-join, screen on decoded codes (m ints per side), and only approx-survivors re-join the full vectors for the exact cosine.",
+      "d12_span_dedup" -> "C4 span dedup: keep-first is a partial-aggregable min(struct) on the full 128-bit span md5 — a hot boilerplate span collapses map-side before the exchange instead of skewing one reduce key (a window rank would ship every copy); span text rides exactly two exchanges (distinct-span argmin, per-doc regroup); the count join moves (id, n_spans) only.",
+      "d13_incremental_span_dedup" -> "Incremental span scrub: only the batch explodes to spans; the store probe is a hash LEFT ANTI join on span_md5 against a membership set of one hash per distinct span — no text, no positions, no corpus re-read; two-layer keep-first (intra-batch argmin, then store anti-join) equals the full recompute.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")

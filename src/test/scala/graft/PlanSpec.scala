@@ -298,6 +298,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
   }
 
+  test("d12: span argmin is a partial min(struct); no theta joins anywhere") {
+    val df = SparkEntry.queries("d12_span_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // keep-first must partial-aggregate before the md5 exchange — a hot
+    // boilerplate span collapses map-side instead of skewing one reduce
+    // key (the window-rank formulation would ship every copy)
+    assert(p.contains("partial_min(struct("),
+      s"expected map-side partial min(struct) in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span dedup must be aggregates + equi-joins only:\n$p")
+  }
+
+  test("d13: incremental scrub probes the store via a hash anti-join on span_md5") {
+    val df = SparkEntry.queries("d13_incremental_span_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"expected the store membership anti-join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"store probe must be an equi-anti-join:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
