@@ -205,4 +205,44 @@ object CorpusStats {
           col("n_grams").cast("double")).as("boilerplate_ratio"))
     out
   }
+
+  /** Vocabulary pruning with `<unk>` rewrite — the tokenizer-prep step:
+    * the kept vocabulary is every token appearing in at least
+    * `num/den` of the corpus's documents (integer arithmetic:
+    * `df * den >= num * nDocs`), and each document reports its token
+    * count, OOV occurrence count, and its text with every OOV token
+    * replaced by `<unk>`.
+    *
+    * Scale shape: document frequency is one distinct-per-doc explode +
+    * count (the same linear pass t7 takes); the KEPT vocabulary — small
+    * by construction, it is the high-df head while the Zipf tail is
+    * what gets pruned — broadcasts onto the positional token stream,
+    * and only the OOV POSITIONS (slim (id, pos) longs) shuffle back
+    * per doc; the text column itself is rewritten by one narrow
+    * two-arg `transform` at the end, never entering an exchange
+    * (the t9 covered-positions shape). */
+  def oovScrub(df: DataFrame, idCol: String, textCol: String,
+               num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need a fraction 0 < num/den <= 1")
+    val toks = df.withColumn("__toks",
+      Hashing.tokens(coalesce(col(textCol), lit(""))))
+    val pos = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val docFreq = pos.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("nd"))
+    val vocab = docFreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") * den >= col("nd") * num)
+      .select(col("tok"))
+    val oovPos = pos.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("__oov"))
+    toks.join(oovPos, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        coalesce(size(col("__oov")), lit(0)).as("n_oov"),
+        array_join(transform(col("__toks"),
+          (t, i) => when(array_contains(coalesce(col("__oov"),
+            array().cast("array<int>")), i), lit("<unk>")).otherwise(t)),
+          " ").as("unk_text"))
+  }
 }

@@ -50,6 +50,48 @@ object Curation {
     df.withColumn("shuffle_key",
       Hashing.hash64(concat(col(keyCol).cast("string"), lit(":" + epoch))))
 
+  /** Deterministic 0-based GLOBAL ordinal by `orderCols` without a
+    * single-task global sort — the number a training loader needs to
+    * cut an epoch order into fixed-size shards ("rows 0..N of epoch e")
+    * and to seek back to an exact resume point. A plain
+    * `row_number() OVER (ORDER BY ...)` plans as one partition holding
+    * the whole corpus; this is the two-stage form: range-partition on
+    * the order keys (partition p holds a contiguous key range below
+    * partition p+1), rank locally, and add per-partition offsets
+    * computed from an O(partitions)-row aggregate whose running sum is
+    * a window over that TINY frame, broadcast back onto the stream.
+    * The result is independent of the partition count (ForcedShuffle
+    * sweeps pin that), because the ordinal is just the global rank.
+    *
+    * `orderCols` must be ties-free as a combination (append a unique id
+    * as the last column — p9 orders by `(shuffle_key, doc_id)`), or
+    * ties get an arbitrary stable-within-run ordinal. */
+  def globalOrdinals(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val keys = orderCols.map(col(_).asc)
+    // the eager checkpoint FREEZES one physical partitioning before
+    // __pid is read from two subtrees — without it, AQE partition
+    // coalescing or independent range-boundary sampling can give the
+    // offset aggregate and the rank stream DIFFERENT pids for the same
+    // row, silently corrupting every ordinal (RDD zipWithIndex runs
+    // its count job against materialized partitions for the same
+    // reason)
+    val ranged = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val local = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    ranged.withColumn("__rk", row_number().over(local))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("ordinal", col("__offset") + col("__rk") - 1)
+      .drop("__pid", "__rk", "__offset")
+  }
+
   /** Deterministic weighted Bernoulli sample: keep a row iff
     * `md5(key) % denom < weight`, i.e. with probability weight/denom —
     * integer arithmetic end to end, so it is exactly reproducible and

@@ -81,6 +81,21 @@ object CurationQueries {
         .orderBy(col("shuffle_key"), col("doc_id"))
         .limit(100)),
 
+    // P-9: epoch order → GLOBAL ordinals → fixed-size shards, without
+    // a single-task global sort: range-partition on the order keys,
+    // rank locally, add tiny broadcast per-partition offsets. The
+    // number a training loader needs to cut epoch 2 into 64-doc shards
+    // and resume from an exact position. Ordered by (shuffle_key,
+    // doc_id) — the tie-break p7's 60-bit-collision note requires.
+    "p9_epoch_ordinals" -> ((s, d) =>
+      Curation.globalOrdinals(
+          Curation.epochShuffle(
+            t(s, d, "documents").select(col("doc_id")), "doc_id", epoch = 2),
+          Seq("shuffle_key", "doc_id"))
+        .select(col("doc_id"), col("shuffle_key"), col("ordinal"),
+          expr("ordinal DIV 64").as("shard"))
+        .orderBy(col("doc_id"))),
+
     // K-2: sliding-window chunking into training sequences (32-token
     // chunks, stride 24) — narrow per-row explode, zero exchanges
     "k2_chunk_documents" -> ((s, d) =>
@@ -227,6 +242,15 @@ object CurationQueries {
       val h = Hashing.sql.hash64("CAST(doc_id AS VARCHAR) || ':1'")
       s"""SELECT doc_id, $h AS shuffle_key FROM documents
          |ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin
+    },
+    "p9_epoch_ordinals" -> {
+      val h = Hashing.sql.hash64("CAST(doc_id AS VARCHAR) || ':2'")
+      s"""WITH keyed AS (SELECT doc_id, $h AS shuffle_key FROM documents),
+         |ranked AS (SELECT doc_id, shuffle_key,
+         |    row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS ordinal
+         |  FROM keyed)
+         |SELECT doc_id, shuffle_key, ordinal, ordinal // 64 AS shard
+         |FROM ranked ORDER BY doc_id""".stripMargin
     },
     "p6_temperature_mix" ->
       s"""WITH docs AS (SELECT doc_id,

@@ -86,6 +86,18 @@ object TextQueries {
           "doc_id", "text", k = 3, minDf = 3L)
         .orderBy(col("doc_id"))),
 
+    // T-11: vocabulary pruning with <unk> rewrite — the tokenizer-prep
+    // step: keep tokens present in >= half the documents, replace the
+    // rare tail with <unk>, report per-doc OOV counts. The kept
+    // vocabulary (high-df head) broadcasts onto the positional token
+    // stream; only OOV positions shuffle back; the text rewrite is one
+    // narrow transform.
+    "t11_oov_unk" -> ((s, d) =>
+      graft.operators.CorpusStats.oovScrub(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", num = 1, den = 2)
+        .orderBy(col("doc_id"))),
+
     // T-10: exact corpus heavy hitters (tokens above a frequency
     // share) via per-partition Misra–Gries + recount of survivors —
     // the shuffle never carries the vocabulary tail, only candidates,
@@ -208,6 +220,19 @@ object TextQueries {
          |FROM (SELECT doc_id, $piiDecor AS text FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    "t11_oov_unk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pos GROUP BY tok),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |vocab AS (SELECT tok FROM dfc, n WHERE df * 2 >= nd * 1),
+        |marked AS (SELECT p.doc_id, p.i, p.tok, v.tok IS NOT NULL AS iv
+        |  FROM pos p LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS INT) AS n_oov,
+        |  string_agg(CASE WHEN iv THEN tok ELSE '<unk>' END, ' ' ORDER BY i) AS unk_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t7_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -153,4 +153,42 @@ class CorpusStatsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(docs) == run(docs.repartition(17)))
   }
+
+  test("oovScrub keeps the high-df head, rewrites the tail to <unk>") {
+    // "aa" in 4/4 docs, "bb" in 2/4, "cc"/"dd"/"ee" in 1/4 each
+    val docs = Seq(
+      (1L, "aa bb cc"),
+      (2L, "aa bb"),
+      (3L, "aa dd"),
+      (4L, "ee aa")).toDF("doc_id", "text")
+    val out = CorpusStats.oovScrub(docs, "doc_id", "text", num = 1, den = 2)
+      .orderBy($"doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3, 1, "aa bb <unk>"),
+      (2L, 2, 0, "aa bb"),
+      (3L, 2, 1, "aa <unk>"),
+      (4L, 2, 1, "<unk> aa")))
+  }
+
+  test("oovScrub equals a brute-force recompute on a random corpus, null-total") {
+    val rnd = new scala.util.Random(67)
+    val vocab = Vector("v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8")
+    val corpus = (1 to 80).map { i =>
+      val n = 1 + rnd.nextInt(7)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (99L, null.asInstanceOf[String])
+    val texts = corpus.map { case (id, t) => (id, Option(t).getOrElse("")) }
+    val dfc = texts.flatMap { case (id, t) => t.split(" ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val nd = corpus.size
+    val want = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1).toVector
+      val marked = toks.map(tok => if (dfc(tok) * 2 >= nd) tok else "<unk>")
+      (id, toks.size, marked.count(_ == "<unk>"), marked.mkString(" "))
+    }.toSet
+    val got = CorpusStats.oovScrub(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", num = 1, den = 2)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == want)
+  }
 }

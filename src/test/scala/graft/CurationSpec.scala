@@ -201,4 +201,25 @@ class CurationSpec extends SparkSpec {
     // uniform-ish: the first-epoch head is not just the id order
     assert(e1.take(50) != (1L to 50L).toSeq)
   }
+
+  test("globalOrdinals equals the single-window global rank at any partition count") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 700).map(i => (i.toLong, rnd.nextLong()))
+    val df = rows.toDF("id", "k").repartition(13)
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), ord) => id -> ord.toLong }.toMap
+    for (parts <- Seq("3", "8")) {
+      val got = withSqlConf("spark.sql.shuffle.partitions", parts) {
+        Curation.globalOrdinals(df, Seq("k", "id"))
+          .select($"id", $"ordinal").as[(Long, Long)].collect().toMap
+      }
+      assert(got == want, s"ordinals diverge from the global rank at $parts partitions")
+    }
+  }
+
+  private def withSqlConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.get(key)
+    try { spark.conf.set(key, value); body }
+    finally spark.conf.set(key, prev)
+  }
 }

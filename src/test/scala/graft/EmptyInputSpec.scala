@@ -55,11 +55,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("curation ordinals: empty input → empty output, single row → ordinal 0") {
+    assert(Curation.globalOrdinals(kv0, Seq("v", "id")).count() == 0)
+    val one = Curation.globalOrdinals(
+      Seq((7L, "s", 1.0)).toDF("id", "src", "v"), Seq("v", "id"))
+    assert(one.select($"ordinal").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("corpus stats: empty corpus → empty stats") {
     assert(CorpusStats.tfidfTopK(docs0, "doc_id", "text", 3).count() == 0)
     assert(CorpusStats.boilerplateRatio(docs0, "doc_id", "text", 3, 3L).count() == 0)
     assert(CorpusStats.removeSharedSpans(docs0, "doc_id", "text", 3, 3L).count() == 0)
     assert(CorpusStats.heavyHitters(docs0, "text", 200).count() == 0)
+    assert(CorpusStats.oovScrub(docs0, "doc_id", "text", 1, 2).count() == 0)
   }
 
   test("curation: empty corpus → empty splits/samples/outliers") {

@@ -49,7 +49,8 @@ class ForcedShuffleSpec extends SparkSpec {
         docs.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 500000).as("doc_id"), col("text")),
         graft.operators.Dedup.spanStore(docs, "doc_id", "text", 16),
-        "doc_id", "text", 16))
+        "doc_id", "text", 16)),
+    "t11_oov_unk" -> (() => SparkEntry.queries("t11_oov_unk")(spark, sf))
   )
 
   private def rows(name: String): Seq[String] =
@@ -65,7 +66,7 @@ class ForcedShuffleSpec extends SparkSpec {
     val names = Seq("j6_equi_join", "c1_decontaminate", "n7_knn_join",
       "y4_band_join", "t10_heavy_hitters", "w7_funnel", "d10_pq_neardup",
       "minhash_pairs(fresh)", "dup_clusters(fresh)", "embedding_knn(fresh)",
-      "span_dedup(fresh)", "incr_span_dedup(fresh)")
+      "span_dedup(fresh)", "incr_span_dedup(fresh)", "t11_oov_unk")
     for (name <- names) {
       val withBroadcast = rows(name)
       val forced = withConf("spark.sql.autoBroadcastJoinThreshold", "-1")(rows(name))
@@ -91,7 +92,10 @@ class ForcedShuffleSpec extends SparkSpec {
     // partition count changes FP addition order; the declared rounding
     // discipline (round / integer units / dyadic values) must absorb it
     val names = Seq("a2_pricing_summary", "w2_user_running", "x1_salted_agg",
-      "u2_quality_report", "t2_quality_score", "x3_approx_stats")
+      "u2_quality_report", "t2_quality_score", "x3_approx_stats",
+      // not FP — pinned here because its two-stage offset construction
+      // must yield the same global rank at ANY partition count
+      "p9_epoch_ordinals")
     def qrows(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
     for (name <- names) {
