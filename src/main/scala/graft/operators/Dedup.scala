@@ -382,6 +382,60 @@ object Dedup {
                 spanTokens: Int): DataFrame =
     spanWinners(df, idCol, textCol, spanTokens).select(col("span_md5"))
 
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — beyond-reference): over the positional word-`k`-gram 60-bit
+    * hash stream, select the MINIMUM of every `w`-gram sliding window
+    * and emit the distinct selected values per document. Guarantee:
+    * any shared substring of ≥ w+k−1 tokens shares at least one
+    * fingerprint — position-robust local sampling, the overlap
+    * detector for the cases minhash (whole-doc similarity) and
+    * [[spanDedup]] (grid-aligned exact spans) both miss: a fragment
+    * pasted at an arbitrary offset into otherwise-unrelated content.
+    * A document shorter than `w` grams contributes its global minimum.
+    *
+    * Expected density is 2/(w+1) of the gram stream, so the
+    * fingerprint table is ~w/2× smaller than the gram table — the
+    * sampling IS the scale story. Both windows (count + sliding min)
+    * share one per-document partitioning: a single exchange. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int): DataFrame = {
+    require(w > 0, "need window w > 0")
+    val grams = df.select(col(idCol),
+      posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+        .as(Seq("pos", "gh")))
+    val perDoc = Window.partitionBy(col(idCol))
+    val sliding = perDoc.orderBy(col("pos").asc).rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("gh")).over(sliding))
+      .filter(col("pos") >= least(lit(w), col("__n")) - 1)
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Partial-overlap pairs by shared winnowing fingerprints: documents
+    * sharing ≥ `minShared` distinct fingerprint values. Fingerprints
+    * occurring in more than `fpDfCap` documents are dropped before the
+    * self-join — a corpus-ubiquitous fingerprint (boilerplate minimum)
+    * carries no overlap signal but would otherwise contribute
+    * O(df²) join rows; the cap bounds any single fingerprint's join
+    * fan-out, the same head-exclusion reasoning as the boilerplate
+    * operators. */
+  def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, minShared: Long,
+                       fpDfCap: Long = 1000L): DataFrame = {
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= fpDfCap).select(col("fp"))
+    val capped = fps.join(keep, Seq("fp"))
+    capped.select(col(idCol).as("id_a"), col("fp"))
+      .join(capped.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The batch's surviving spans against a prior-ingest store:
     * intra-batch keep-first winners whose hash the store does NOT
     * contain — `(span_md5, id, span_idx, span_text)`. This is both

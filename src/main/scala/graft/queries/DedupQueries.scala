@@ -355,6 +355,25 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D-14: winnowing partial-overlap detection — fragment docs
+    // (+800000) carry 25 tokens sliced from MID-document (offset 11,
+    // no grid alignment) plus a unique suffix, so they are neither
+    // whole-doc similar (minhash misses), grid-aligned (d12 misses),
+    // nor fully contained (d11's n_shared = n_grams_a test misses —
+    // the suffix grams aren't in the source). The sliding-window
+    // minima still collide on the shared substring: the SIGMOD'03
+    // guarantee that any ≥ w+k−1-token overlap shares a fingerprint.
+    "d14_winnowing_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val frags = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(array_join(slice(Hashing.tokens(col("text")), 11, 25), " "),
+            lit(" qq"), col("doc_id").cast("string")).as("text"))
+      Dedup.winnowingOverlap(docs.unionByName(frags), "doc_id", "text",
+          k = K, w = 4, minShared = 3, fpDfCap = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // U-5: the INCREMENTAL ingest capstone — one batch flows through
     // the whole continuous-curation path against persisted state, the
     // way a daily 100 TB ingest actually runs: C4 span scrub vs the
@@ -706,6 +725,29 @@ object DedupQueries {
         |           '') AS clean_text
         |FROM marked WHERE doc_id >= 400000
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d14_winnowing_overlap" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000,
+         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |      || ' qq' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |hs AS (SELECT doc_id,
+         |    list_transform(${Hashing.sql.shingles("text", K)}, g -> ${Hashing.sql.hash64("g")}) AS hl
+         |  FROM uni),
+         |fps AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(hl) - 3, 1)),
+         |      i -> list_min(list_slice(hl, i, i + 3)))) AS fp
+         |  FROM hs),
+         |keep AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY 1)
+         |         WHERE c <= 100),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM (SELECT * FROM fps JOIN keep USING (fp)) a
+         |  JOIN (SELECT * FROM fps JOIN keep USING (fp)) b USING (fp)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM pairs
+         |WHERE n_shared >= 3 ORDER BY id_a, id_b""".stripMargin,
     "u5_incremental_ingest" -> {
       val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")
       val paste =

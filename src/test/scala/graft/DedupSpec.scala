@@ -322,6 +322,63 @@ class DedupSpec extends SparkSpec {
     assert(delta.distinct().count() == delta.count())
   }
 
+  test("winnowing: any w+k-1-token overlap shares a fingerprint; brute-force equality") {
+    val (k, w) = (3, 4)
+    // doc 30 pastes a mid-doc fragment of doc 1 (offset 3, length 8
+    // tokens >= w+k-1 = 6) between unrelated content — minhash-invisible
+    val d1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val d30 = "z1 z2 a4 a5 a6 a7 a8 a9 a10 a11 z3 z4"
+    val d2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val docs = Seq((1L, d1), (30L, d30), (2L, d2)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlap(docs, "doc_id", "text", k, w,
+        minShared = 1, fpDfCap = 100)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 30L)), s"got $pairs")
+
+    // randomized brute-force equality of the fingerprint sets
+    val rnd = new scala.util.Random(71)
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val corpus = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"${b & 0xff}%02x").mkString
+        .take(15), 16)
+    }
+    val want = corpus.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1).toVector
+      val grams = if (toks.length >= k)
+        (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).toVector
+      else Vector(t)
+      val hs = grams.map(md5_60)
+      val wins =
+        if (hs.length <= w) Vector(hs.min)
+        else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toVector
+      wins.distinct.map(id -> _)
+    }.toSet
+    val got = Dedup.winnowedFingerprints(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("winnowingOverlap drops corpus-ubiquitous fingerprints at the df cap") {
+    // every doc shares the template text → its fingerprints have df =
+    // 40 > cap; the planted pair shares UNIQUE content and survives
+    val template = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = ((1 to 38).map(i => (i.toLong, s"$template u${i}a u${i}b")) ++
+      Seq((50L, s"$template s1 s2 s3 s4 s5 s6 s7"),
+          (51L, s"q1 q2 s1 s2 s3 s4 s5 s6 s7"))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlap(docs, "doc_id", "text", 3, 4,
+        minShared = 1, fpDfCap = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((50L, 51L)),
+      s"template fingerprints must be capped out, unique overlap kept: $pairs")
+  }
+
   test("p8 leakage-safe split: every near-dup cluster lands in exactly one split") {
     val assigned = graft.queries.DedupQueries.queries("p8_leakage_safe_split")(spark, sf)
     // all members of a rep share its split by construction; the real

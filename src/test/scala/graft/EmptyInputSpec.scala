@@ -28,6 +28,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashNearDup(docs0, "doc_id", "text", 48, 3, 16).count() == 0)
     assert(Dedup.containmentPairs(docs0, "doc_id", "text", 3).count() == 0)
     assert(Dedup.spanDedup(docs0, "doc_id", "text", 16).count() == 0)
+    assert(Dedup.winnowingOverlap(docs0, "doc_id", "text", 3, 4, 1).count() == 0)
     val store0 = Dedup.spanStore(docs0, "doc_id", "text", 16)
     assert(Dedup.incrementalSpanDedup(docs0, store0, "doc_id", "text", 16).count() == 0)
     // an empty store is a no-op filter, not a crash
