@@ -206,6 +206,30 @@ object CorpusStats {
     out
   }
 
+  /** Integer-exact bigram-fluency score — the cheap KenLM-ish quality
+    * proxy: a document whose word bigrams are corpus-common reads
+    * "fluent"; machine-garbled or boilerplate-stitched text pairs
+    * words the corpus never pairs. `fluency = sum(corpus count of
+    * each bigram occurrence) DIV n_bigrams` — all-integer (no
+    * cross-engine `ln` drift), order-equivalent to average bigram
+    * log-probability for ranking purposes at fixed corpus size.
+    *
+    * Scale: the per-doc bigram stream is linear (explode); the corpus
+    * bigram-count table joins back by key — a plain equi-join, since
+    * at 100 TB the bigram vocabulary can exceed broadcast size; both
+    * sides shuffle slim (id|bg, count) rows. A document under 2
+    * tokens falls back to its whole text as one "bigram"
+    * ([[Hashing.shingles]] semantics, mirrored by the oracle). */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = df.select(col(idCol),
+      explode(Hashing.shingles(coalesce(col(textCol), lit("")), 2)).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bigrams.join(counts, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        expr("sum(cnt) DIV count(1)").as("fluency"))
+  }
+
   /** Vocabulary pruning with `<unk>` rewrite — the tokenizer-prep step:
     * the kept vocabulary is every token appearing in at least
     * `num/den` of the corpus's documents (integer arithmetic:

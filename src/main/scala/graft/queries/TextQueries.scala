@@ -98,6 +98,16 @@ object TextQueries {
           "doc_id", "text", num = 1, den = 2)
         .orderBy(col("doc_id"))),
 
+    // T-12: bigram-fluency quality proxy — average corpus frequency of
+    // a doc's word bigrams, integer-exact (sum DIV count). The cheap
+    // LM-free fluency signal: garbled text pairs words the corpus
+    // never pairs.
+    "t12_bigram_fluency" -> ((s, d) =>
+      graft.operators.CorpusStats.bigramFluency(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // T-10: exact corpus heavy hitters (tokens above a frequency
     // share) via per-partition Misra–Gries + recount of survivors —
     // the shuffle never carries the vocabulary tail, only candidates,
@@ -220,6 +230,13 @@ object TextQueries {
          |FROM (SELECT doc_id, $piiDecor AS text FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    "t12_bigram_fluency" ->
+      s"""WITH bg AS (SELECT doc_id, unnest(${Hashing.sql.shingles("text", 2)}) AS bg
+         |  FROM documents),
+         |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         |  CAST(sum(c) // count(*) AS BIGINT) AS fluency
+         |FROM bg JOIN cnt USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t11_oov_unk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |pos AS (SELECT doc_id, i, t[i] AS tok

@@ -92,6 +92,32 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
 
+  /** Materialize one training epoch as fixed-size parquet SHARDS in
+    * the deterministic epoch order — the artifact a data loader
+    * actually consumes: `shard=N` directories of `shardSize` rows
+    * each (last shard short), every row carrying its global `ordinal`
+    * so a crashed run resumes from an exact position and workers
+    * slice the epoch without coordination. Order and shard membership
+    * are functions of (key, epoch) alone
+    * ([[graft.operators.Curation.epochShuffle]] +
+    * [[graft.operators.Curation.globalOrdinals]]): re-running the
+    * same epoch rewrites byte-identical shard contents. The write
+    * itself repartitions on the shard id — each output directory is
+    * produced by the tasks owning that ordinal range, no global
+    * sort. */
+  def writeEpochShards(df: DataFrame, dir: String, keyCol: String,
+                       epoch: Int, shardSize: Long): Unit = {
+    require(shardSize > 0, "shardSize must be positive")
+    val ordered = graft.operators.Curation.globalOrdinals(
+      graft.operators.Curation.epochShuffle(df, keyCol, epoch),
+      Seq("shuffle_key", keyCol))
+    ordered
+      .withColumn("shard", expr(s"ordinal DIV $shardSize"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("ordinal"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
   /** Compact a small-files parquet directory into ~`targetBytes` output
     * files (by current on-disk size), written to `outDir`.
     *

@@ -154,6 +154,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(17)))
   }
 
+  test("bigramFluency averages corpus bigram counts, integer-exact") {
+    // bigrams: "aa bb" ×3 (docs 1,1,2), "bb aa" ×1, "cc dd" ×1
+    val docs = Seq(
+      (1L, "aa bb aa bb"), // bigrams: aa bb, bb aa, aa bb → (3+1+3) DIV 3 = 2
+      (2L, "aa bb"),       // (3) DIV 1 = 3
+      (3L, "cc dd"),       // (1) DIV 1 = 1
+      (4L, "ee"))          // short-doc fallback: whole text, count 1
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramFluency(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((1L, 3, 2L), (2L, 1, 3L), (3L, 1, 1L), (4L, 1, 1L)))
+  }
+
   test("oovScrub keeps the high-df head, rewrites the tail to <unk>") {
     // "aa" in 4/4 docs, "bb" in 2/4, "cc"/"dd"/"ee" in 1/4 each
     val docs = Seq(

@@ -69,6 +69,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CorpusStats.removeSharedSpans(docs0, "doc_id", "text", 3, 3L).count() == 0)
     assert(CorpusStats.heavyHitters(docs0, "text", 200).count() == 0)
     assert(CorpusStats.oovScrub(docs0, "doc_id", "text", 1, 2).count() == 0)
+    assert(CorpusStats.bigramFluency(docs0, "doc_id", "text").count() == 0)
   }
 
   test("curation: empty corpus → empty splits/samples/outliers") {
