@@ -55,7 +55,9 @@ object DumpPlans {
       "x7_kmv_overlap" -> "KMV set algebra: two sketch builds (distinct -> TakeOrdered(k)) and sketch-sized semi-joins estimate |A|, |B|, |union|, |intersection| — the corpus and held-out gram sets are never joined against each other.",
       "d10_pq_neardup" -> "PQ-screened near-dup: one persisted corpus pass computes LSH buckets + PQ codes; pairs block on the bucket equi-join, screen on decoded codes (m ints per side), and only approx-survivors re-join the full vectors for the exact cosine.",
       "d12_span_dedup" -> "C4 span dedup: keep-first is a partial-aggregable min(struct) on the full 128-bit span md5 — a hot boilerplate span collapses map-side before the exchange instead of skewing one reduce key (a window rank would ship every copy); span text rides exactly two exchanges (distinct-span argmin, per-doc regroup); the count join moves (id, n_spans) only.",
-      "d13_incremental_span_dedup" -> "Incremental span scrub: only the batch explodes to spans; the store probe is a hash LEFT ANTI join on span_md5 against a membership set of one hash per distinct span — no text, no positions, no corpus re-read; two-layer keep-first (intra-batch argmin, then store anti-join) equals the full recompute.")
+      "d13_incremental_span_dedup" -> "Incremental span scrub: only the batch explodes to spans; the store probe is a hash LEFT ANTI join on span_md5 against a membership set of one hash per distinct span — no text, no positions, no corpus re-read; two-layer keep-first (intra-batch argmin, then store anti-join) equals the full recompute.",
+      "d14_winnowing_overlap" -> "Winnowing overlap: one per-doc partitioning serves both the gram count and the sliding-window min (single exchange); the fingerprint stream is ~2/(w+1) of the gram stream by construction; the df cap drops corpus-ubiquitous fingerprints BEFORE the self-join so no fingerprint fans out quadratically.",
+      "p9_epoch_ordinals" -> "Global ordinals: range partition on the order keys -> local rank -> O(partitions)-row offset aggregate broadcast back; the eager checkpoint freezes ONE physical partitioning before spark_partition_id is read from two subtrees (AQE coalescing or fresh boundary sampling would otherwise corrupt ordinals); no single-partition global window anywhere.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
