@@ -221,8 +221,13 @@ object CorpusStats {
     * tokens falls back to its whole text as one "bigram"
     * ([[Hashing.shingles]] semantics, mirrored by the oracle). */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the bigram stream feeds both the count aggregate and the join
+    // probe side; without materialization the dominant tokenize+explode
+    // pass runs (and shuffles) twice. Eager checkpoint over df.persist
+    // for the same call-local-lifetime reasoning as winnowingOverlap.
     val bigrams = df.select(col(idCol),
       explode(Hashing.shingles(coalesce(col(textCol), lit("")), 2)).as("bg"))
+      .localCheckpoint(true)
     val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     bigrams.join(counts, Seq("bg"))
       .groupBy(col(idCol))
@@ -260,13 +265,24 @@ object CorpusStats {
       .select(col("tok"))
     val oovPos = pos.join(broadcast(vocab), Seq("tok"), "left_anti")
       .groupBy(col(idCol)).agg(collect_set(col("pos")).as("__oov"))
+    // linear rewrite: kept positions via hash-based array_except, then
+    // the kept (pos, token) pairs and the (pos, <unk>) pairs merge and
+    // sort back into document order — a per-token array_contains over
+    // the OOV set would be O(tokens × oov), quadratic exactly on the
+    // rare-token-heavy documents this operator exists to clean (the
+    // same reasoning as removeSharedSpans' kept-position idiom)
     toks.join(oovPos, Seq(idCol), "left")
+      .withColumn("__oovArr", coalesce(col("__oov"), array().cast("array<int>")))
+      .withColumn("__keptPos",
+        array_except(sequence(lit(0), size(col("__toks")) - 1), col("__oovArr")))
       .select(col(idCol),
         size(col("__toks")).as("n_tokens"),
-        coalesce(size(col("__oov")), lit(0)).as("n_oov"),
-        array_join(transform(col("__toks"),
-          (t, i) => when(array_contains(coalesce(col("__oov"),
-            array().cast("array<int>")), i), lit("<unk>")).otherwise(t)),
-          " ").as("unk_text"))
+        size(col("__oovArr")).as("n_oov"),
+        array_join(transform(array_sort(concat(
+          transform(col("__keptPos"),
+            p => struct(p.as("pos"), element_at(col("__toks"), p + 1).as("t"))),
+          transform(col("__oovArr"),
+            p => struct(p.as("pos"), lit("<unk>").as("t"))))),
+          x => x("t")), " ").as("unk_text"))
   }
 }

@@ -424,8 +424,13 @@ object Dedup {
   def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int, minShared: Long,
                        fpDfCap: Long = 1000L): DataFrame = {
+    // eager checkpoint, not persist: the fingerprint table feeds three
+    // subtrees (df count + both join sides), but a df.persist entry
+    // would pin the CacheManager for the session's life on every call
+    // of this call-local frame; checkpoint blocks release when the
+    // frame goes out of scope (the contractedMerge reasoning)
     val fps = winnowedFingerprints(df, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= fpDfCap).select(col("fp"))
     val capped = fps.join(keep, Seq("fp"))

@@ -67,21 +67,25 @@ object AbrXml {
   private def hasPath(df: DataFrame, path: String): Boolean = {
     import org.apache.spark.sql.types._
     def step(dt: DataType, parts: List[String]): Boolean = (dt, parts) match {
-      case (_, Nil) => true
-      case (s: StructType, h :: t) =>
-        s.fields.find(_.name == h).exists(f => step(f.dataType, t))
       // XML structure inference is corpus-wide: ONE file with a repeated
-      // element turns the field into array<struct> for EVERY record.
+      // element turns the field into array<...> for EVERY record.
       // Treating that as "absent" would silently null the projected
       // column corpus-wide (and the abn filter would then drop every
-      // row) — dirty bulk extracts must fail loudly instead.
-      case (ArrayType(elem, _), parts @ (_ :: _)) =>
-        if (step(elem, parts))
+      // row), and a repeated LEAF (path ends AT the array) would
+      // otherwise stringify to "[a, b]" — dirty bulk extracts must
+      // fail loudly either way. The array case therefore precedes the
+      // terminal case: a path that ends at or crosses a plausible
+      // repeated element throws.
+      case (ArrayType(elem, _), parts) =>
+        if (parts.isEmpty || step(elem, parts))
           throw new IllegalArgumentException(
-            s"XML path '$path' crosses a REPEATED element (inferred array) — " +
+            s"XML path '$path' hits a REPEATED element (inferred array) — " +
               "some input file carries duplicate occurrences of this element; " +
               "deduplicate the extract or project the array explicitly")
         else false
+      case (_, Nil) => true
+      case (s: StructType, h :: t) =>
+        s.fields.find(_.name == h).exists(f => step(f.dataType, t))
       case _ => false
     }
     step(df.schema, path.split('.').toList)

@@ -26,6 +26,26 @@ object AbrZip {
     d.take(8).map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Hadoop `Configuration` is not `Serializable`; this carries the
+    * DRIVER's resolved configuration (core-site + every `spark.hadoop.*`
+    * conf, i.e. object-store credentials and `fs.defaultFS`) into the
+    * task closure via Hadoop's own wire format. A bare
+    * `new Configuration()` on the executor would see only classpath
+    * *-site.xml — no session conf — and with a schemeless staging path
+    * would silently resolve to `file://` on each executor's local disk. */
+  private class SerializableConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Expand every member of every ZIP under `zipGlob` into `outDir`.
     * Returns the member manifest (zip, member, bytes written) — also the
     * natural input to the S-3 processed-files ledger.
@@ -39,16 +59,18 @@ object AbrZip {
     * — [[readZipped]] does.
     *
     * Writes go through the Hadoop FileSystem resolved from the target
-    * path on the EXECUTOR (task-side `Configuration` picks up the
-    * cluster's core-site defaults), so the staging dir can be HDFS or
-    * object storage — a `java.io` write would land on each executor's
-    * local disk where the driver-side XML scan could never see it. */
+    * path with the DRIVER's session configuration shipped into the
+    * task (see [[SerializableConf]]), so the staging dir can be HDFS
+    * or object storage with `spark.hadoop.*`-supplied credentials — a
+    * `java.io` write would land on each executor's local disk where
+    * the driver-side XML scan could never see it. */
   def expand(spark: SparkSession, zipGlob: String, outDir: String): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile").load(zipGlob)
       .select(col("path"), col("content"))
+    val serConf = new SerializableConf(spark.sparkContext.hadoopConfiguration)
     bin.as[(String, Array[Byte])].mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = serConf.value
       it.flatMap { case (zipPath, bytes) =>
         val zipDir = new org.apache.hadoop.fs.Path(outDir, s"zip_${md5Prefix(zipPath)}")
         val fs = zipDir.getFileSystem(conf)

@@ -62,27 +62,43 @@ object IncrementalSpanDedup {
     q.awaitTermination()
   }
 
-  /** Fold the `batch_id=` partition pile into one snapshot at
-    * `batch_id=uptoBatch` and drop the older partitions — the read-
-    * amplification chore ([[readStore]] otherwise opens every batch's
-    * files forever). Store partitions are DISJOINT by construction
-    * (each batch appends only hashes the store lacked), so the
-    * snapshot is a plain concatenation; safe against a replay of the
-    * next batch, which only touches its own partition and reads
-    * strictly older ones. */
+  /** Fold the `batch_id=` partition pile through `uptoBatch` into the
+    * RESERVED `batch_id=-1` base and drop the folded partitions — the
+    * read-amplification chore ([[readStore]] otherwise opens every
+    * batch's files forever). Store partitions are disjoint by
+    * construction (each batch appends only hashes the store lacked),
+    * so the fold is a plain concatenation with the existing base.
+    *
+    * The base id is reserved, never a live batch id: writing the
+    * snapshot AT `batch_id=uptoBatch` would alias a partition a
+    * structured-streaming replay of that batch still owns — the
+    * replay would overwrite the entire folded history with its own
+    * delta and read an empty store for its scrub (at-least-once
+    * delivery destroys the membership set). For the same reason the
+    * NEWEST batch must never fold (only it can still replay): the
+    * guard refuses unless a strictly newer partition exists. */
   def compactStore(spark: SparkSession, storeDir: String,
                    uptoBatch: Long): Unit = {
+    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
+    val ids = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.exists(_ > uptoBatch),
+      s"refusing to compact through batch $uptoBatch: it is the newest " +
+        "batch and may still be replayed — compact only after a newer " +
+        "batch has committed")
     val snapshot = readStore(spark, storeDir, ltBatch = uptoBatch + 1)
       .localCheckpoint(true) // materialize BEFORE overwriting the inputs
-    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=$uptoBatch")
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
     fs.listStatus(path).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("batch_id=") &&
-          name.stripPrefix("batch_id=").toLong < uptoBatch)
-        fs.delete(st.getPath, true)
+      if (name.startsWith("batch_id=")) {
+        val id = name.stripPrefix("batch_id=").toLong
+        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
+      }
     }
   }
 

@@ -93,6 +93,20 @@ class SourcesSpec extends SparkSpec {
       AbrXml.read(spark, dir.toString + "/dup.xml").collect()
     }
     assert(e.getMessage.contains("REPEATED element"))
+
+    // a repeated LEAF (the path ENDS at the array) must also throw —
+    // cast("string") would otherwise stringify it to "[a, b]" silently
+    val leafDir = tmpDir()
+    val leafXml =
+      """<Records><ABR><ABN status="ACT" ABNStatusFromDate="20150701">51824753556</ABN>
+        |<EntityType><EntityTypeText>Co</EntityTypeText>
+        |<EntityTypeText>Trust</EntityTypeText></EntityType>
+        |</ABR></Records>""".stripMargin
+    Files.writeString(leafDir.resolve("leaf.xml"), leafXml)
+    val e2 = intercept[IllegalArgumentException] {
+      AbrXml.read(spark, leafDir.toString + "/leaf.xml").collect()
+    }
+    assert(e2.getMessage.contains("REPEATED element"))
   }
 
   test("WARC: gz parse, response filter, .au filter, title/meta extraction") {

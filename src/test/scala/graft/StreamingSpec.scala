@@ -114,10 +114,19 @@ class StreamingSpec extends SparkSpec {
     assert(hashes.length == hashes.distinct.length)
     assert(hashes.length == 5) // abc def xyz (b0) + mno pqr (b1); "a b c" only once
 
-    // compaction folds the pile into one partition, preserving the set
-    graft.streaming.IncrementalSpanDedup.compactStore(spark, store, uptoBatch = 1)
+    // the NEWEST batch may still replay — folding it must refuse
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalSpanDedup.compactStore(spark, store, uptoBatch = 1)
+    }
+    assert(e.getMessage.contains("newest"))
+    // folding batch 0 into the reserved base preserves the set; the
+    // replayable batch-1 partition survives untouched
+    graft.streaming.IncrementalSpanDedup.compactStore(spark, store, uptoBatch = 0)
     val compacted = spark.read.parquet(store).select($"span_md5").as[String].collect()
     assert(compacted.sorted.toSeq == hashes.sorted.toSeq)
+    val partIds = new java.io.File(store).listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partIds == Seq("batch_id=-1", "batch_id=1"))
     // batch 2 scrubs correctly against the compacted store
     Seq((5L, "p q r a b c")).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(in.toString)
