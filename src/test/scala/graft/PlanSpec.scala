@@ -320,6 +320,20 @@ class PlanSpec extends SparkSpec {
       s"store probe must be an equi-anti-join:\n$p")
   }
 
+  test("t11: kept vocabulary broadcasts onto the token stream; OOV probe is an anti-join") {
+    val df = SparkEntry.queries("t11_oov_unk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the high-df head is the broadcast side of the OOV anti-join; the
+    // positional stream is never a build side. (The one
+    // BroadcastNestedLoopJoin in the tree is the 1-row nDocs scalar
+    // crossed onto the df table — the p4 in-plan-totals pattern.)
+    assert(p.contains("LeftAnti, BuildRight"),
+      s"expected a broadcast anti-join of the vocab head in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian products in the OOV rewrite:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
