@@ -23,14 +23,15 @@ object Hashing {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word k-shingles; a document shorter than k tokens contributes its
-    * whole text as one shingle. */
+    * whole text as one shingle; NULL text propagates to NULL (matching
+    * the native kernels — AdversarialTextSpec pins the agreement). */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
     when(n >= k,
       transform(sequence(lit(0), n - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
-      .otherwise(array(text))
+      .when(text.isNotNull, array(text))
   }
 
   /** Mersenne-31 prime for the minhash affine family. */
@@ -47,9 +48,10 @@ object Hashing {
     * affine universal-hash family (A_j = (j+1)·999983 mod M31,
     * B_j = j·101; all arithmetic < 2^62, overflow-free under ANSI). */
   def minhashFromHashes(baseHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(baseHashes,
-        h => ((j.cast("long") + 1) * 999983L % M31 * h + j.cast("long") * 101L) % M31)))
+    when(baseHashes.isNotNull,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(baseHashes,
+          h => ((j.cast("long") + 1) * 999983L % M31 * h + j.cast("long") * 101L) % M31))))
 
   /** MinHash signature straight from a shingle array. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
@@ -71,7 +73,9 @@ object Hashing {
         (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    terms.reduce(_ + _)
+    // the per-bit otherwise(0) would swallow a NULL hash list into 0;
+    // propagate NULL like the native SimHash64 kernel instead
+    when(hashes.isNotNull, terms.reduce(_ + _))
   }
 
   /** Character n-gram set (distinct, sorted) of the first `maxLen` chars;
@@ -82,7 +86,7 @@ object Hashing {
     when(len >= n,
       array_sort(array_distinct(transform(
         sequence(lit(1), len - (n - 1)), i => s.substr(i, lit(n))))))
-      .otherwise(array(s))
+      .when(text.isNotNull, array(s))
   }
 
   /** Jaccard * 100 (truncated int) between two DISTINCT arrays. */
@@ -116,7 +120,7 @@ object Hashing {
       s"""(CASE WHEN len($toks) >= $k
          | THEN list_transform(generate_series(0, len($toks) - $k),
          |        i -> array_to_string(list_slice($toks, i + 1, i + $k), ' '))
-         | ELSE [$text] END)""".stripMargin
+         | WHEN $text IS NOT NULL THEN [$text] END)""".stripMargin
     }
 
     def shingleHashes(shingleArr: String): String =
@@ -124,9 +128,10 @@ object Hashing {
 
     /** Over a precomputed list<bigint> base-hash column. */
     def minhashFromHashes(baseHashes: String, numHashes: Int): String =
-      s"""list_transform(generate_series(0, ${numHashes - 1}),
+      s"""(CASE WHEN $baseHashes IS NOT NULL THEN
+         | list_transform(generate_series(0, ${numHashes - 1}),
          | j -> list_min(list_transform($baseHashes,
-         |        h -> ((j + 1) * 999983 % 2147483647 * h + j * 101) % 2147483647)))""".stripMargin
+         |        h -> ((j + 1) * 999983 % 2147483647 * h + j * 101) % 2147483647))) END)""".stripMargin
 
     def minhashSignature(shingleArr: String, numHashes: Int): String =
       minhashFromHashes(shingleHashes(shingleArr), numHashes)
@@ -143,7 +148,7 @@ object Hashing {
         val vote = s"list_sum(list_transform($h, x -> CASE WHEN (x >> $j) % 2 = 1 THEN 1 ELSE -1 END))"
         s"(CASE WHEN $vote > 0 THEN ${1L << j} ELSE 0 END)"
       }
-      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+      s"(CASE WHEN $h IS NOT NULL THEN CAST(${terms.mkString(" + ")} AS BIGINT) END)"
     }
 
     def charNgrams(text: String, n: Int, maxLen: Int): String = {
@@ -151,7 +156,7 @@ object Hashing {
       s"""(CASE WHEN length($s) >= $n
          | THEN list_sort(list_distinct(list_transform(
          |        generate_series(1, length($s) - ${n - 1}), i -> substr($s, i, $n))))
-         | ELSE [$s] END)""".stripMargin
+         | WHEN $text IS NOT NULL THEN [$s] END)""".stripMargin
     }
 
     def jaccard100(a: String, b: String): String =

@@ -285,4 +285,48 @@ object CorpusStats {
             p => struct(p.as("pos"), lit("<unk>").as("t"))))),
           x => x("t")), " ").as("unk_text"))
   }
+
+  /** Linear-model document scoring — applying a TRAINED classifier at
+    * corpus scale (the fasttext-style quality/language filter of
+    * CCNet-like curation stages, vs [[graft.functions.TextStats]]'s
+    * literal wordlist heuristics): `score(d) = bias + Σ_positions
+    * w(token)` over every token position whose token appears in the
+    * model table; absent tokens contribute 0, and a document with no
+    * model hit scores exactly `bias`. Integer weights keep the result
+    * bitwise-reproducible across engines.
+    *
+    * The model is a DATAFRAME, not a literal list — a real quality
+    * classifier carries millions of n-gram features, far past what an
+    * in-plan literal (or a guaranteed broadcast) can hold. The join is
+    * deliberately unhinted: AQE broadcasts a small vocabulary head and
+    * falls back to a shuffle-hash join when the model side is large —
+    * the same sizing logic as Dedup's pair-enrichment joins. Only slim
+    * (id, token) pairs enter the join; the text column never shuffles,
+    * and docs with zero hits rejoin through a left join against the
+    * equally slim (id, n_tokens) base.
+    *
+    * @param model  (featureCol: string token, weightCol: long weight)
+    * @return (idCol, n_tokens, n_hits, score, label) — label is
+    *         "keep" when score >= 0, else "drop"
+    */
+  def linearModelScore(df: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame, featureCol: String,
+                       weightCol: String, bias: Long): DataFrame = {
+    val toks = df.select(col(idCol),
+      Hashing.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+    val pos = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
+    val hits = pos.join(
+        model.select(col(featureCol).as("__tok"), col(weightCol).as("__w")),
+        Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        sum(col("__w")).as("__raw"))
+    toks.select(col(idCol), size(col("__toks")).as("n_tokens"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        (coalesce(col("__raw"), lit(0L)) + lit(bias)).as("score"))
+      .withColumn("label",
+        when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+  }
 }

@@ -108,6 +108,26 @@ object TextQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // T-13: trained-classifier scoring — apply a linear model (here a
+    // deterministic stand-in: the 200 highest-df tokens weighted by
+    // hash64 % 21 - 10) to every document via the model-table join,
+    // the fasttext-quality-filter shape. TakeOrderedAndProject builds
+    // the vocabulary head (no global sort); the unhinted model join
+    // lets AQE broadcast it.
+    "t13_classifier_score" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.Hashing.tokens(col("text"))).as("tok"))
+      val model = toks.distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(200)
+        .select(col("tok"),
+          (graft.functions.Hashing.hash64(col("tok")) % 21 - 10).as("w"))
+      graft.operators.CorpusStats.linearModelScore(
+          docs, "doc_id", "text", model, "tok", "w", bias = 0L)
+        .orderBy(col("doc_id"))
+    }),
+
     // T-10: exact corpus heavy hitters (tokens above a frequency
     // share) via per-partition Misra–Gries + recount of survivors —
     // the shuffle never carries the vocabulary tail, only candidates,
@@ -237,6 +257,22 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
          |  CAST(sum(c) // count(*) AS BIGINT) AS fluency
          |FROM bg JOIN cnt USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_classifier_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |model AS (SELECT tok, ${Hashing.sql.hash64("tok")} % 21 - 10 AS w
+         |  FROM dfc ORDER BY df DESC, tok LIMIT 200),
+         |hits AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_hits,
+         |    sum(w) AS raw
+         |  FROM toks t JOIN model USING (tok) GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, coalesce(n_hits, 0) AS n_hits,
+         |  CAST(coalesce(raw, 0) AS BIGINT) AS score,
+         |  CASE WHEN coalesce(raw, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM base LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     "t11_oov_unk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |pos AS (SELECT doc_id, i, t[i] AS tok

@@ -204,4 +204,49 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect().toSet
     assert(got == want)
   }
+
+  test("linearModelScore: multiplicity, bias-only docs, negative → drop") {
+    val docs = Seq(
+      (1L, "good good bad filler"),   // 2*3 + 1*(-5) = 1  → keep
+      (2L, "bad bad good"),           // 2*(-5) + 3 = -7   → drop
+      (3L, "unseen tokens only"),     // no hits → bias     → keep
+      (4L, null.asInstanceOf[String]) // null text → [""] no hits → bias
+    ).toDF("doc_id", "text")
+    val model = Seq(("good", 3L), ("bad", -5L)).toDF("tok", "w")
+    val got = CorpusStats.linearModelScore(
+        docs, "doc_id", "text", model, "tok", "w", bias = 0L)
+      .as[(Long, Int, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4, 3, 1L, "keep")))
+    assert(got(2L) == ((3, 3, -7L, "drop")))
+    assert(got(3L) == ((3, 0, 0L, "keep")))
+    assert(got(4L) == ((1, 0, 0L, "keep")))
+    // a nonzero bias shifts every score, hit or not
+    val biased = CorpusStats.linearModelScore(
+        docs, "doc_id", "text", model, "tok", "w", bias = -2L)
+      .as[(Long, Int, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(biased(1L) == ((-1L, "drop")) && biased(3L) == ((-2L, "drop")))
+  }
+
+  test("linearModelScore equals a brute-force recompute on a random corpus") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+    val weights = Map("w1" -> 4L, "w2" -> -3L, "w4" -> 1L, "w6" -> -7L)
+    val corpus = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val want = corpus.map { case (id, t) =>
+      val toks = t.split(" ", -1).toVector
+      val hits = toks.flatMap(weights.get)
+      (id, toks.size, hits.size, hits.sum + 5L,
+        if (hits.sum + 5L >= 0) "keep" else "drop")
+    }.toSet
+    val got = CorpusStats.linearModelScore(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", weights.toSeq.toDF("tok", "w"),
+        "tok", "w", bias = 5L)
+      .as[(Long, Int, Int, Long, String)].collect().toSet
+    assert(got == want)
+  }
 }
