@@ -334,6 +334,23 @@ class PlanSpec extends SparkSpec {
       s"no cartesian products in the OOV rewrite:\n$p")
   }
 
+  test("t13: model head via TakeOrdered, model join broadcast under AQE") {
+    val df = SparkEntry.queries("t13_classifier_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 200-token vocabulary head must come from TakeOrderedAndProject
+    // (heap top-k per partition), never a global Sort + Limit
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the model head in:\n$p")
+    // the model side (small by construction here) broadcasts onto the
+    // token stream; the unhinted join must not have degraded to a
+    // sort-merge of the exploded token stream
+    assert(p.contains("BroadcastHashJoin [__tok"),
+      s"expected the model broadcast onto the token stream in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian products in model scoring:\n$p")
+  }
+
   test("whole-stage codegen spans exist in the relational core") {
     // under AQE the final plan (with codegen stages) exists only after execution
     def executedString(name: String): String = {
