@@ -93,7 +93,10 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int)
             acc += VecUtil.get(a, vf, k) * comp
             k += 1
           }
-          if (acc > 0.0) bucket |= (1L << j)
+          // Spark SQL (and DuckDB) order NaN above every finite value,
+          // so a NaN projection satisfies `proj > 0` in the declarative
+          // twin — mirror that, not Java's NaN-comparisons-are-false
+          if (acc > 0.0 || acc.isNaN) bucket |= (1L << j)
           j += 1
         }
         out(t) = bucket

@@ -129,6 +129,42 @@ class VectorsSpec extends SparkSpec {
     assert(bad == 0, "native PQ encode diverges from declarative")
   }
 
+  test("dot / lsh twins agree on adversarial vectors (NaN, Inf, empty, mismatch)") {
+    // the embedding-space analogue of AdversarialTextSpec: special
+    // float values and degenerate shapes must not silently diverge
+    // between the byte-walking kernels and the zip_with/aggregate twins
+    val nan = Float.NaN
+    val inf = Float.PositiveInfinity
+    val pairs: Seq[(Array[Float], Array[Float])] = Seq(
+      (Array(nan, 1f, 2f), Array(1f, 1f, 1f)),        // NaN element
+      (Array(inf, 1f), Array(1f, -inf)),              // Inf * -Inf
+      (Array(-0.0f, 0.0f), Array(0.0f, -0.0f)),       // signed zeros
+      (Array(1e38f, 1e38f), Array(1e38f, 1e38f)),     // overflow to Inf
+      (Array(1e-45f, 1f), Array(1f, 1e-45f)),         // subnormals
+      (Array.empty[Float], Array.empty[Float]),       // empty
+      (Array(1f, 2f, 3f), Array(1f, 2f)),             // length mismatch
+      (Array(1f), Array.empty[Float]))                // mismatch vs empty
+    val df = pairs.toDF("a", "b")
+    val badDot = df.select(
+        Vectors.dot($"a", $"b").as("nat"),
+        Vectors.dotDeclarative($"a", $"b").as("dec"))
+      .filter(!($"nat" <=> $"dec")).collect()
+    assert(badDot.isEmpty, s"dot diverged on: ${badDot.mkString("; ")}")
+    val badLsh = df.select($"a",
+        Vectors.lshBucketsAll($"a", 4, 2).as("nat"),
+        array((0 until 2).map(t => Vectors.lshBucket($"a", 4, t)): _*).as("dec"))
+      .filter(!($"nat" <=> $"dec")).collect()
+    assert(badLsh.isEmpty, s"lsh diverged on: ${badLsh.mkString("; ")}")
+    // null vector: both forms give all-zero buckets (documented)
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS a").select(
+        Vectors.lshBucketsAll($"a", 4, 2).as("nat"),
+        array((0 until 2).map(t => Vectors.lshBucket($"a", 4, t)): _*).as("dec"))
+      .collect().head
+    assert(nullRow.getSeq[Long](0) == Seq(0L, 0L))
+    assert(nullRow.getSeq[Any](1).forall(x => x == 0L || x == null),
+      s"declarative null-vector buckets: $nullRow")
+  }
+
   test("native PQ encode: NaN and null-vector edges match the declarative twin") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
