@@ -46,7 +46,13 @@ class FuzzyBestScoreSpec extends SparkSpec {
   }
 
   test("native expression equals declarative chain on generated name pairs") {
-    val pairs = Gen.listOfN(300, Gen.zip(name, name)).sample.get
+    // raw names include multi-byte content: normalizeName strips it to
+    // ASCII (its [^A-Za-z0-9 ] alphabet), which is exactly the invariant
+    // that makes the byte-walking scorer exact — pin the composed path
+    val rawName = Gen.frequency(8 -> name,
+      1 -> name.map(n => s"Café $n Müller"),
+      1 -> name.map(n => s"$n 中文 😀 ß"))
+    val pairs = Gen.listOfN(300, Gen.zip(rawName, rawName)).sample.get
     val df = pairs.toDF("ln", "rn")
       .withColumn("left_norm", Names.normalizeName(col("ln")))
       .withColumn("right_norm", Names.normalizeName(col("rn")))

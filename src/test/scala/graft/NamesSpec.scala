@@ -88,7 +88,11 @@ class NamesSpec extends SparkSpec {
       2 -> name.map(n => s"The $n Pty Ltd (AU) | Home"),
       1 -> name.map(n => s"RSS $n"),
       1 -> name.map(n => s"$n &amp; Co - Contact"),
-      1 -> Gen.oneOf("", "  ", "123-456", "Acme Pty Ltd - Widgets", "\tTabbed Name\t"))
+      1 -> Gen.oneOf("", "  ", "123-456", "Acme Pty Ltd - Widgets", "\tTabbed Name\t"),
+      // multi-byte content: unicode-aware upper/regex in the
+      // declarative chain vs the native byte walkers
+      1 -> Gen.oneOf("Café Pty Ltd", "Müller & Söhne", "ß GmbH", "中文公司",
+        "Ñandú | Home", "Ωμέγα Co", "😀 Emoji Pty", "é̈ Combining", "кириллица"))
     val gen = Gen.listOfN(400, decorated).sample.get
     val corpus = spark.read.parquet(s"$sf/customer.parquet")
       .select($"c_name".as("x")).limit(500)
