@@ -39,6 +39,21 @@ object Warc {
   }
 
   private[graft] def parseFile(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val records = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    try parseInto(path, bytes, records)
+    catch {
+      case _: java.io.IOException =>
+        // corrupt archive (bad gzip magic, CRC mismatch, truncated
+        // deflate stream): keep the records parsed before the
+        // corruption point. The reference's per-file try/except
+        // (extract_commoncrawl.py:75-77) drops the WHOLE file here —
+        // partial recovery with the same task-never-dies containment.
+    }
+    records.iterator
+  }
+
+  private def parseInto(path: String, bytes: Array[Byte],
+                        records: scala.collection.mutable.ArrayBuffer[WarcRecord]): Unit = {
     val in = new ByteArrayInputStream(bytes)
     val stream = new java.io.BufferedInputStream(
       if (path.endsWith(".gz")) new GZIPInputStream(in) else in)
@@ -54,7 +69,6 @@ object Warc {
       while (c >= 0 && c != '\n') { if (c != '\r') sb.write(c); c = stream.read() }
       new String(sb.toByteArray, StandardCharsets.UTF_8)
     }
-    val records = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     var line = readLine()
     while (line != null) {
       if (line.startsWith("WARC/")) {
@@ -65,24 +79,33 @@ object Warc {
           if (i > 0) headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
           h = readLine()
         }
-        val len = headers.getOrElse("content-length", "0").toInt
-        val buf = new Array[Byte](len)
-        var read = 0
+        // defensive length parse: crawl-scale WARCs routinely carry
+        // garbage headers, and a non-numeric / negative Content-Length
+        // must skip the body, not kill the task (the reference contains
+        // per-file failures the same way, extract_commoncrawl.py:75-77
+        // — but drops the WHOLE file where this keeps parsed records)
+        val len = headers.get("content-length")
+          .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(0)
+        // chunked body read: allocation tracks the bytes PRESENT, not
+        // the declared length — a hostile Content-Length of 2^31-1
+        // would otherwise allocate 2 GB per record before EOF is seen
+        val body = new java.io.ByteArrayOutputStream(math.min(len, 1 << 16))
+        val chunk = new Array[Byte](1 << 16)
+        var remaining = len
         var eof = false
-        while (read < len && !eof) {
-          val n = stream.read(buf, read, len - read)
-          if (n < 0) eof = true else read += n
+        while (remaining > 0 && !eof) {
+          val n = stream.read(chunk, 0, math.min(chunk.length, remaining))
+          if (n < 0) eof = true else { body.write(chunk, 0, n); remaining -= n }
         }
         // truncated input keeps only the bytes actually read — never
         // NUL padding from the unwritten buffer tail
         records += WarcRecord(path,
           headers.getOrElse("warc-type", ""),
           headers.getOrElse("warc-target-uri", ""),
-          new String(buf, 0, read, StandardCharsets.UTF_8))
+          new String(body.toByteArray, StandardCharsets.UTF_8))
       }
       line = readLine()
     }
-    records.iterator
   }
 
   /** The reference's t1 extraction chain over parsed WARC records:

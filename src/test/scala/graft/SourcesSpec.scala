@@ -80,6 +80,42 @@ class SourcesSpec extends SparkSpec {
     assert(b1.startsWith(trunc.head.body))
   }
 
+  test("WARC: malformed headers and corrupt archives never kill the task") {
+    def rec(uri: String, body: String, lenHeader: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $lenHeader\r\n\r\n$body\r\n\r\n"
+    val good = rec("https://ok.com.au/", "<html>fine</html>",
+      "<html>fine</html>".getBytes("UTF-8").length.toString)
+    // non-numeric, negative, and absurd declared lengths: body skipped
+    // or truncated-at-EOF, never a NumberFormatException / 2 GB alloc
+    for (bad <- Seq("abc", "-7", "2147483647", "")) {
+      val bytes = (good + rec("https://bad.com.au/", "short", bad)).getBytes("UTF-8")
+      val out = Warc.parseFile("m.warc", bytes).toVector
+      assert(out.nonEmpty && out.head.body == "<html>fine</html>",
+        s"well-formed record must survive a '$bad' Content-Length neighbor: $out")
+      assert(out.forall(_.body.length < 1000))
+    }
+    // header line without a colon is skipped, parse continues
+    val noColon = ("WARC/1.0\r\nWARC-Type: response\r\nGARBAGE LINE\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n" + good).getBytes("UTF-8")
+    val nc = Warc.parseFile("nc.warc", noColon).toVector
+    assert(nc.length == 2 && nc(0).body == "hi")
+    // corrupt gzip: bad magic / truncated deflate yield the records
+    // parsed before the corruption point (reference drops the file)
+    assert(Warc.parseFile("junk.warc.gz",
+      Array[Byte](1, 2, 3, 4, 5)).toVector.isEmpty)
+    val realGz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(bos)
+      z.write((good + good).getBytes("UTF-8")); z.close()
+      bos.toByteArray
+    }
+    val cutGz = realGz.take(realGz.length / 2)
+    val partial = Warc.parseFile("cut.warc.gz", cutGz).toVector
+    assert(partial.forall(_.target_uri == "https://ok.com.au/"),
+      s"partial gzip recovery must only yield well-formed records: $partial")
+  }
+
   test("ABR XML: a repeated projected element fails loudly, never silent nulls") {
     val dir = tmpDir()
     // two GST siblings make the corpus-wide inferred type array<struct>
