@@ -66,6 +66,9 @@ object Multimodal {
       var any = false
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
         x = x * 10 + (b(i) - '0'); i += 1; any = true
+        // a crafted 20-digit dimension would wrap Int and could land on
+        // a small positive value that mis-sizes the raster check
+        if (x > (1 << 24)) return None
       }
       if (!any) return None
       vals(v) = x
