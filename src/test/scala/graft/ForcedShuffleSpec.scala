@@ -50,7 +50,11 @@ class ForcedShuffleSpec extends SparkSpec {
           .select((col("doc_id") + 500000).as("doc_id"), col("text")),
         graft.operators.Dedup.spanStore(docs, "doc_id", "text", 16),
         "doc_id", "text", 16)),
-    "t11_oov_unk" -> (() => SparkEntry.queries("t11_oov_unk")(spark, sf))
+    "t11_oov_unk" -> (() => SparkEntry.queries("t11_oov_unk")(spark, sf)),
+    // the model join is the operator's scale story: a production model
+    // exceeds the broadcast threshold, so the shuffle-hash fallback
+    // must be byte-equal
+    "t13_classifier_score" -> (() => SparkEntry.queries("t13_classifier_score")(spark, sf))
   )
 
   private def rows(name: String): Seq[String] =
@@ -66,7 +70,8 @@ class ForcedShuffleSpec extends SparkSpec {
     val names = Seq("j6_equi_join", "c1_decontaminate", "n7_knn_join",
       "y4_band_join", "t10_heavy_hitters", "w7_funnel", "d10_pq_neardup",
       "minhash_pairs(fresh)", "dup_clusters(fresh)", "embedding_knn(fresh)",
-      "span_dedup(fresh)", "incr_span_dedup(fresh)", "t11_oov_unk")
+      "span_dedup(fresh)", "incr_span_dedup(fresh)", "t11_oov_unk",
+      "t13_classifier_score")
     for (name <- names) {
       val withBroadcast = rows(name)
       val forced = withConf("spark.sql.autoBroadcastJoinThreshold", "-1")(rows(name))
