@@ -312,20 +312,22 @@ object CorpusStats {
   def linearModelScore(df: DataFrame, idCol: String, textCol: String,
                        model: DataFrame, featureCol: String,
                        weightCol: String, bias: Long): DataFrame = {
-    val toks = df.select(col(idCol),
-      Hashing.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
-    val pos = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
-    val hits = pos.join(
+    // single pass: every doc survives the explode (split never returns
+    // an empty array — "" tokenizes to [""]), so a LEFT join against
+    // the model keeps zero-hit docs in the stream and one groupBy
+    // recovers n_tokens (position count), n_hits (matched positions),
+    // and the score together — no second corpus scan, no rejoin of a
+    // (id, n_tokens) base. A model row with a NULL weight counts as
+    // absent (count(__w) skips NULLs, sum ignores them).
+    val pos = df.select(col(idCol),
+      explode(Hashing.tokens(coalesce(col(textCol), lit("")))).as("__tok"))
+    pos.join(
         model.select(col(featureCol).as("__tok"), col(weightCol).as("__w")),
-        Seq("__tok"))
+        Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_hits"),
-        sum(col("__w")).as("__raw"))
-    toks.select(col(idCol), size(col("__toks")).as("n_tokens"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_hits"), lit(0)).as("n_hits"),
-        (coalesce(col("__raw"), lit(0L)) + lit(bias)).as("score"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        count(col("__w")).cast("int").as("n_hits"),
+        (coalesce(sum(col("__w")), lit(0L)) + lit(bias)).as("score"))
       .withColumn("label",
         when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
   }

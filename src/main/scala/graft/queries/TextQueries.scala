@@ -267,7 +267,7 @@ object TextQueries {
          |    sum(w) AS raw
          |  FROM toks t JOIN model USING (tok) GROUP BY 1),
          |base AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS n_tokens
          |  FROM documents)
          |SELECT doc_id, n_tokens, coalesce(n_hits, 0) AS n_hits,
          |  CAST(coalesce(raw, 0) AS BIGINT) AS score,

@@ -99,12 +99,31 @@ object Warc {
         }
         // truncated input keeps only the bytes actually read — never
         // NUL padding from the unwritten buffer tail
-        records += WarcRecord(path,
+        val rec = WarcRecord(path,
           headers.getOrElse("warc-type", ""),
           headers.getOrElse("warc-target-uri", ""),
           new String(body.toByteArray, StandardCharsets.UTF_8))
-      }
-      line = readLine()
+        if (eof) {
+          // EOF inside the body: a genuinely truncated file and an
+          // over-declared length are indistinguishable here — keep the
+          // partial record (the tested truncation contract)
+          records += rec
+          line = null
+        } else {
+          // frame validation: a well-formed record ends with a blank
+          // terminator line. A non-blank next line means the declared
+          // Content-Length was WRONG (an over-declaration just swallowed
+          // the following bytes into this body) — the record is provably
+          // mis-framed, so drop it rather than emit a body corrupted
+          // with raw WARC framing; the outer loop then resyncs on the
+          // next surviving "WARC/" header line
+          line = readLine()
+          if (line == null || line.isEmpty) {
+            records += rec
+            if (line != null) line = readLine()
+          }
+        }
+      } else line = readLine()
     }
   }
 

@@ -100,6 +100,20 @@ class SourcesSpec extends SparkSpec {
       "Content-Length: 2\r\n\r\nhi\r\n\r\n" + good).getBytes("UTF-8")
     val nc = Warc.parseFile("nc.warc", noColon).toVector
     assert(nc.length == 2 && nc(0).body == "hi")
+    // a mid-file OVER-declared length swallows its neighbor's header
+    // into the body: the mis-framed record must be dropped (its body
+    // would carry raw WARC framing) and parsing must resync on the
+    // next surviving record instead of silently losing the tail
+    val victim = rec("https://victim.com.au/", "victim body",
+      "victim body".getBytes("UTF-8").length.toString)
+    val swallower = rec("https://swallow.com.au/", "swal",
+      ("swal".getBytes("UTF-8").length + 30).toString) // eats into victim
+    val tail = (swallower + victim + good).getBytes("UTF-8")
+    val sw = Warc.parseFile("sw.warc", tail).toVector
+    assert(sw.exists(_.target_uri == "https://ok.com.au/"),
+      s"record after the swallowed region must be recovered: $sw")
+    assert(!sw.exists(_.body.contains("WARC/")),
+      s"no emitted body may contain raw WARC framing: $sw")
     // corrupt gzip: bad magic / truncated deflate yield the records
     // parsed before the corruption point (reference drops the file)
     assert(Warc.parseFile("junk.warc.gz",
