@@ -60,7 +60,7 @@ object DumpPlans {
       "p9_epoch_ordinals" -> "Global ordinals: range partition on the order keys -> local rank -> O(partitions)-row offset aggregate broadcast back; the eager checkpoint freezes ONE physical partitioning before spark_partition_id is read from two subtrees (AQE coalescing or fresh boundary sampling would otherwise corrupt ordinals); no single-partition global window anywhere.",
       "t11_oov_unk" -> "OOV/UNK rewrite: the kept vocabulary (high-df head, small by construction) broadcasts onto the positional token stream as a hash ANTI-join; only OOV positions shuffle back per doc; the rewrite itself is a narrow kept/oov position merge (array_except + sort) — linear per doc, and the only BNLJ is the 1-row nDocs scalar cross.",
       "t12_bigram_fluency" -> "Bigram fluency: the corpus bigram stream materializes once (eager checkpoint) and feeds both the count aggregate and the join probe; the count table joins by key with no broadcast assumption — a real bigram vocabulary can exceed broadcast size; integer-exact sum DIV count.",
-      "t13_classifier_score" -> "Linear-model scoring: the vocabulary head comes from TakeOrderedAndProject (per-partition heap top-k, no global sort); the model join is unhinted so AQE broadcasts a small model but shuffle-hashes a multi-million-feature one; only slim (id, token) pairs shuffle and zero-hit docs rejoin through the equally slim (id, n_tokens) base — text never enters an exchange.")
+      "t13_classifier_score" -> "Linear-model scoring: the vocabulary head comes from TakeOrderedAndProject (per-partition heap top-k, no global sort); the model join is unhinted so AQE broadcasts a small model but shuffle-hashes a multi-million-feature one; single pass — every doc survives the explode, the model joins LEFT onto the token stream, and one groupBy recovers n_tokens/n_hits/score together (no second corpus scan, no rejoin); text never enters an exchange.")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the headline operators\n\n")
