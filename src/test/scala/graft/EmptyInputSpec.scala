@@ -70,6 +70,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(CorpusStats.heavyHitters(docs0, "text", 200).count() == 0)
     assert(CorpusStats.oovScrub(docs0, "doc_id", "text", 1, 2).count() == 0)
     assert(CorpusStats.bigramFluency(docs0, "doc_id", "text").count() == 0)
+    val model0 = Seq.empty[(String, Long)].toDF("tok", "w")
+    assert(CorpusStats.linearModelScore(
+      docs0, "doc_id", "text", model0, "tok", "w", 0L).count() == 0)
+    // empty MODEL against a real corpus: every doc scores exactly bias
+    val scored = CorpusStats.linearModelScore(
+        Seq((1L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", model0, "tok", "w", 3L)
+      .select($"n_hits", $"score").as[(Int, Long)].collect().toSeq
+    assert(scored == Seq((0, 3L)))
   }
 
   test("curation: empty corpus → empty splits/samples/outliers") {

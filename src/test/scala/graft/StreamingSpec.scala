@@ -223,6 +223,52 @@ class StreamingSpec extends SparkSpec {
     assert(store.select(size($"code")).as[Int].collect().forall(_ == 4))
   }
 
+  test("streaming model scoring: per-batch scores equal the batch operator") {
+    // classifier scoring is per-doc stateless, so scoring each ingest
+    // batch against the static model table must equal one batch pass
+    // over the accumulated corpus — the streaming twin of t13
+    val root = Files.createTempDirectory("graft-modelscore")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    val model = Seq(("good", 3L), ("bad", -5L)).toDF("tok", "w")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusStats.linearModelScore(
+        df, "doc_id", "text", model, "tok", "w", bias = 0L)
+    Seq((1L, "good bad good"), (2L, "nothing matches"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    // the scorer aggregates per doc, which streaming append mode
+    // rejects in-plan — the twin is foreachBatch (score each ingest
+    // batch as a batch), with batch_id= overwrite for replay idempotence
+    def scoreOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          score(batch).write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    scoreOnce()
+    Seq((3L, "bad bad")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    scoreOnce()
+    val cols = Seq("doc_id", "n_tokens", "n_hits", "score", "label")
+    val streamed = spark.read.parquet(out).orderBy($"doc_id")
+      .select(cols.map(col): _*)
+      .as[(Long, Int, Int, Long, String)].collect().toSeq
+    val batch = score(spark.read.parquet(in.toString)).orderBy($"doc_id")
+      .select(cols.map(col): _*)
+      .as[(Long, Int, Int, Long, String)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => (r._1, r._4, r._5)) ==
+      Seq((1L, 1L, "keep"), (2L, 0L, "keep"), (3L, -10L, "drop")))
+  }
+
   test("AvailableNow passes ingest each file exactly once across runs") {
     val root = Files.createTempDirectory("graft-stream")
     val in = root.resolve("in"); Files.createDirectories(in)
