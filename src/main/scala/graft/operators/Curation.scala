@@ -20,6 +20,10 @@ object Curation {
     * re-partitioning and incremental appends (a new row's split never
     * depends on what else is in the dataset).
     */
+  /** NULL keys hash to a NULL bucket and fall through to "test" —
+    * deterministic quarantine away from training data, pinned by
+    * CurationSpec. Callers with a better key should coalesce first
+    * (p8/u5 use coalesce(cluster, doc_id)). */
   def hashSplit(df: DataFrame, keyCol: String, buckets: Int = 1000,
                 trainUpto: Int = 800, valUpto: Int = 900): DataFrame = {
     val b = Hashing.hash64(col(keyCol).cast("string")) % buckets

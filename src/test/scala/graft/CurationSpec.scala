@@ -20,6 +20,13 @@ class CurationSpec extends SparkSpec {
     // md5 is uniform: each split lands within loose bounds of its share
     val n = a.groupBy(_._3).view.mapValues(_.size).toMap
     assert(n("train") > 1400 && n("val") > 120 && n("test") > 120)
+    // NULL keys: deterministic quarantine to "test" (null bucket) —
+    // never a crash, never a silent landing inside the training split
+    val withNull = Curation.hashSplit(
+        Seq(Some("k1"), None).toDF("k"), "k")
+      .select($"k", $"split").collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(withNull(None) == "test")
   }
 
   test("stratifiedSample takes exactly k per stratum, deterministically") {
