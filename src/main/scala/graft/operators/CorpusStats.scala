@@ -305,22 +305,31 @@ object CorpusStats {
     * and docs with zero hits rejoin through a left join against the
     * equally slim (id, n_tokens) base.
     *
-    * @param model  (featureCol: string token, weightCol: long weight)
-    * @return (idCol, n_tokens, n_hits, score, label) — label is
-    *         "keep" when score >= 0, else "drop"
+    * @param model  (featureCol: string feature, weightCol: long weight)
+    * @param featureN word n-gram width of the model's features (1 =
+    *                 unigram tokens; fasttext-style models carry word
+    *                 bigrams/trigrams — [[Hashing.shingles]] semantics,
+    *                 so a doc shorter than n contributes its whole text
+    *                 as one feature)
+    * @return (idCol, n_tokens, n_hits, score, label) — n_tokens counts
+    *         feature positions; label is "keep" when score >= 0, else
+    *         "drop"
     */
   def linearModelScore(df: DataFrame, idCol: String, textCol: String,
                        model: DataFrame, featureCol: String,
-                       weightCol: String, bias: Long): DataFrame = {
-    // single pass: every doc survives the explode (split never returns
-    // an empty array — "" tokenizes to [""]), so a LEFT join against
-    // the model keeps zero-hit docs in the stream and one groupBy
-    // recovers n_tokens (position count), n_hits (matched positions),
-    // and the score together — no second corpus scan, no rejoin of a
-    // (id, n_tokens) base. A model row with a NULL weight counts as
-    // absent (count(__w) skips NULLs, sum ignores them).
+                       weightCol: String, bias: Long,
+                       featureN: Int = 1): DataFrame = {
+    // single pass: every doc survives the explode (shingles never
+    // returns an empty array for non-null text — "" yields [""]), so a
+    // LEFT join against the model keeps zero-hit docs in the stream and
+    // one groupBy recovers n_tokens (position count), n_hits (matched
+    // positions), and the score together — no second corpus scan, no
+    // rejoin of a (id, n_tokens) base. A model row with a NULL weight
+    // counts as absent (count(__w) skips NULLs, sum ignores them).
+    require(featureN >= 1, "featureN must be >= 1")
     val pos = df.select(col(idCol),
-      explode(Hashing.tokens(coalesce(col(textCol), lit("")))).as("__tok"))
+      explode(Hashing.shingles(coalesce(col(textCol), lit("")), featureN))
+        .as("__tok"))
     pos.join(
         model.select(col(featureCol).as("__tok"), col(weightCol).as("__w")),
         Seq("__tok"), "left")

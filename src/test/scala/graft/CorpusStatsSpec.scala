@@ -229,6 +229,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(biased(1L) == ((-1L, "drop")) && biased(3L) == ((-2L, "drop")))
   }
 
+  test("linearModelScore with bigram features matches shingle semantics") {
+    val docs = Seq(
+      (1L, "new york city"),     // bigrams: "new york", "york city"
+      (2L, "york new"),          // bigram:  "york new" — order matters
+      (3L, "solo")               // shorter than n: whole text, one feature
+    ).toDF("doc_id", "text")
+    val model = Seq(("new york", 10L), ("solo", 2L)).toDF("f", "w")
+    val got = CorpusStats.linearModelScore(
+        docs, "doc_id", "text", model, "f", "w", bias = 0L, featureN = 2)
+      .as[(Long, Int, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2, 1, 10L)), s"bigram positions + one hit: $got")
+    assert(got(2L) == ((1, 0, 0L)), s"reversed bigram must not match: $got")
+    assert(got(3L) == ((1, 1, 2L)), s"short doc scores its whole text: $got")
+  }
+
   test("linearModelScore equals a brute-force recompute on a random corpus") {
     val rnd = new scala.util.Random(41)
     val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
