@@ -301,9 +301,8 @@ object CorpusStats {
     * deliberately unhinted: AQE broadcasts a small vocabulary head and
     * falls back to a shuffle-hash join when the model side is large —
     * the same sizing logic as Dedup's pair-enrichment joins. Only slim
-    * (id, token) pairs enter the join; the text column never shuffles,
-    * and docs with zero hits rejoin through a left join against the
-    * equally slim (id, n_tokens) base.
+    * (id, feature) pairs enter the join; the text column never
+    * shuffles, and one pass covers everything (see the body comment).
     *
     * @param model  (featureCol: string feature, weightCol: long weight)
     * @param featureN word n-gram width of the model's features (1 =

@@ -69,6 +69,9 @@ object Warc {
       while (c >= 0 && c != '\n') { if (c != '\r') sb.write(c); c = stream.read() }
       new String(sb.toByteArray, StandardCharsets.UTF_8)
     }
+    // shared body-read buffer — per-record allocation would churn GC
+    // on record-dense archives
+    val chunk = new Array[Byte](1 << 16)
     var line = readLine()
     while (line != null) {
       if (line.startsWith("WARC/")) {
@@ -90,7 +93,6 @@ object Warc {
         // the declared length — a hostile Content-Length of 2^31-1
         // would otherwise allocate 2 GB per record before EOF is seen
         val body = new java.io.ByteArrayOutputStream(math.min(len, 1 << 16))
-        val chunk = new Array[Byte](1 << 16)
         var remaining = len
         var eof = false
         while (remaining > 0 && !eof) {
