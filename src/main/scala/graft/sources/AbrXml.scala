@@ -35,6 +35,16 @@ object AbrXml {
       .option("rowTag", "ABR")
       .option("inferSchema", "false")
       .load(path)
+    // curated-source loud-failure policy (same as the repeated-element
+    // guard): a corrupted or non-ABR download infers NO real fields —
+    // the schema is empty or only `_corrupt_record` — and without this
+    // check it would silently project to an all-null frame. "Ingest
+    // succeeded, 0 records" is the worst failure mode for a government
+    // bulk extract. Schema inspection is driver-side plan state; no
+    // extra Spark job runs. (A corpus with real fields plus SOME
+    // corrupt rows still loads — per-row dirt is the tolerated case.)
+    require(raw.schema.fieldNames.exists(_ != "_corrupt_record"),
+      s"no <ABR> records found under $path — corrupted or non-ABR input")
     project(raw)
   }
 

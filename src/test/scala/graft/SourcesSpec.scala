@@ -130,6 +130,15 @@ class SourcesSpec extends SparkSpec {
       s"partial gzip recovery must only yield well-formed records: $partial")
   }
 
+  test("ABR XML: garbage input fails loudly, never a silent 0-row success") {
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("junk.xml"), "this is not xml at all { 12345")
+    val e = intercept[IllegalArgumentException] {
+      AbrXml.read(spark, dir.toString + "/junk.xml")
+    }
+    assert(e.getMessage.contains("no <ABR> records"))
+  }
+
   test("ABR XML: a repeated projected element fails loudly, never silent nulls") {
     val dir = tmpDir()
     // two GST siblings make the corpus-wide inferred type array<struct>
