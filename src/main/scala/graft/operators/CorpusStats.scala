@@ -35,8 +35,12 @@ object CorpusStats {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       // both the doc-frequency aggregate and the scoring join consume
-      // tf — without the persist the corpus tokenize+count runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tf — without materializing, the corpus tokenize+count runs
+      // twice. Eager checkpoint, not persist: a df.persist entry on
+      // this call-local frame would pin the CacheManager for the
+      // session's life; checkpoint blocks release when the frame goes
+      // out of scope (the winnowingOverlap idiom)
+      .localCheckpoint(true)
     // tf is already distinct per (doc, token): df = plain count per token
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
@@ -102,7 +106,9 @@ object CorpusStats {
       .select(col(idCol),
         posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
           .as(Seq("pos", "gh")))
-      .persist()
+      // eager checkpoint, not persist — call-local frame, two consumer
+      // subtrees; persist would leak a CacheManager entry per call
+      .localCheckpoint(true)
     val shared = sharedGramSet(grams.select(col(idCol), col("gh")).distinct(), minDf)
     val covered = grams.join(broadcast(shared), "gh")
       .select(col(idCol),
@@ -174,7 +180,10 @@ object CorpusStats {
       }
       Iterator.single((null: String, pn)) ++ counters.keysIterator.map((_, 0L))
     }.toDF("token", "pn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager checkpoint, not persist — call-local frame read by both
+      // the candidate set and the total; persist would leak a
+      // CacheManager entry per call
+      .localCheckpoint(true)
     val candidates = sketch.filter(col("token").isNotNull).select(col("token")).distinct()
     val total = sketch.filter(col("token").isNull).agg(sum(col("pn")).as("total"))
     // pass 2: exact recount of candidates only + the integer cutoff
@@ -193,7 +202,9 @@ object CorpusStats {
       .select(col(idCol),
         explode(graft.plans.ShingleHashes64.column60(col(textCol), k)).as("gh"))
       .distinct()
-      .persist()
+      // eager checkpoint, not persist — call-local frame, three
+      // consumer subtrees; persist would leak a CacheManager entry
+      .localCheckpoint(true)
     val shared = sharedGramSet(grams, minDf)
     val nShared = grams.join(broadcast(shared), "gh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
@@ -329,9 +340,19 @@ object CorpusStats {
     val pos = df.select(col(idCol),
       explode(Hashing.shingles(coalesce(col(textCol), lit("")), featureN))
         .as("__tok"))
-    pos.join(
-        model.select(col(featureCol).as("__tok"), col(weightCol).as("__w")),
-        Seq("__tok"), "left")
+    // pre-aggregate the model to one row per feature BEFORE the join:
+    // a model table carrying duplicate feature rows would otherwise
+    // multiply every matched position (inflating n_tokens, n_hits AND
+    // score for every doc containing that feature). Duplicate weights
+    // SUM — the linear-model reading of repeated (feature, weight)
+    // contributions — and sum's NULL-skipping keeps the documented
+    // "NULL weight counts as absent" rule: an all-NULL feature sums to
+    // NULL and count(__w) still skips it. The aggregate is map-side
+    // partial over the model only; AQE sizes the join from its output.
+    val uniq = model
+      .select(col(featureCol).as("__tok"), col(weightCol).as("__w"))
+      .groupBy(col("__tok")).agg(sum(col("__w")).as("__w"))
+    pos.join(uniq, Seq("__tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         count(col("__w")).cast("int").as("n_hits"),

@@ -331,12 +331,16 @@ object SimilaritySearch {
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
     // verification); the float vector is dropped immediately after.
-    // Persisted because it feeds two subtrees (banding + the code
+    // Materialized because it feeds two subtrees (banding + the code
     // lookup) — without it the hash+encode pass runs once per subtree.
+    // Eager checkpoint, not persist: a df.persist entry on this
+    // call-local frame would pin the CacheManager for the session's
+    // life; checkpoint blocks release when the frame goes out of scope
+    // (the winnowingOverlap idiom).
     val u = graft.model.Tables.spread(corpus).select(col(idCol).as("id"),
       Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
       graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val banded = u.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val pairs = banded.select(col("id").as("id_a"), col("tbl"), col("bucket"))

@@ -83,18 +83,36 @@ object AbrZip {
               val raw = entry.getName
               val safeName =
                 s"m${md5Prefix(raw)}_${raw.replaceAll("[/\\\\]", "_")}"
-              // overwrite=true: a speculative/retried attempt rewrites the
-              // same deterministic target instead of corrupting it
-              val out = fs.create(new org.apache.hadoop.fs.Path(zipDir, safeName), true)
-              try {
-                val buf = new Array[Byte](64 * 1024)
-                var n = 0L
-                var r = zin.read(buf)
-                while (r >= 0) {
-                  out.write(buf, 0, r); n += r; r = zin.read(buf)
-                }
-                (zipPath, raw, n)
-              } finally out.close()
+              // write to an attempt-unique temp name, then rename into
+              // the deterministic target: with speculative execution
+              // two attempts can run CONCURRENTLY, and interleaved
+              // writes to one key on local/object-store filesystems
+              // would leave a short member file the XML read silently
+              // treats as truncated input. Rename gives each attempt a
+              // complete private write; whichever attempt publishes
+              // first wins (both wrote identical bytes — the member is
+              // a deterministic function of the zip), the loser just
+              // discards its temp.
+              val target = new org.apache.hadoop.fs.Path(zipDir, safeName)
+              val tmp = new org.apache.hadoop.fs.Path(zipDir,
+                s".${safeName}.tmp_${java.util.UUID.randomUUID().toString.take(12)}")
+              val out = fs.create(tmp, true)
+              val n =
+                try {
+                  val buf = new Array[Byte](64 * 1024)
+                  var total = 0L
+                  var r = zin.read(buf)
+                  while (r >= 0) {
+                    out.write(buf, 0, r); total += r; r = zin.read(buf)
+                  }
+                  total
+                } finally out.close()
+              if (fs.exists(target) || !fs.rename(tmp, target)) {
+                // a concurrent attempt already published a complete
+                // copy — drop ours
+                fs.delete(tmp, false)
+              }
+              (zipPath, raw, n)
             }.toList
         } finally zin.close()
       }

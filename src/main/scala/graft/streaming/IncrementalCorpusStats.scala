@@ -106,40 +106,62 @@ object IncrementalCorpusStats {
     }
   }
 
-  /** Fold the partial pile into a single BASE partition at `outDir`
-    * (`batch_id=-1` — reserved: stream batch ids are non-negative, so a
-    * restarted stream with a fresh checkpoint can never overwrite the
-    * base), after which new batches append on top — run on a
+  /** Fold the partials with `batch_id <= uptoBatch` into a single BASE
+    * partition at `outDir` (`batch_id=-1` — reserved: stream batch ids
+    * are non-negative, so a restarted stream with a fresh checkpoint
+    * can never overwrite the base); newer partitions are carried over
+    * unfolded, after which new batches append on top — run on a
     * maintenance cadence to bound read-merge fan-in and file count.
+    *
+    * A strictly newer partition than `uptoBatch` must exist
+    * ([[IncrementalSpanDedup.compactStore]]'s guard): foreachBatch is
+    * at-least-once, so the NEWEST batch may not yet be committed to the
+    * checkpoint — fold it into the base and a post-crash replay would
+    * re-append its `batch_id=` partition on top of totals that already
+    * include it, double-counting its tf/df. Once a newer batch has
+    * committed, the older ones can never replay again and are safe to
+    * fold.
+    *
     * Must write to a fresh directory: compacting in place would read
     * and double-count the surviving partials on the next resolve.
     * Continue the SAME stream checkpoint against `outDir` so batch ids
     * keep increasing past the horizon — a fresh checkpoint restarts at
     * 0 and its partitions would alias the folded-away ids in as-of
     * snapshot reads. */
-  def compactTo(spark: SparkSession, storeDir: String, outDir: String): Unit = {
+  def compactTo(spark: SparkSession, storeDir: String, outDir: String,
+                uptoBatch: Long): Unit = {
+    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
     require(new org.apache.hadoop.fs.Path(outDir).toUri !=
       new org.apache.hadoop.fs.Path(storeDir).toUri,
       "compactTo must target a fresh directory — in-place compaction " +
         "would double-count the partials left beside the base")
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids =
+      if (!fs.exists(path)) Array.empty[Long]
+      else fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.exists(_ > uptoBatch),
+      s"refusing to compact through batch $uptoBatch: no strictly newer " +
+        "partition has committed, so it may still be replayed — compact " +
+        "only after a newer batch exists")
     // the folded horizon: snapshots below it are unanswerable from the
     // compacted store and must fail loudly in resolveStats. Take the
     // max with the SOURCE's own horizon — re-compacting an
-    // already-compacted store whose only partition is the base would
-    // otherwise regress the marker to -1 and reopen the silent-wrong-
-    // snapshot hole the marker exists to close.
-    val dirMax =
-      if (!fs.exists(path)) -1L
-      else fs.listStatus(path).iterator.map(_.getPath.getName)
-        .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong)
-        .foldLeft(-1L)(math.max)
-    val horizon = math.max(dirMax, compactionHorizon(fs, storeDir).getOrElse(-1L))
-    resolveStats(spark, storeDir)
+    // already-compacted store would otherwise regress the marker and
+    // reopen the silent-wrong-snapshot hole the marker exists to close.
+    val horizon = math.max(uptoBatch, compactionHorizon(fs, storeDir).getOrElse(-1L))
+    resolveStats(spark, storeDir, uptoBatch = Some(uptoBatch))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=-1")
+    // carry the unfolded (still-replayable) partitions into the new
+    // store verbatim — a replay overwrites its own batch_id= subdir
+    // there, same as in the source store
+    ids.filter(_ > uptoBatch).foreach { id =>
+      spark.read.parquet(s"$storeDir/batch_id=$id")
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    }
     val out = fs.create(markerPath(outDir), true)
     try out.write(horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -338,29 +338,47 @@ class StreamingSpec extends SparkSpec {
         (b0 ++ b1).toDF("doc_id", "text"), "text", 4)
       .as[(String, Long)].collect().toSet
     assert(hh == want)
-    // compaction folds partials into one base with identical truth
+    // folding through the NEWEST batch is refused: foreachBatch is
+    // at-least-once, so an uncommitted newest batch could replay on
+    // top of a base that already folded it and double-count
     val compacted = root.resolve("compacted").toString
-    IncrementalCorpusStats.compactTo(spark, store, compacted)
+    val eNew = intercept[IllegalArgumentException] {
+      IncrementalCorpusStats.compactTo(spark, store, compacted, uptoBatch = 1L)
+    }
+    assert(eNew.getMessage.contains("strictly newer"))
+    val b2 = Seq((5L, "gamma gamma epsilon"))
+    ingest(b2)
+    // compaction folds partials <= uptoBatch into one base and carries
+    // the still-replayable newer partitions over unfolded
+    IncrementalCorpusStats.compactTo(spark, store, compacted, uptoBatch = 1L)
     assert(IncrementalCorpusStats.resolveStats(spark, compacted)
-      .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1))
+      .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1 ++ b2))
     // the base lands in the reserved batch_id=-1 partition a restarted
-    // stream (fresh checkpoint, ids from 0) can never overwrite
+    // stream (fresh checkpoint, ids from 0) can never overwrite; batch 2
+    // survives as its own replay-overwritable partition
     assert(spark.read.parquet(compacted).select($"batch_id").distinct()
-      .as[Long].collect().toSeq == Seq(-1L))
+      .as[Long].collect().toSet == Set(-1L, 2L))
+    // a replay of the carried-over batch overwrites its own partition
+    // in the compacted store without double-counting
+    spark.read.parquet(s"$store/batch_id=2")
+      .write.mode("overwrite").parquet(s"$compacted/batch_id=2")
+    assert(IncrementalCorpusStats.resolveStats(spark, compacted)
+      .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1 ++ b2))
     // in-place compaction would double-count surviving partials
     val e = intercept[IllegalArgumentException] {
-      IncrementalCorpusStats.compactTo(spark, store, store)
+      IncrementalCorpusStats.compactTo(spark, store, store, uptoBatch = 1L)
     }
     assert(e.getMessage.contains("fresh directory"))
     // snapshots BELOW the folded horizon are unanswerable and must fail
     // loudly (the base partition would otherwise satisfy batch_id <= 0
-    // and silently return the full folded totals as "batch 0")
+    // and silently return the folded totals as "batch 0")
     val e2 = intercept[IllegalArgumentException] {
       IncrementalCorpusStats.resolveStats(spark, compacted, uptoBatch = Some(0L))
         .collect()
     }
     assert(e2.getMessage.contains("compaction horizon"))
-    // at/above the horizon the compacted store still answers
+    // at/above the horizon the compacted store still answers, and the
+    // as-of read excludes the unfolded newer partition
     assert(IncrementalCorpusStats.resolveStats(spark, compacted, uptoBatch = Some(1L))
       .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1))
   }
