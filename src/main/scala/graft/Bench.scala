@@ -56,7 +56,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Stdout capture has repeatedly tail-truncated this line (the
+    // per-query map is >4k chars); persist the full record to a stable
+    // repo-root file so no log capture is load-bearing.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
     // The full line above grows with the query census (>2k chars) and a
     // tail-limited log capture can clip its head, losing the total. Emit a

@@ -60,11 +60,28 @@ object Dedup {
   /** [[minhashPairs]] over an already-computed (and ideally persisted)
     * signature table — callers that reuse one signature pass across
     * several consumers (pair list, clustering, incremental batches)
-    * feed the shared table here instead of re-hashing the corpus. */
+    * feed the shared table here instead of re-hashing the corpus.
+    *
+    * `maxBucket` (optional) frequency-caps each band bucket to its
+    * `cap` smallest-hash members before the self-join ([[BucketCap]]):
+    * a boilerplate-heavy corpus region can put O(N) docs in one band
+    * bucket, whose self-join is O(N²) pair rows through a single
+    * shuffle key — unfixable downstream (AQE splits partitions, not
+    * pair counts). The cap is a RECALL tradeoff, not free: a capped
+    * bucket reports pairs only among its kept members, so inside a
+    * degenerate duplicate cluster the pair LIST is a subset (each band
+    * keeps a different hash-ordered subset, so more bands widen
+    * coverage; pairs whose endpoints never co-survive a band are
+    * lost — DedupSpec measures the bound). Use None (default, exact
+    * LSH recall) unless bucket skew is a real risk; downstream
+    * CLUSTERING recovers most of the loss through transitivity. */
   def pairsFromSigs(sigs: DataFrame, idCol: String, bands: Int,
-                    minJaccard100: Int): DataFrame = {
-    val exploded = sigs.select(col(idCol).as("id"),
+                    minJaccard100: Int,
+                    maxBucket: Option[Int] = None): DataFrame = {
+    val exploded0 = sigs.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+    val exploded = maxBucket.fold(exploded0)(cap =>
+      BucketCap.capMembers(exploded0, Seq("band"), "id", cap))
     val a = exploded.select(col("id").as("id_a"), col("band"))
     val b = exploded.select(col("id").as("id_b"), col("band"))
     val pairs = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -257,9 +274,19 @@ object Dedup {
     * positive and bit-slicing shifts agree across engines. Guaranteed
     * recall for pairs with fewer than `bands` differing bits
     * (pigeonhole); probabilistic above. Shuffle volume O(docs × bands),
-    * never O(docs²). Output: id_a < id_b, hamming. */
+    * never O(docs²). Output: id_a < id_b, hamming.
+    *
+    * `maxBucket` (optional) frequency-caps each (band, slice-value)
+    * bucket to its cap smallest-hash members before the self-join —
+    * identical-fingerprint mass (template spam) otherwise makes one
+    * bucket's self-join quadratic. Same recall tradeoff and default as
+    * [[pairsFromSigs]]: the capped pair list is a per-band-subset, and
+    * capping WAIVES the pigeonhole recall guarantee inside oversized
+    * buckets (a < bands-bit pair is found only while one of its shared
+    * slices keeps both endpoints). None = exact LSH recall. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+                     bits: Int, bands: Int, maxHamming: Int,
+                     maxBucket: Option[Int] = None): DataFrame = {
     require(bits < 63 && bits % bands == 0)
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
@@ -268,11 +295,13 @@ object Dedup {
     // One long per doc; negligible storage at any scale.
     val sims = simhashes(docs, idCol, textCol, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sims.select(col(idCol).as("id"), col("simhash"),
+    val banded0 = sims.select(col(idCol).as("id"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             (shiftright(col("simhash"), b * bandBits) bitwiseAND lit(mask)).as("bv"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val banded = maxBucket.fold(banded0)(cap =>
+      BucketCap.capMembers(banded0, Seq("band", "bv"), "id", cap))
     val a = banded.select(col("id").as("id_a"), col("simhash").as("sim_a"),
       col("band"), col("bv"))
     val b = banded.select(col("id").as("id_b"), col("simhash").as("sim_b"),

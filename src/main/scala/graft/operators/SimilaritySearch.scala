@@ -87,20 +87,35 @@ object SimilaritySearch {
     * neighbor list (retrieval dedup, clustering seeds, curriculum
     * mining) where both sides are the full corpus. `bits` tunes bucket
     * size (recall vs candidate volume); `tables` OR-amplifies recall.
-    * A pathological bucket (all-near-identical corpus) degrades toward
-    * its own cross product — the same skew AQE's skew-join splitting
-    * and a higher `bits` both mitigate.
+    *
+    * `maxBucket` bounds the degenerate case: a pathological bucket
+    * (near-identical corpus mass, all-zero vectors) would otherwise
+    * put O(N) ids on one (tbl, bucket) key and the self-join would
+    * degrade toward its own cross product — a pair-count blowup AQE's
+    * skew splitting cannot reduce (it rebalances post-shuffle
+    * partitions, not the join output). Only the CANDIDATE side is
+    * capped to the `maxBucket` smallest-hash members per bucket
+    * ([[BucketCap]]), so a bucket contributes at most n × maxBucket
+    * pair rows (linear, not quadratic) while every corpus row keeps
+    * its full query role — no document loses its neighbor list. The
+    * hash order differs per table, so an extra table recovers
+    * candidates a hot bucket evicts (VectorsSpec measures the recall;
+    * with maxBucket >= the largest bucket the result is identical to
+    * uncapped). The selection is deterministic, so the capped operator
+    * keeps an exact DuckDB oracle.
     */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, bits: Int, tables: Int = 2): DataFrame = {
+              k: Int, bits: Int, tables: Int = 2,
+              maxBucket: Int = 256): DataFrame = {
     val c = prep(corpus, idCol, vecCol, "c")
     // slim banded frame: ids and bucket keys only — the self-join never
     // moves an embedding payload
     val banded = c.select(col("c_id"),
       posexplode(Vectors.lshBucketsAll(col("c_vec"), bits, tables))
         .as(Seq("tbl", "bucket")))
+    val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "c_id", maxBucket)
     val pairs = banded.select(col("c_id").as("q_id"), col("tbl"), col("bucket"))
-      .join(banded, Seq("tbl", "bucket"))
+      .join(capped, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
       .distinct()

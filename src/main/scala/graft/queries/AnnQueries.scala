@@ -17,10 +17,15 @@ object AnnQueries {
   private val Kk = 5
   private val Bits = 4
   private val NTables = 4
-  // n7 kNN join: 6 bits → ~N/64 per bucket, 2 OR-amplified tables
+  // n7 kNN join: 6 bits → ~N/64 per bucket; 3 OR-amplified tables (the
+  // third compensates the recall the bucket cap costs); candidate side
+  // capped at 16 members per bucket — binds on real buckets at sf0.1
+  // (avg ~31 members), so the capped semantics are exercised, and
+  // bounds a degenerate bucket's pair fan-out to n×16 instead of n²
   private val KnnK = 3
   private val KnnBits = 6
-  private val KnnTables = 2
+  private val KnnTables = 3
+  private val KnnCap = 16
 
   private def queriesDf(s: SparkSession, d: String) =
     t(s, d, "embeddings").filter(col("vec_id") < 8)
@@ -83,12 +88,15 @@ object AnnQueries {
     // N-7: kNN JOIN — top-k neighbors for EVERY corpus vector (query
     // set = corpus, nothing broadcastable). Candidates from a slim
     // sign-LSH bucket self-equi-join: shuffle O(N × tables) id+bucket
-    // rows, payloads joined back only for colliding pairs. The
+    // rows, payloads joined back only for colliding pairs; the
+    // candidate side is frequency-capped per bucket (BucketCap) so a
+    // degenerate bucket fans out linearly, never quadratically. The
     // per-document neighbor-list shape retrieval dedup and cluster
     // seeding need at corpus scale.
     "n7_knn_join" -> ((s, d) =>
       SimilaritySearch.knnJoin(t(s, d, "embeddings"),
-          "vec_id", "embedding", k = KnnK, bits = KnnBits, tables = KnnTables)
+          "vec_id", "embedding", k = KnnK, bits = KnnBits,
+          tables = KnnTables, maxBucket = KnnCap)
         .orderBy(col("q_id"), col("rank")))
   )
 
@@ -232,11 +240,14 @@ object AnnQueries {
       val banded = (0 until KnnTables).map(tb =>
         s"SELECT c_id, $tb AS tbl, ${Vectors.sql.lshBucket("c_vec", KnnBits, tb)} AS bucket FROM c")
         .mkString("\nUNION ALL ")
+      val capped = graft.operators.BucketCap.sqlCapped(
+        "SELECT * FROM banded", Seq("tbl", "bucket"), "c_id", KnnCap)
       s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_vec, ${Vectors.sql.norm("embedding")} AS c_norm
          |           FROM embeddings),
          |banded AS ($banded),
+         |capped AS ($capped),
          |cand AS (SELECT DISTINCT a.c_id AS q_id, b.c_id AS c_id
-         |         FROM banded a JOIN banded b USING (tbl, bucket)
+         |         FROM banded a JOIN capped b USING (tbl, bucket)
          |         WHERE a.c_id <> b.c_id),
          |s AS (SELECT cand.q_id, cand.c_id,
          |  ${Vectors.sql.cosineWithNorms("cq.c_vec", "cc.c_vec", "cq.c_norm", "cc.c_norm")} AS cosine

@@ -396,4 +396,57 @@ class DedupSpec extends SparkSpec {
       .groupBy($"rep").count().filter($"count" > 1).count()
     assert(perRep == 0, "a rep key mapped to more than one split")
   }
+
+  test("pairsFromSigs bucket cap: no-op when loose, subset + linear bound on a clone bomb") {
+    // clone bomb: 120 identical docs (every band bucket holds all of
+    // them → uncapped pair volume is C(120,2) through single keys)
+    // plus planted near-dup pairs among distinct docs
+    val clones = (1 to 120).map(i =>
+      (i.toLong, "same boilerplate template text repeated verbatim every page footer"))
+    val distinctDocs = (1 to 30).map(i =>
+      (1000L + i, s"unique document number$i with words alpha$i beta$i gamma$i delta$i"))
+    val planted = distinctDocs.take(10).map { case (id, t) => (id + 500, t + " tail") }
+    val df = (clones ++ distinctDocs ++ planted).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 16, 4)
+      .localCheckpoint(true)
+    def run(cap: Option[Int]) =
+      Dedup.pairsFromSigs(sigs, "doc_id", 4, 50, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(None)
+    assert(run(Some(10000)) == uncapped, "non-binding cap changed the pair list")
+    val capped = run(Some(8))
+    assert(capped.subsetOf(uncapped), "cap invented pairs")
+    // linear bound: each of the 4 band buckets contributes at most
+    // C(8,2)=28 clone pairs — far under the 7140 uncapped clone pairs
+    val clonePairsUncapped = uncapped.count { case (a, b) => a <= 120 && b <= 120 }
+    val clonePairsCapped = capped.count { case (a, b) => a <= 120 && b <= 120 }
+    assert(clonePairsUncapped == 120 * 119 / 2)
+    assert(clonePairsCapped <= 4 * 28 && clonePairsCapped > 0,
+      s"capped clone pairs out of bounds: $clonePairsCapped")
+    // recall outside the degenerate mass: planted near-dup pairs live
+    // in small buckets the cap never touches
+    val plantedPairs = uncapped.filter { case (a, b) => a > 1000 && b > 1000 }
+    assert(plantedPairs.nonEmpty && plantedPairs.subsetOf(capped),
+      "cap evicted pairs from healthy small buckets")
+  }
+
+  test("simhashNearDup bucket cap: subset semantics and bounded clone buckets") {
+    val clones = (1 to 80).map(i =>
+      (i.toLong, "identical spam body repeated across the whole crawl daily"))
+    val distinctDocs = (1 to 20).map(i =>
+      (1000L + i, s"document $i carries its own distinct vocabulary line$i word$i"))
+    val df = (clones ++ distinctDocs).toDF("id", "text")
+    def run(cap: Option[Int]) =
+      Dedup.simhashNearDup(df, "id", "text", 48, 4, 12, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(None)
+    assert(run(Some(5000)) == uncapped, "non-binding cap changed the pair list")
+    val capped = run(Some(6))
+    assert(capped.subsetOf(uncapped), "cap invented pairs")
+    val cloneUncapped = uncapped.count { case (a, b) => a <= 80 && b <= 80 }
+    val cloneCapped = capped.count { case (a, b) => a <= 80 && b <= 80 }
+    assert(cloneUncapped == 80 * 79 / 2)
+    assert(cloneCapped <= 4 * 15 && cloneCapped > 0,
+      s"capped clone pairs out of bounds: $cloneCapped")
+  }
 }

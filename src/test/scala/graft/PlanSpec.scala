@@ -239,15 +239,34 @@ class PlanSpec extends SparkSpec {
     assert(i >= 0 || p.contains("Window"), s"expected rank window in:\n$p")
   }
 
+  test("n7: the bucket frequency cap is a WindowGroupLimit partial, pre-join") {
+    val df = SparkEntry.queries("n7_knn_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // two rank-limit windows must survive optimization: the per-bucket
+    // candidate cap (partitioned on tbl+bucket) and the final top-k
+    // rank (partitioned on q_id). WindowGroupLimit means map tasks drop
+    // beyond-cap members BEFORE the window shuffle — even the capping
+    // pass never concentrates a hot bucket's full membership.
+    val wgl = p.linesIterator.filter(_.contains("WindowGroupLimit")).toVector
+    assert(wgl.size >= 2, s"expected cap + rank WindowGroupLimits in:\n$p")
+    assert(wgl.exists(l => l.contains("bucket")),
+      s"expected a WindowGroupLimit partitioned on the bucket key in:\n$p")
+  }
+
   test("t10: heavy hitters sketch in mapPartitions, candidates broadcast onto the stream") {
     val df = SparkEntry.queries("t10_heavy_hitters")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // stage 1 is the Misra–Gries mapPartitions (an object map, not an
-    // aggregate): the token stream reaches the candidate join with NO
-    // exchange of its own — the vocabulary tail never shuffles
-    assert(p.contains("MapPartitions"),
-      s"expected the MG sketch to run as mapPartitions:\n$p")
+    // stage 1 is the Misra–Gries mapPartitions sketch; it runs inside
+    // the eager localCheckpoint (CacheManager-leak fix), so the final
+    // plan reads it back as a checkpointed RDD scan rather than
+    // showing the MapPartitions node inline
+    assert(p.contains("MapPartitions") || p.contains("ExistingRDD")
+        || p.contains("Scan ExistingRDD"),
+      s"expected the MG sketch (mapPartitions or its checkpoint scan):\n$p")
+    // the token stream reaches the candidate join with NO exchange of
+    // its own — the vocabulary tail never shuffles
     assert(p.contains("BroadcastHashJoin"),
       s"expected the candidate set to broadcast onto the token stream:\n$p")
   }

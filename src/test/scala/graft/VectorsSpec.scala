@@ -233,4 +233,74 @@ class VectorsSpec extends SparkSpec {
     assert(r5 >= r2)
     assert(r5 > 0.3, s"IVF recall@5probes too low: $r5")
   }
+
+  test("kNN join bucket cap: no-op when loose, query coverage and recall preserved when binding") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 300).select($"vec_id", $"embedding")
+    def knn(cap: Int, tables: Int = 2) =
+      SimilaritySearch.knnJoin(e, "vec_id", "embedding",
+          k = 3, bits = 4, tables = tables, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap at least as large as every bucket is byte-identical to
+    // effectively-uncapped — the cap only ever REMOVES candidates
+    val uncapped = knn(1 << 30)
+    assert(knn(300) == uncapped, "non-binding cap changed the result")
+    // binding cap (4 bits over 300 rows → ~19 per bucket, cap 8 keeps
+    // under half of each hot bucket): every query keeps a neighbor
+    // list — capping the candidate side only must never erase a
+    // document's query role
+    val capped = knn(8)
+    assert(capped.map(_._1) == uncapped.map(_._1),
+      "cap erased whole query rows from the kNN join")
+    // per-table hash order differs, so the 3rd table recovers evicted
+    // candidates: recall with compensation beats the bare capped run
+    val compensated = knn(8, tables = 3)
+    val recall = (capped & uncapped).size.toDouble / uncapped.size
+    val recall3 = (compensated & uncapped).size.toDouble / uncapped.size
+    assert(recall > 0.3, s"capped recall collapsed: $recall")
+    assert(recall3 >= recall,
+      s"extra table did not compensate recall: $recall3 < $recall")
+  }
+
+  test("bucket cap bounds a degenerate bucket linearly and keeps the join total") {
+    // clone bomb: every vector identical → each LSH table has ONE
+    // bucket holding the whole corpus; uncapped, the self-join would
+    // produce n² pair rows through a single shuffle key
+    val n = 400
+    val e = spark.range(n).select($"id".as("vec_id"),
+      array_repeat(lit(1.0f), 8).as("embedding"))
+    val banded = e.select($"vec_id",
+      posexplode(Vectors.lshBucketsAll($"embedding", 4, 2)).as(Seq("tbl", "bucket")))
+    val capped = graft.operators.BucketCap.capMembers(
+      banded, Seq("tbl", "bucket"), "vec_id", 8)
+    val perBucket = capped.groupBy($"tbl", $"bucket").count()
+      .select($"count").as[Long].collect()
+    assert(perBucket.forall(_ <= 8), s"bucket cap violated: ${perBucket.toSeq}")
+    // the ordering hash includes the table id, so the two tables keep
+    // DIFFERENT member subsets — that is what lets extra tables buy
+    // back recall evicted by a hot bucket
+    val kept = capped.select($"tbl", $"vec_id").as[(Int, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    assert(kept(0) != kept(1), "per-table cap selections must differ")
+    // and the operator stays total: every query still gets k neighbors
+    // (candidates capped per bucket, but >= cap-1 >= k remain)
+    val out = SimilaritySearch.knnJoin(e, "vec_id", "embedding",
+      k = 3, bits = 4, tables = 2, maxBucket = 8)
+    assert(out.select($"q_id").distinct().count() == n)
+    val counts = out.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(counts.forall(_ == 3))
+  }
+
+  test("bucket cap selection is deterministic under repartitioning") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 200).select($"vec_id", $"embedding")
+    val banded = e.select($"vec_id",
+      posexplode(Vectors.lshBucketsAll($"embedding", 3, 2)).as(Seq("tbl", "bucket")))
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.BucketCap.capMembers(df, Seq("tbl", "bucket"), "vec_id", 4)
+        .select($"tbl", $"bucket", $"vec_id")
+        .as[(Int, Long, Long)].collect().toSet
+    assert(keep(banded) == keep(banded.repartition(13)),
+      "cap selection must be a pure function of (bucket, id), not partitioning")
+  }
 }
