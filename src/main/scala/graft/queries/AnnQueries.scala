@@ -26,6 +26,16 @@ object AnnQueries {
   private val KnnBits = 6
   private val KnnTables = 3
   private val KnnCap = 16
+  // n8 incremental ANN: every 7th vector re-ingested (id-shifted clone)
+  // as a batch against the full corpus as the persisted store; the PQ
+  // codebook is trained on the STORE ONLY — persisted-codebook
+  // semantics: the batch is encoded under a codebook it did not train,
+  // the steady state of the continuous ingest path
+  private val IncM = 8
+  private val IncCodewords = 16
+  private val IncBits = 6
+  private val IncTables = 2
+  private val IncMinCos = 0.9
 
   private def queriesDf(s: SparkSession, d: String) =
     t(s, d, "embeddings").filter(col("vec_id") < 8)
@@ -97,7 +107,26 @@ object AnnQueries {
       SimilaritySearch.knnJoin(t(s, d, "embeddings"),
           "vec_id", "embedding", k = KnnK, bits = KnnBits,
           tables = KnnTables, maxBucket = KnnCap)
-        .orderBy(col("q_id"), col("rank")))
+        .orderBy(col("q_id"), col("rank"))),
+
+    // N-8: INCREMENTAL ANN — one micro-batch of the continuous ingest
+    // path as a batch twin (the oracled proof that "corpus encoded
+    // once" holds): the store is the whole corpus, the batch is a
+    // clone of every 7th vector, the codebook is trained on the store
+    // only and the batch is encoded under it (stale-codebook steady
+    // state). Candidates are LSH-bucket batch-vs-(store ∪ batch), so
+    // old-vs-old pairs never regenerate; verification is the
+    // asymmetric PQ cosine over decoded codes — per batch the work is
+    // O(batch + collisions), never O(corpus²).
+    "n8_incremental_ann" -> ((s, d) => {
+      val store = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = t(s, d, "embeddings").filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.streaming.IncrementalAnn.incrementalPairs(store, batch,
+          "vec_id", "embedding", dim = 64, m = IncM, codewords = IncCodewords,
+          lshBits = IncBits, lshTables = IncTables, minCosine = IncMinCos)
+        .orderBy(col("id_a"), col("id_b"))
+    })
   )
 
   private def prepCte: String =
@@ -255,6 +284,52 @@ object AnnQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank0 FROM s)
          |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $KnnK
          |ORDER BY q_id, rank0""".stripMargin
+    },
+    "n8_incremental_ann" -> {
+      val M = IncM; val K = IncCodewords; val SubDim = 64 / IncM
+      val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
+        "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
+      val banded = (0 until IncTables).map(tb =>
+        s"SELECT c_id, $tb AS tbl, ${Vectors.sql.lshBucket("c_vec", IncBits, tb)} AS bucket FROM allv")
+        .mkString("\nUNION ALL ")
+      // codebook = anchors from the STORE only (embeddings), exactly
+      // pqTrainCodebook's smallest-hash sample; encode/decode spans
+      // store ∪ batch — the stale-codebook steady state
+      s"""WITH newb AS (SELECT vec_id + 100000 AS c_id, embedding AS c_vec
+         |              FROM embeddings WHERE vec_id % 7 = 0),
+         |allv AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |         UNION ALL SELECT c_id, c_vec FROM newb),
+         |anch AS (SELECT ki, av FROM (
+         |  SELECT row_number() OVER (ORDER BY
+         |      ${graft.functions.Hashing.sql.hash64("CAST(vec_id AS VARCHAR)")} ASC,
+         |      vec_id ASC) AS ki,
+         |    list_transform(embedding, x -> x::DOUBLE) AS av
+         |  FROM embeddings) WHERE ki <= $K),
+         |subs AS (SELECT unnest([${(0 until M).mkString(", ")}]) AS mi),
+         |cw AS (SELECT mi, ki, list_slice(av, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS cw
+         |       FROM anch CROSS JOIN subs),
+         |pqd AS (SELECT c_id, mi, ki, $l2 AS dist FROM (
+         |  SELECT c_id, mi, ki,
+         |    list_slice(list_transform(c_vec, x -> x::DOUBLE),
+         |      mi * $SubDim + 1, mi * $SubDim + $SubDim) AS sv, cw
+         |  FROM allv CROSS JOIN cw)),
+         |enc AS (SELECT c_id, mi, ki FROM (
+         |  SELECT c_id, mi, ki,
+         |    row_number() OVER (PARTITION BY c_id, mi ORDER BY dist ASC, ki ASC) AS rr
+         |  FROM pqd) WHERE rr = 1),
+         |dec AS (SELECT c_id, flatten(list(cw ORDER BY mi)) AS dv
+         |        FROM enc JOIN cw USING (mi, ki) GROUP BY c_id),
+         |banded AS ($banded),
+         |cand AS (SELECT DISTINCT least(a.c_id, b.c_id) AS id_a,
+         |                greatest(a.c_id, b.c_id) AS id_b
+         |         FROM banded a JOIN banded b USING (tbl, bucket)
+         |         WHERE a.c_id >= 100000 AND a.c_id <> b.c_id),
+         |dn AS (SELECT c_id, dv, ${Vectors.sql.norm("dv")} AS nrm FROM dec),
+         |s AS (SELECT id_a, id_b,
+         |  ${Vectors.sql.cosineWithNorms("da.dv", "db.dv", "da.nrm", "db.nrm")} AS approx_cos
+         |  FROM cand JOIN dn da ON da.c_id = id_a JOIN dn db ON db.c_id = id_b)
+         |SELECT id_a, id_b, approx_cos FROM s WHERE approx_cos >= $IncMinCos
+         |ORDER BY id_a, id_b""".stripMargin
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -16,44 +16,74 @@ import graft.operators.SimilaritySearch
   * bucket ints per vector, never the float embeddings, and per batch
   * the work is O(batch + collisions), not O(corpus).
   *
-  * The codebook is trained on the FIRST batch (deterministic
-  * smallest-hash sample) and persisted beside the store; later batches
-  * reuse it, which is what makes codes comparable across batches. Like
-  * any PQ index, a drifting embedding distribution eventually warrants
-  * re-training + re-encoding — that is a rebuild, not an ingest.
+  * Codebooks are GENERATIONAL: the first batch trains generation 0
+  * (deterministic smallest-hash sample) and persists it beside the
+  * store; later batches reuse the newest generation — which is what
+  * makes codes cheap to compare — UNLESS the batch's quantization
+  * error has drifted past `maxDriftRatio` × the generation's training
+  * error, in which case the batch trains a NEW generation and is
+  * encoded under it (retrain + re-encode the delta; the store's old
+  * codes stay put). Cross-generation comparison stays exact because
+  * verification is asymmetric anyway: each side's code is DECODED
+  * under the generation that produced it before the cosine — only the
+  * coarse LSH blocking (computed from the raw vector, codebook-free)
+  * must agree across generations, and it does by construction.
   *
   * Idempotence follows the sibling's layout: both sinks write
-  * `batch_id=<n>` overwrite partitions, replays land in place.
+  * `batch_id=<n>` overwrite partitions, and a codebook generation is
+  * only trusted once its `_SUCCESS` marker exists — a generation half-
+  * written by a crashed retrain is ignored on replay and deterministically
+  * rewritten by the same drift decision (StreamingSpec drives both).
   */
 object IncrementalAnn {
 
+  /** codebook(mi)(ki)(j): `m` subspaces × `k` codewords × subDim. */
+  type Codebook = Array[Array[Array[Double]]]
+
   /** Ingest new embedding files under `inputDir` once (AvailableNow).
     * Emits (id_a, id_b, approx_cos) pairs with approx_cos >=
-    * `minCosine` into `pairsOutDir`; appends (id, code, bucket ints)
-    * to `codeStoreDir`. */
+    * `minCosine` into `pairsOutDir`; appends (id, gen, code, bucket
+    * ints) to `codeStoreDir`. `maxDriftRatio` arms the staleness
+    * policy (infinite = single codebook forever). */
   def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
               idCol: String, vecCol: String,
               codeStoreDir: String, pairsOutDir: String, checkpointDir: String,
               dim: Int, m: Int = 8, codewords: Int = 16,
               lshBits: Int = 8, lshTables: Int = 4,
-              minCosine: Double = 0.9): Unit = {
+              minCosine: Double = 0.9,
+              maxDriftRatio: Double = Double.PositiveInfinity): Unit = {
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(vecCol))
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val codebook = loadOrTrainCodebook(s, batch, idCol, vecCol,
-          dim, m, codewords, s"$codeStoreDir/_codebook")
+        val cbDir = s"$codeStoreDir/_codebook"
+        val known = loadCodebooks(s, cbDir)
+        val gen =
+          if (known.isEmpty)
+            trainGeneration(s, batch, idCol, vecCol, dim, m, codewords, cbDir, 0)
+          else {
+            val (curGen, (curCb, baseErr)) = known.maxBy(_._1)
+            val drift = quantizationError(batch, vecCol, curCb)
+            // replay note: the drift mean is a parallel double sum, so a
+            // value EXACTLY at the threshold could flip across replays —
+            // callers set maxDriftRatio with real margin, not at 1.0
+            if (drift > maxDriftRatio * baseErr)
+              trainGeneration(s, batch, idCol, vecCol, dim, m, codewords,
+                cbDir, curGen + 1)
+            else curGen
+          }
+        val books = loadCodebooks(s, cbDir).map { case (g, (cb, _)) => g -> cb }
         // ONE pass computes codes + blocking buckets from the raw
         // vector; everything downstream reads only these small ints
-        val newCodes = batch.select(col(idCol).as("id"),
-            graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"),
+        val newCodes = batch.select(col(idCol).as("id"), lit(gen).as("gen"),
+            graft.plans.VecExprs.pqEncode(col(vecCol), books(gen)).as("code"),
             Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val existing = IncrementalDedup.readStore(
             s, codeStoreDir, newCodes.schema, glob = "/batch_id=*")
-          pairsFromCodes(newCodes, existing, codebook, minCosine)
+          pairsFromCodes(newCodes, existing, books, minCosine)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing (the batch must not meet itself twice)
           newCodes.write.mode("overwrite")
@@ -67,14 +97,51 @@ object IncrementalAnn {
     q.awaitTermination()
   }
 
+  /** Batch twin of one [[runOnce]] micro-batch against a store whose
+    * codebook already exists — the oracled shape (`n8`): the codebook
+    * is trained on `store` ONLY (persisted-codebook semantics: the
+    * batch is encoded under a codebook it did not train, exactly the
+    * steady state of the stream), both sides are encoded and bucketed
+    * once, and candidates are generated batch-vs-(store ∪ batch) so
+    * old-vs-old pairs are never regenerated. Emits (id_a, id_b,
+    * approx_cos >= minCosine). */
+  def incrementalPairs(store: DataFrame, batch: DataFrame,
+                       idCol: String, vecCol: String,
+                       dim: Int, m: Int = 8, codewords: Int = 16,
+                       lshBits: Int = 8, lshTables: Int = 4,
+                       minCosine: Double = 0.9): DataFrame = {
+    val codebook = SimilaritySearch.pqTrainCodebook(
+      store, idCol, vecCol, dim, m, codewords)
+    def codes(df: DataFrame) = df.select(col(idCol).as("id"), lit(0).as("gen"),
+      graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"),
+      Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
+    pairsFromCodes(codes(batch), codes(store), Map(0 -> codebook), minCosine)
+  }
+
+  /** The staleness statistic: mean squared reconstruction error of
+    * `df`'s vectors under `codebook` (encode → decode → ‖v−v̂‖²,
+    * averaged). Rises when the ingest distribution departs from the
+    * codebook's training sample. One aggregated row to the driver. */
+  def quantizationError(df: DataFrame, vecCol: String,
+                        codebook: Codebook): Double = {
+    val dec = SimilaritySearch.pqDecode(
+      graft.plans.VecExprs.pqEncode(col(vecCol), codebook), codebook)
+    val sqErr = aggregate(
+      zip_with(col(vecCol), dec,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    df.select(avg(sqErr).as("mse")).head().getDouble(0)
+  }
+
   /** Batch-vs-store candidate generation + PQ-approximate verification,
     * mirroring `Dedup.incrementalCandidatePairs`: bucket equi-join,
     * pair normalization (each pair once even when both sides are new),
-    * cosine computed between DECODED codes — no float vectors anywhere. */
+    * cosine computed between DECODED codes — each side under its own
+    * codebook generation — no float vectors anywhere. */
   private[streaming] def pairsFromCodes(newCodes: DataFrame, existing: DataFrame,
-                                        codebook: Array[Array[Array[Double]]],
+                                        books: Map[Int, Codebook],
                                         minCosine: Double): DataFrame = {
-    def banded(df: DataFrame) = df.select(col("id"), col("code"),
+    def banded(df: DataFrame) = df.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val newBands = banded(newCodes)
     val allBands = banded(existing).unionByName(newBands)
@@ -90,10 +157,18 @@ object IncrementalAnn {
     // the batch's own codes — cannot multiply verification rows
     val pairIds = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val all = existing.unionByName(newCodes)
+    val survivors = existing.unionByName(newCodes)
       .join(pairIds, Seq("id"), "left_semi")
       .dropDuplicates("id")
-      .select(col("id"), SimilaritySearch.pqDecode(col("code"), codebook).as("dec"))
+    // per-generation decode: each code expands under the codebook that
+    // produced it (generation count is tiny — a driver-side union)
+    val decodeGen: Column = books.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("array<double>")) { case (acc, (g, cb)) =>
+        when(col("gen") === g, SimilaritySearch.pqDecode(col("code"), cb))
+          .otherwise(acc)
+      }
+    val all = survivors
+      .select(col("id"), decodeGen.as("dec"))
       .withColumn("nrm", Vectors.norm(col("dec")))
     val a = all.select(col("id").as("id_a"), col("dec").as("dec_a"), col("nrm").as("n_a"))
     val b = all.select(col("id").as("id_b"), col("dec").as("dec_b"), col("nrm").as("n_b"))
@@ -104,31 +179,50 @@ object IncrementalAnn {
       .select(col("id_a"), col("id_b"), col("approx_cos"))
   }
 
-  /** First batch trains and persists the codebook; later batches load
-    * it (codes are only comparable under one codebook). Stored as one
-    * tiny parquet of (mi, ki, codeword). */
-  private def loadOrTrainCodebook(spark: SparkSession, batch: DataFrame,
-                                  idCol: String, vecCol: String,
-                                  dim: Int, m: Int, k: Int,
-                                  dir: String): Array[Array[Array[Double]]] = {
+  /** Train a codebook generation on `batch` and persist it under
+    * `dir/gen=<g>` with its training error (the drift baseline). The
+    * write is replay-idempotent: deterministic content, overwrite
+    * mode, and readers require the `_SUCCESS` marker — a crashed
+    * half-write is invisible and simply retrained. */
+  private def trainGeneration(spark: SparkSession, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              dim: Int, m: Int, k: Int,
+                              dir: String, gen: Int): Int = {
+    val cb = SimilaritySearch.pqTrainCodebook(batch, idCol, vecCol, dim, m, k)
+    val baseErr = quantizationError(batch, vecCol, cb)
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (cws, mi) =>
+      cws.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq, baseErr) }
+    }.toSeq.toDF("mi", "ki", "codeword", "base_err").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/gen=$gen")
+    gen
+  }
+
+  /** Load every committed codebook generation: gen → (codebook, its
+    * training error). Generations without a `_SUCCESS` marker (a
+    * crashed write) are ignored — the replayed batch retrains them. */
+  private[streaming] def loadCodebooks(spark: SparkSession,
+                                       dir: String): Map[Int, (Codebook, Double)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) {
-      val rows = spark.read.parquet(dir)
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      // a first batch smaller than `k` trains fewer codewords — rebuild
-      // from what was actually persisted, not the requested size
-      val byMi = rows.groupBy(_._1)
-      Array.tabulate(m)(mi => byMi(mi).sortBy(_._2).map(_._3))
-    } else {
-      val cb = SimilaritySearch.pqTrainCodebook(batch, idCol, vecCol, dim, m, k)
-      import spark.implicits._
-      cb.zipWithIndex.flatMap { case (cws, mi) =>
-        cws.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq) }
-      }.toSeq.toDF("mi", "ki", "codeword").coalesce(1)
-        .write.mode("overwrite").parquet(dir)
-      cb
-    }
+    if (!fs.exists(path)) return Map.empty
+    fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("gen="))
+      .flatMap { p =>
+        val g = p.getName.stripPrefix("gen=").toInt
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) None
+        else {
+          val rows = spark.read.parquet(p.toString).collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray,
+              r.getDouble(3)))
+          // a training batch smaller than `k` yields fewer codewords —
+          // rebuild from what was actually persisted
+          val m = rows.map(_._1).max + 1
+          val byMi = rows.groupBy(_._1)
+          val cb: Codebook = Array.tabulate(m)(mi => byMi(mi).sortBy(_._2).map(_._3))
+          Some(g -> ((cb, rows.head._4)))
+        }
+      }.toMap
   }
 
 }

@@ -223,6 +223,106 @@ class StreamingSpec extends SparkSpec {
     assert(store.select(size($"code")).as[Int].collect().forall(_ == 4))
   }
 
+  test("streaming ANN drift policy: stable ingest keeps one codebook, drifted batch retrains; cross-generation pairs verify") {
+    val root = Files.createTempDirectory("graft-anndrift")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    // every batch has <= codewords rows, so each generation's anchors
+    // cover ALL its training vectors — PQ is lossless, reconstruction
+    // error is exactly 0, and every assertion below is deterministic
+    val v1 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v2 = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+    val v3 = Array(1f, 1f, 0f, 0f, 1f, 1f, 0f, 0f)
+    val w1 = Array(10f, -7f, 10f, -7f, 10f, -7f, 10f, -7f) // far from gen-0 mass
+
+    def ingest(rows: (Long, Array[Float])*): Unit = {
+      rows.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).schema
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codes, pairs, ckpt, dim = 8, m = 4, codewords = 16,
+        maxDriftRatio = 4.0)
+    }
+    def gens: Set[String] = new java.io.File(codes, "_codebook").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // read the store base dir (partition discovery skips the
+    // underscore-prefixed _codebook dir) so batch_id is a column
+    def storeGens(batch: Long): Set[Int] =
+      spark.read.parquet(codes)
+        .filter($"batch_id" === batch).select($"gen").as[Int].collect().toSet
+
+    ingest(1L -> v1, 2L -> v2, 3L -> v3)
+    assert(gens == Set("gen=0"))
+
+    // batch 1: same distribution (a v1 clone) — zero drift, NO retrain,
+    // encoded under the existing generation
+    ingest(4L -> v1)
+    assert(gens == Set("gen=0"))
+    assert(storeGens(1L) == Set(0))
+    assert(spark.read.parquet(pairs).filter($"batch_id" === 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet == Set((1L, 4L)))
+
+    // batch 2: mass far outside gen-0's codebook (reconstruction error
+    // > 4× the zero baseline) plus a v2 clone → retrains generation 1,
+    // encodes the WHOLE batch under it; the clone still pairs with its
+    // gen-0 original because verification decodes each side under its
+    // own generation
+    ingest(5L -> w1, 6L -> w1, 7L -> v2)
+    assert(gens == Set("gen=0", "gen=1"))
+    assert(storeGens(2L) == Set(1))
+    val b2 = spark.read.parquet(pairs).filter($"batch_id" === 2)
+      .select($"id_a", $"id_b", $"approx_cos")
+      .as[(Long, Long, Double)].collect()
+    assert(b2.map(r => (r._1, r._2)).toSet == Set((5L, 6L), (2L, 7L)),
+      s"unexpected batch-2 pairs: ${b2.toSeq}")
+    // lossless reconstruction both sides → the cross-gen cosine is the
+    // true cosine of identical vectors
+    assert(b2.forall(_._3 > 0.999), s"cross-gen cosine off: ${b2.toSeq}")
+  }
+
+  test("streaming ANN codebook replay guard: a generation without _SUCCESS is ignored, not loaded") {
+    val root = Files.createTempDirectory("graft-anncrash")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val v1 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v2 = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+
+    def ingest(rows: (Long, Array[Float])*): Unit = {
+      rows.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).schema
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codes, pairs, ckpt, dim = 8, m = 4, codewords = 16,
+        maxDriftRatio = 4.0)
+    }
+    ingest(1L -> v1, 2L -> v2)
+    val gen0 = new java.io.File(codes, "_codebook/gen=0")
+    val gen0Files = gen0.listFiles().map(f => f.getName -> f.length()).toMap
+
+    // simulate a retrain that crashed mid-write: a gen=9 dir holding a
+    // parquet part file but NO _SUCCESS commit marker
+    val crashed = new java.io.File(codes, "_codebook/gen=9")
+    crashed.mkdirs()
+    val part = gen0.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      crashed.toPath.resolve(part.getName))
+
+    // next batch must ignore the uncommitted generation: encoded under
+    // gen 0, pairs still found, and gen=0's files untouched
+    ingest(3L -> v1)
+    val store = spark.read.parquet(codes + "/batch_id=*")
+    assert(store.select($"gen").as[Int].collect().toSet == Set(0),
+      "an uncommitted codebook generation leaked into encoding")
+    assert(spark.read.parquet(pairs).filter($"batch_id" === 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet == Set((1L, 3L)))
+    assert(gen0.listFiles().map(f => f.getName -> f.length()).toMap == gen0Files,
+      "the committed generation was rewritten")
+  }
+
   test("streaming model scoring: per-batch scores equal the batch operator") {
     // classifier scoring is per-doc stateless, so scoring each ingest
     // batch against the static model table must equal one batch pass
