@@ -266,4 +266,29 @@ object Components {
   private def newNodes(lab: DataFrame, affected: DataFrame): DataFrame =
     affected.join(lab, affected("k") === lab("node"), "left_anti")
       .select(col("k").as("node"), col("merged").as("cluster"))
+
+  /** Latest-wins resolution of a base+delta label store — the READ
+    * path of the perpetual-ingest labeling: `base` is the oldest
+    * partition (the compacted snapshot, or the first batch's labeling)
+    * and loses to every delta; `deltas` (columns node, cluster,
+    * batch_id) resolve among themselves by batch recency.
+    *
+    * Scale shape: the corpus-sized base NEVER shuffles — only the
+    * deltas (O(changed members) per batch) go through the recency
+    * window, and the base streams through one anti-join against the
+    * resolved delta nodes. The join is unhinted: AQE broadcasts the
+    * delta side while it is small and falls back to a shuffled join
+    * when a long uncompacted run has let it grow — exactly when
+    * [[graft.streaming.IncrementalDedup.compactLabels]] is due. */
+  def resolveLabels(base: DataFrame, deltas: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("batch_id").desc)
+    val latest = deltas.select(col("node"), col("cluster"), col("batch_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("node"), col("cluster"))
+    base.select(col("node"), col("cluster"))
+      .join(latest.select(col("node")), Seq("node"), "left_anti")
+      .unionByName(latest)
+  }
 }

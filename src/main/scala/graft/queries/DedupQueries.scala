@@ -227,6 +227,30 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C-6: base+delta label RESOLUTION — the perpetual-ingest READ
+    // path, oracled: the same ingest as c3, but the batch persists only
+    // its O(merged-members) DELTA and the current labeling is resolved
+    // latest-batch-wins per node over (base, delta). Resolution must
+    // equal the full merged labeling — the same full-closure oracle as
+    // c3 proves delta + resolve loses nothing. Scale shape: the
+    // corpus-sized base never shuffles (one anti-join against the
+    // resolved delta nodes, AQE-broadcast while deltas are small).
+    "c6_label_resolution" -> ((s, d) => {
+      val incoming = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" rr ss")).as("text"))
+      val batchPairs = Dedup.incrementalMinhashPairs(incoming, mutationSigsDf(s, d),
+        "doc_id", "text", K, H, B, 50)
+      val base = dupClustersDf(s, d)
+      val delta = graft.operators.Components.mergeIncrementalClustersDelta(
+        base, batchPairs, "id_a", "id_b")
+      graft.operators.Components.resolveLabels(
+          base, delta.withColumn("batch_id", lit(1)))
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // D-9: the dedup story's last step — keep one canonical document
     // per near-dup cluster (the cluster minimum) plus every unclustered
     // doc. A left-anti join against the non-canonical members (node !=
@@ -461,6 +485,36 @@ object DedupQueries {
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 100000, text || ' zz qq ww' FROM documents""".stripMargin
 
+  /** Full-closure oracle over (old ∪ batch) pairs for the c3-style
+    * incremental ingest — shared by c3 (full merged labeling) and c6
+    * (delta + latest-wins resolution): both must equal the ground-truth
+    * connected components of everything ingested so far. Lazy: refers
+    * to SQL-fragment vals whose object-init order must not matter. */
+  private lazy val c3FullClosureSql =
+    s"""WITH RECURSIVE ${sigCte(
+           mutationsSrc + "\n" +
+             """UNION ALL SELECT doc_id + 200000, text || ' rr ss'
+               |FROM documents WHERE doc_id % 9 = 0""".stripMargin)},
+       |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
+       |bpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band)
+       |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= 200000 OR b.doc_id >= 200000)),
+       |batch AS (SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS j
+       |    FROM bpairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+       |  WHERE j >= 50),
+       |allp AS (SELECT id_a, id_b FROM ($d2PairsSql) dp
+       |         UNION SELECT id_a, id_b FROM batch),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM allp
+       |          UNION SELECT id_b, id_a FROM allp),
+       |reach(src, dst) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   private def sigCte(src: String): String =
     s"""sigs AS (
        |  SELECT doc_id, sh, ${Hashing.sql.minhashFromHashes("sh", H)} AS sig
@@ -532,30 +586,11 @@ object DedupQueries {
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
-    "c3_incremental_clusters" ->
-      s"""WITH RECURSIVE ${sigCte(
-             mutationsSrc + "\n" +
-               """UNION ALL SELECT doc_id + 200000, text || ' rr ss'
-                 |FROM documents WHERE doc_id % 9 = 0""".stripMargin)},
-         |banded AS (SELECT doc_id, unnest([${(0 until B).map(b => Hashing.sql.bandKey("sig", b, H / B)).mkString(", ")}]) AS band FROM sigs),
-         |bpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band)
-         |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= 200000 OR b.doc_id >= 200000)),
-         |batch AS (SELECT id_a, id_b FROM (
-         |    SELECT id_a, id_b,
-         |      ${Hashing.sql.jaccard100("list_distinct(sa.sh)", "list_distinct(sb.sh)")} AS j
-         |    FROM bpairs JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
-         |  WHERE j >= 50),
-         |allp AS (SELECT id_a, id_b FROM ($d2PairsSql) dp
-         |         UNION SELECT id_a, id_b FROM batch),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM allp
-         |          UNION SELECT id_b, id_a FROM allp),
-         |reach(src, dst) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "c3_incremental_clusters" -> c3FullClosureSql,
+    // c6 resolves (base, delta) latest-wins — the result must equal the
+    // full merged labeling, so it shares c3's full-closure oracle
+    // verbatim: identical ingest, independent hash-compare
+    "c6_label_resolution" -> c3FullClosureSql,
     "d11_containment" ->
       s"""WITH uni AS (
          |  SELECT doc_id, text FROM documents

@@ -87,22 +87,28 @@ object IncrementalDedup {
   }
 
   /** The labeling as of just before `ltBatch`: base + deltas resolved
-    * latest-batch-wins per node. `idLike` supplies the node id type for
-    * the empty frame before any delta exists. */
+    * latest-batch-wins per node ([[graft.operators.Components
+    * .resolveLabels]] — the oldest partition is the base and never
+    * shuffles; only the small deltas enter the recency window).
+    * `idLike` supplies the node id type for the empty frame before any
+    * delta exists. */
   def resolveLabels(spark: SparkSession, labelsDir: String, ltBatch: Long,
                     idLike: DataFrame): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      return idLike.select(col(idLike.columns.head).as("node"),
-        col(idLike.columns.head).as("cluster")).limit(0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("batch_id").desc)
-    spark.read.parquet(labelsDir)   // batch_id is the partition column
+    def empty = idLike.select(col(idLike.columns.head).as("node"),
+      col(idLike.columns.head).as("cluster")).limit(0)
+    if (!fs.exists(path)) return empty
+    val parts = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .filter(_ < ltBatch)
+    if (parts.isEmpty) return empty
+    val all = spark.read.parquet(labelsDir)   // batch_id partition column
       .filter(col("batch_id") < ltBatch)
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("node"), col("cluster"))
+    graft.operators.Components.resolveLabels(
+      all.filter(col("batch_id") === parts.min),
+      all.filter(col("batch_id") > parts.min))
   }
 
   /** Label-store compaction — the maintenance chore that keeps
@@ -118,12 +124,30 @@ object IncrementalDedup {
     * [[graft.sources.Layout.compact]]). Safe against a replay of the
     * NEXT batch: replays only touch their own partition and read
     * strictly older ones, and the snapshot is older than any
-    * yet-unprocessed batch. */
+    * yet-unprocessed batch.
+    *
+    * The NEWEST delta may itself still replay (foreachBatch is
+    * at-least-once: a crash after the delta write but before the
+    * checkpoint commit re-runs the batch). Folding it would be ruinous,
+    * not just stale: the replay resolves labels from partitions
+    * strictly OLDER than its own id, so it would miss the snapshot
+    * written AT its id, recompute the delta against an empty labeling,
+    * and overwrite the snapshot with it — losing every folded label.
+    * Hence the same guard as the span store: refuse unless a strictly
+    * newer committed partition proves `uptoBatch` can no longer
+    * replay. */
   def compactLabels(spark: SparkSession, labelsDir: String,
                     uptoBatch: Long): Unit = {
     val path = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
+    val ids = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.exists(_ > uptoBatch),
+      s"refusing to compact labels through batch $uptoBatch: it is the " +
+        "newest batch and may still be replayed — compact only after a " +
+        "newer batch has committed")
     val snapshot = resolveLabels(spark, labelsDir, ltBatch = uptoBatch + 1,
         idLike = spark.read.parquet(labelsDir).select(col("node")))
       .localCheckpoint(true) // materialize BEFORE overwriting the inputs

@@ -146,6 +146,40 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("delta store: latest-wins resolution equals full recompute over randomized ingest sequences") {
+    // the continuous pipeline persists per-batch DELTAS and resolves
+    // latest-batch-wins per node; over any ingest order that resolution
+    // must equal one star CC over the full edge set
+    for (seed <- Seq(7, 21, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val shuffled = rnd.shuffle(edges)
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = shuffled.grouped(
+        math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
+      // store: batchId → delta rows; resolution = latest batch wins
+      var store = Map.empty[Int, Map[Long, Long]]
+      def resolve: Map[Long, Long] =
+        store.toSeq.sortBy(_._1).foldLeft(Map.empty[Long, Long]) {
+          case (acc, (_, delta)) => acc ++ delta
+        }
+      for ((batch, bi) <- batches.zipWithIndex) {
+        val current = resolve.toSeq.toDF("node", "cluster")
+        val delta = Components.mergeIncrementalClustersDelta(
+            current, batch.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the delta is genuinely a delta: no row repeats the current label
+        val redundant = delta.filter { case (n, c) => resolve.get(n).contains(c) }
+        assert(redundant.isEmpty, s"seed $seed batch $bi: $redundant")
+        store += bi -> delta
+      }
+      val want = runStar(edges)
+      assert(resolve == want, s"seed $seed: delta resolution diverged")
+    }
+  }
+
   test("incremental merge: attach-only batch leaves other clusters untouched") {
     val labels = Components.connectedComponentsStar(
       Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), "a", "b")

@@ -178,13 +178,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 9L -> 1L,
       6L -> 6L, 7L -> 6L, 8L -> 6L))
 
-    // compaction folds base+deltas into one snapshot partition and
-    // leaves resolution unchanged — the chore that keeps resolveLabels
-    // linear over a long-running stream
-    IncrementalDedup.compactLabels(spark, labels, uptoBatch = 2)
+    // the NEWEST delta may still replay — folding it must refuse (a
+    // replay would resolve from partitions older than its own id, miss
+    // the snapshot written at that id, and overwrite it with a delta
+    // computed against an empty labeling)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.compactLabels(spark, labels, uptoBatch = 2)
+    }
+    assert(e.getMessage.contains("newest"))
+
+    // compaction folds base+deltas through batch 1 into one snapshot
+    // partition and leaves resolution unchanged — the chore that keeps
+    // resolveLabels linear over a long-running stream; the replayable
+    // batch-2 delta survives untouched
+    IncrementalDedup.compactLabels(spark, labels, uptoBatch = 1)
     val dirs = new java.io.File(labels).listFiles()
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
-    assert(dirs == Set("batch_id=2"), s"expected one snapshot, got $dirs")
+    assert(dirs == Set("batch_id=1", "batch_id=2"),
+      s"expected snapshot + newest delta, got $dirs")
     assert(resolved(99) == got)
   }
 
