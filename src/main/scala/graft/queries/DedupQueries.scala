@@ -55,27 +55,65 @@ object DedupQueries {
           "doc_id", "text", K, H, B)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Materialize a production-persisted store as a BUCKETED table
+    * (write-once via [[graft.sources.Layout.writeBucketed]], then read
+    * back) — unlike the in-memory memos, these model artifacts a real
+    * deployment builds ONCE and keeps on disk ("yesterday's store"):
+    * every subsequent batch probes the clustered parquet, and because
+    * the table is bucketed on the probe key the store side of the join
+    * never shuffles. Keyed by sf-dir so a fresh JVM rebuilds (never a
+    * stale read across code changes); table lives in the session's
+    * warehouse dir. */
+  private val storeMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def bucketedStore(s: SparkSession, d: String, name: String,
+                            key: String)(build: => DataFrame): DataFrame =
+    storeMemo.getOrElseUpdate(s.hashCode + "|" + d + "|" + name, {
+      val tbl = s"graft_${name}_${(d.hashCode & 0x7fffffff).toHexString}"
+      // a previous JVM may have left the managed location behind (its
+      // in-memory catalog died with it, but the warehouse dir is on
+      // disk); CTAS refuses a pre-existing managed location, so drop
+      // both the catalog entry and any orphaned directory first
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sources.Layout.writeBucketed(build, tbl, 16, key)
+      s.table(tbl)
+    })
+
   /** Labeling of the PLAIN documents corpus (self-pairs of the raw
     * 500-doc table — typically sparse), the existing-cluster state u5's
-    * ingest merge starts from. */
-  private val plainLabelsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+    * ingest merge starts from. Bucketed on `node`: the merge's
+    * endpoint-contraction join probes it by node without shuffling the
+    * corpus-sized label table. */
   private def plainLabelsDf(s: SparkSession, d: String): DataFrame =
-    plainLabelsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+    bucketedStore(s, d, "plain_labels", "node")(
       graft.operators.Components.connectedComponentsStar(
-          Dedup.pairsFromSigs(docSigsDf(s, d), "doc_id", B, 50), "id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        Dedup.pairsFromSigs(docSigsDf(s, d), "doc_id", B, 50), "id_a", "id_b"))
 
   /** Grid-16 span store of the PLAIN documents corpus — "yesterday's
-    * persisted store" shared by d13 and u5 (in production it is built
-    * once and lives on disk; rebuilding it per query would charge the
-    * corpus tokenize+grid pass to every incremental consumer). */
-  private val spanStoreMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+    * persisted store" shared by d13 and u5. Bucketed on `span_md5`
+    * (the layout [[graft.operators.Dedup.spanStore]]'s doc prescribes):
+    * each ingest batch's membership anti-join probes co-located buckets
+    * instead of shuffling the store. */
   private def spanStoreDf(s: SparkSession, d: String): DataFrame =
-    spanStoreMemo.getOrElseUpdate(s.hashCode + "|" + d,
+    bucketedStore(s, d, "span_store", "span_md5")(
       Dedup.spanStore(
-          t(s, d, "documents").select(col("doc_id"), col("text")),
-          "doc_id", "text", 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 16))
+
+  /** Force-build the persisted stores the incremental queries (d7, d8,
+    * d13, c3/c6, u5) probe — span store, plain-corpus labeling, and the
+    * signature store they derive from. A deployment pays this ONCE at
+    * bootstrap and then runs batches against the artifacts; calling it
+    * before measuring puts the bench on the same steady-state footing
+    * (Bench times it separately as `prebuild_sec`). */
+  def prebuildStores(s: SparkSession, d: String): Unit = {
+    docSigsDf(s, d).count()
+    spanStoreDf(s, d).count()
+    plainLabelsDf(s, d).count()
+  }
 
   private val pairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame =
