@@ -1,6 +1,7 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Typed data model for the engine.
@@ -85,6 +86,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     loadCache.getOrElseUpdate((spark.hashCode, path), spark.read.parquet(path))
+  }
+
+  /** Epoch-MICROS (bigint) view of an event-time column, adaptive to the
+    * physical type the source shipped. Real feeds deliver all three:
+    * parquet TIMESTAMP(MICROS) arrives as TIMESTAMP or TIMESTAMP_NTZ
+    * (depending on isAdjustedToUTC), and parquet TIMESTAMP(NANOS) —
+    * which the vectorized reader can't widen — arrives as bigint nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong`. Downstream operators
+    * (as-of/band joins, sessionization, range frames) all do integer
+    * time arithmetic, so they get one canonical unit regardless of
+    * source. NTZ goes through a cast to TIMESTAMP, which is value-
+    * preserving because every entry point pins
+    * `spark.sql.session.timeZone=UTC`.
+    */
+  def epochMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType         => expr(s"`$c` DIV 1000")
+    case TimestampType    => unix_micros(col(c))
+    case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"unsupported event-time type for `$c`: $other (expected TIMESTAMP, TIMESTAMP_NTZ, or bigint nanos)")
+  }
+
+  /** The events table with `ts` normalized to epoch-micros bigint —
+    * the single ingestion point for every event-time query. */
+  def loadEventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.withColumn("ts", epochMicros(df, "ts"))
   }
 
   /** Fan a small single-file scan out across the session's parallelism —

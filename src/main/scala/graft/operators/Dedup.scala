@@ -425,21 +425,22 @@ object Dedup {
     *
     * Expected density is 2/(w+1) of the gram stream, so the
     * fingerprint table is ~w/2× smaller than the gram table — the
-    * sampling IS the scale story. Both windows (count + sliding min)
-    * share one per-document partitioning: a single exchange. */
+    * sampling IS the scale story. Winnowing is sequential over ONE
+    * document's stream, so it runs as a single-pass scalar kernel
+    * ([[graft.plans.WinnowFingerprints64]]): zero exchanges — the gram
+    * table (w/2× the output) never leaves the scan task, where the
+    * former composed plan (posexplode → two stacked WindowExecs →
+    * distinct) shuffled it once and carried it through two window
+    * buffers before sampling discarded most of it.
+    *
+    * Requires one row per `idCol` value (the natural fingerprint-table
+    * contract); duplicate ids would duplicate `(id, fp)` pairs. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(w > 0, "need window w > 0")
-    val grams = df.select(col(idCol),
-      posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
-        .as(Seq("pos", "gh")))
-    val perDoc = Window.partitionBy(col(idCol))
-    val sliding = perDoc.orderBy(col("pos").asc).rowsBetween(-(w - 1), 0)
-    grams
-      .withColumn("__n", count(lit(1)).over(perDoc))
-      .withColumn("fp", min(col("gh")).over(sliding))
-      .filter(col("pos") >= least(lit(w), col("__n")) - 1)
-      .select(col(idCol), col("fp")).distinct()
+    df.select(col(idCol),
+      explode(graft.plans.WinnowFingerprints64.column(col(textCol), k, w))
+        .as("fp"))
   }
 
   /** Partial-overlap pairs by shared winnowing fingerprints: documents

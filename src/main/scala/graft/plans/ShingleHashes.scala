@@ -106,16 +106,100 @@ object SimHash64 {
     ExprBridge.toColumn(SimHash64(ExprBridge.toExpression(hashes), bits))
 }
 
+/** Single-pass SIGMOD'03 winnowing per document: word-k-gram 60-bit
+  * hash stream (same gram/hash definition as [[ShingleHashes64]] with
+  * `modM31=false`) → minimum of every `w`-long sliding window (monotonic
+  * deque, O(n)) → the DISTINCT selected values, sorted ascending. A
+  * stream shorter than `w` contributes its global minimum.
+  *
+  * Winnowing is sequential over one document's gram stream and touches
+  * nothing outside the row, so it belongs in a scalar kernel: the
+  * composed plan (posexplode → count window → sliding-min window →
+  * filter → distinct) exchanges the full gram table — ~w/2× larger
+  * than this expression's output — across two WindowExecs before
+  * sampling throws most of it away.
+  */
+case class WinnowFingerprints64(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "need gram size k > 0")
+  require(w > 0, "need window w > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    import ShingleHashes64._
+    val text = v.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val md = digest.get()
+    // gram-hash stream, identical to ShingleHashes64(k, modM31=false)
+    val hs: Array[Long] =
+      if (toks.length >= k) {
+        val n = toks.length - k + 1
+        val out = new Array[Long](n)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = hash60(md, sb.toString)
+          i += 1
+        }
+        out
+      } else Array(hash60(md, text))
+    // sliding-window minima via a monotonic (increasing-value) deque of
+    // positions; emit from the first full window (or the last position
+    // when the whole stream is shorter than w)
+    val n = hs.length
+    val firstEmit = math.min(w, n) - 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val mins = new Array[Long](n - firstEmit)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) < i - w + 1) head += 1
+      if (i >= firstEmit) { mins(m) = hs(deque(head)); m += 1 }
+      i += 1
+    }
+    // distinct + ascending
+    java.util.Arrays.sort(mins)
+    var d = 0
+    i = 1
+    while (i < mins.length) {
+      if (mins(i) != mins(d)) { d += 1; mins(d) = mins(i) }
+      i += 1
+    }
+    val nd = if (mins.isEmpty) 0 else d + 1
+    new GenericArrayData(java.util.Arrays.copyOf(mins, nd))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WinnowFingerprints64 {
+  def column(text: Column, k: Int, w: Int): Column =
+    ExprBridge.toColumn(WinnowFingerprints64(ExprBridge.toExpression(text), k, w))
+}
+
 object ShingleHashes64 {
   val M31 = 2147483647L
 
-  private val digest = new ThreadLocal[MessageDigest] {
+  private[plans] val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
   /** First 15 hex chars of md5 parsed base-16 == top 60 bits of the
     * digest: bytes 0..6 whole, high nibble of byte 7. */
-  private def hash60(md: MessageDigest, s: String): Long = {
+  private[plans] def hash60(md: MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     var v = 0L

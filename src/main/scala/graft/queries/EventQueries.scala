@@ -7,18 +7,20 @@ import graft.model.Tables
 /** S-7 (JSON resource discovery) + event-time processing over the
   * events stream table.
   *
-  * NB: events.parquet stores TIMESTAMP(NANOS); under
-  * `spark.sql.legacy.parquet.nanosAsLong` Spark reads `ts` as bigint
-  * nanoseconds while DuckDB reads TIMESTAMP_NS — so every time-derived
-  * output is normalized to epoch MICROSECONDS (bigint) on both sides
-  * before compare.
+  * NB: `events.parquet` has shipped both TIMESTAMP(NANOS) (read as
+  * bigint nanos under `spark.sql.legacy.parquet.nanosAsLong`) and
+  * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). `Tables.loadEventsUs`
+  * normalizes `ts` to epoch-MICROS bigint at ingestion, so all time
+  * arithmetic here is integer micros; DuckDB oracles emit the same unit
+  * via `epoch_us(ts)` / `epoch_ns(ts) // 1000`.
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def ev(s: SparkSession, d: String) = Tables.loadEventsUs(s, d)
 
-  /** bigint nanos → timestamp (micros precision). */
-  private def tsCol = timestamp_micros((col("ts") / 1000).cast("long"))
+  /** epoch-micros bigint → timestamp. */
+  private def tsCol = timestamp_micros(col("ts"))
 
   val queries: Map[String, Q] = Map(
     // S-7: JSON field extraction + filter + ordered projection
@@ -34,7 +36,7 @@ object EventQueries {
     // W-1: event-time tumbling-hour aggregation (the batch shape of the
     // streaming windowed agg; output keyed by epoch-micros bucket)
     "w1_event_window" -> ((s, d) =>
-      t(s, d, "events")
+      ev(s, d)
         .withColumn("bucket_us", unix_micros(date_trunc("HOUR", tsCol)))
         .groupBy(col("bucket_us"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -46,8 +48,8 @@ object EventQueries {
     // micros arithmetic for the window starts; the oracle enumerates
     // the 4 covering starts per event with integer generate_series.
     "w6_hopping_window" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy(window(timestamp_micros(expr("ts DIV 1000")), "1 hour", "15 minutes"),
+      ev(s, d)
+        .groupBy(window(tsCol, "1 hour", "15 minutes"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
@@ -64,7 +66,7 @@ object EventQueries {
     "w7_funnel" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
-      t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+      ev(s, d).select(col("user_id"), col("ts"), col("event_type"))
         .withColumn("t_view",
           min(when(col("event_type") === "view", col("ts"))).over(byUser))
         .withColumn("t_click",
@@ -82,22 +84,22 @@ object EventQueries {
     }),
 
     // W-8: trailing-hour moving aggregates via a RANGE frame over the
-    // raw nanosecond timeline (event-time sliding window per row, not
+    // raw micros timeline (event-time sliding window per row, not
     // w6's fixed hop grid). Integer 1e-2 value units keep the moving
     // sum exact under any frame-evaluation order — DuckDB computes
     // sliding aggregates with a segment tree, so a double sum would
     // differ in the last ulp.
     "w8_moving_avg" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val hourNs = 3600L * 1000 * 1000 * 1000
+      val hourUs = 3600L * 1000000L
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
-        .rangeBetween(-hourNs, 0)
-      t(s, d, "events")
+        .rangeBetween(-hourUs, 0)
+      ev(s, d)
         .withColumn("v_e2", round(col("value") * 100).cast("long"))
         .withColumn("n_1h", count(lit(1)).over(w))
         .withColumn("sum_e2_1h", sum(col("v_e2")).over(w))
         .select(col("user_id"), col("event_id"),
-          expr("ts DIV 1000").as("ts_us"), col("n_1h"), col("sum_e2_1h"))
+          col("ts").as("ts_us"), col("n_1h"), col("sum_e2_1h"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
@@ -105,8 +107,8 @@ object EventQueries {
     // first and last observation, latest value forward-filled into gaps
     "w5_gapfill" -> ((s, d) =>
       graft.operators.GapFill.forwardFill(
-          t(s, d, "events").select(col("user_id"), col("ts"), col("value")),
-          "user_id", "ts", "value", step = 3600L * 1000 * 1000 * 1000)
+          ev(s, d).select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value", step = 3600L * 1000000L)
         .orderBy(col("user_id"), col("bucket"))),
 
     // W-2: per-user ordered window — running event count + value rank
@@ -114,7 +116,7 @@ object EventQueries {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
+      ev(s, d)
         .withColumn("seq", row_number().over(byUser))
         .withColumn("running_value",
           round(sum(col("value")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)), 2))
@@ -129,8 +131,8 @@ object EventQueries {
     // session-formation rule (new session iff gap >= 30 min, end =
     // last event + gap) in SQL
     "w4_session_window" -> ((s, d) =>
-      t(s, d, "events")
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      ev(s, d)
+        .withColumn("ets", tsCol)
         .groupBy(session_window(col("ets"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -142,23 +144,23 @@ object EventQueries {
     // W-3: gap-based sessionization (the batch/window twin of
     // streaming/EventStream's mapGroupsWithState sessionizer): a new
     // session starts after a >30 min silence; all time math on integer
-    // nanos, bounds emitted as epoch micros via integer division.
+    // micros.
     "w3_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      val gapNs = 30L * 60L * 1000000000L
-      t(s, d, "events")
+      val gapUs = 30L * 60L * 1000000L
+      ev(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("is_new",
-          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
             .otherwise(0L))
         .withColumn("session_seq",
           sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
-          expr("min(ts) DIV 1000").as("start_us"),
-          expr("max(ts) DIV 1000").as("end_us"))
+          min(col("ts")).as("start_us"),
+          max(col("ts")).as("end_us"))
         .orderBy(col("user_id"), col("session_seq"))
     })
   )

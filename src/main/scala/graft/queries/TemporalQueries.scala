@@ -12,47 +12,49 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * window / bucket decomposition) — the hash compare proves the rewrite
   * is semantics-preserving, which is the whole point.
   *
-  * Timestamp parity: events.ts is TIMESTAMP(NANOS) — bigint nanos in
-  * Spark (nanosAsLong), TIMESTAMP_NS in DuckDB; every emitted time is
-  * epoch MICROS (`ts DIV 1000` == `epoch_us(ts)`). Money parity: sums
+  * Timestamp parity: `Tables.loadEventsUs` normalizes events.ts to
+  * epoch-MICROS bigint whatever the parquet shipped (TIMESTAMP(NANOS)
+  * bigint under nanosAsLong, or TIMESTAMP(MICROS)/NTZ); every emitted
+  * time is epoch micros (`epoch_us(ts)` in DuckDB). Money parity: sums
   * go through `CAST(round(v*100) AS BIGINT)` cents so aggregation is
   * integer-exact in both engines.
   */
 object TemporalQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def ev(s: SparkSession, d: String) = Tables.loadEventsUs(s, d)
 
   val queries: Map[String, Q] = Map(
     // Y-1: for every view event, the user's most recent prior (<=)
     // purchase — pre-aggregated per (user, ts) so the right timeline is
     // unique, then union-merge as-of join, one shuffle on user_id
     "y1_asof_join" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val views = ev.filter(col("event_type") === "view")
+      val events = ev(s, d)
+      val views = events.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
+      val purchases = events.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts"))
         .agg(count(lit(1)).as("purch_n"),
           sum(round(col("value") * 100).cast("long")).as("purch_value_e2"))
       AsOfJoin.backward(views, purchases, Seq("user_id"), "ts", asofTsAs = "purch_ts")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("view_us"),
-          expr("purch_ts DIV 1000").as("purch_us"),
+          col("ts").as("view_us"),
+          col("purch_ts").as("purch_us"),
           col("purch_n"), col("purch_value_e2"))
         .orderBy(col("event_id"))
     }),
 
     // Y-3: the forward mirror — each view's NEXT purchase at-or-after
     "y3_asof_forward" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val views = ev.filter(col("event_type") === "view")
+      val events = ev(s, d)
+      val views = events.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
+      val purchases = events.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts"))
         .agg(count(lit(1)).as("purch_n"))
       AsOfJoin.forward(views, purchases, Seq("user_id"), "ts", asofTsAs = "purch_ts")
         .select(col("event_id"),
-          expr("purch_ts DIV 1000").as("purch_us"), col("purch_n"))
+          col("purch_ts").as("purch_us"), col("purch_n"))
         .orderBy(col("event_id"))
     }),
 
@@ -80,9 +82,9 @@ object TemporalQueries {
     // while the pair stream is what's verified.
     "y4_band_join" -> ((s, d) => {
       val deltaUs = 3600L * 1000000L
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t_us"))
-      RangeJoin.bandJoin(ev, ev, Seq("user_id"), "t_us", deltaUs)
+      val e = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("ts").as("t_us"))
+      RangeJoin.bandJoin(e, e, Seq("user_id"), "t_us", deltaUs)
         .filter(col("event_id") < col("event_id_r"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -101,18 +103,18 @@ object TemporalQueries {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      val gapNs = 30L * 60L * 1000000000L
+      val gapUs = 30L * 60L * 1000000L
       val padUs = 1800000000L
-      val sessions = t(s, d, "events")
+      val sessions = ev(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("is_new",
-          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L)
             .otherwise(0L))
         .withColumn("session_seq",
           sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_seq"))
-        .agg(expr("min(ts) DIV 1000").as("lo_us"),
-          (expr("max(ts) DIV 1000") + lit(padUs)).as("hi_us"))
+        .agg(min(col("ts")).as("lo_us"),
+          (max(col("ts")) + lit(padUs)).as("hi_us"))
       RangeJoin.intervalOverlap(sessions, sessions, Seq.empty,
           "lo_us", "hi_us", width = padUs)
         .filter(col("user_id") < col("user_id_r"))

@@ -39,7 +39,7 @@ class AdversarialKernelSpec extends SparkSpec {
       1 -> Gen.listOfN(5, el),          // second subspace incomplete
       1 -> Gen.listOfN(2, el),          // first subspace incomplete
       1 -> Gen.const(Seq.empty[Option[Double]]))
-    val rows = Gen.listOfN(400, vec).sample.get ++
+    val rows = Fuzz.draw(Gen.listOfN(400, vec)) ++
       Seq(Seq.fill(8)(Some(Double.NaN)),   // all-NaN: both keep index 0
         cw.map(x => Some(x)).toSeq ++ cw.map(x => Some(-x)).toSeq) // exact hits
     val df = rows.map(Tuple1(_)).toDF("vec")
@@ -51,7 +51,8 @@ class AdversarialKernelSpec extends SparkSpec {
           SimilaritySearch.pqEncode(col("vec"), codebook).as("dec"))
         .filter(!(col("nat") <=> col("dec"))).collect()
       assert(bad.isEmpty,
-        s"float=$asFloat native != declarative on: ${bad.take(5).mkString("; ")}")
+        s"float=$asFloat seed=${Fuzz.seed} native != declarative on: " +
+          bad.take(5).mkString("; "))
     }
   }
 
@@ -90,7 +91,7 @@ class AdversarialKernelSpec extends SparkSpec {
       1 -> Gen.const(""),
       1 -> Gen.const("  a  b  "),
       1 -> Gen.const(" "))
-    val texts = Gen.listOfN(120, doc).sample.get ++ Seq(null, "a", "a b")
+    val texts = Fuzz.draw(Gen.listOfN(120, doc)) ++ Seq(null, "a", "a b")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
     // the gram stream is the SAME already-fuzzed shingle kernel the
@@ -102,13 +103,21 @@ class AdversarialKernelSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
       .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
     for (w <- Seq(1, 2, 4, 9)) {
-      val expected = streams.flatMap { case (id, hs) =>
-        refWinnow(hs, w).map(id -> _)
+      // NB `streams` is a Map: flatMap-ing it STRAIGHT into (id, fp)
+      // pairs would rebuild a Map and keep only ONE fingerprint per id
+      // (this exact bug made the correct operator look like it emitted
+      // hundreds of phantom extras for two rounds) — widen to Seq first.
+      val expected = streams.toSeq.flatMap { case (id, hs) =>
+        refWinnow(hs, w).toSeq.map(id -> _)
       }.toSet
       val got = Dedup.winnowedFingerprints(docs, "id", "text", k, w)
         .as[(Long, Long)].collect().toSet
-      assert(got == expected,
-        s"w=$w: ${(got diff expected).take(3)} extra, ${(expected diff got).take(3)} missing")
+      if (got != expected) {
+        val path = Fuzz.persist("winnow-failing-corpus", texts)
+        fail(s"w=$w seed=${Fuzz.seed} corpus=$path: " +
+          s"${(got diff expected).take(3)} extra, ${(expected diff got).take(3)} missing " +
+          s"(${(got diff expected).size}/${(expected diff got).size} total)")
+      }
     }
   }
 
@@ -147,13 +156,16 @@ class AdversarialKernelSpec extends SparkSpec {
       1 -> Gen.const("p q r"),       // exactly one grid span
       1 -> Gen.const("p q r p q r"), // exact multiple of st, self-repeat
       1 -> Gen.const("   "))
-    val texts = Gen.listOfN(150, doc).sample.get ++ Seq(null, "p q r p q r p")
+    val texts = Fuzz.draw(Gen.listOfN(150, doc)) ++ Seq(null, "p q r p q r p")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val got = Dedup.spanDedup(docs.toDF("id", "text"), "id", "text", st)
       .as[(Long, Int, Int, String)].collect().toSet
-    assert(got == refSpanDedup(docs, st),
-      s"diff: ${(got diff refSpanDedup(docs, st)).take(3)} extra; " +
+    if (got != refSpanDedup(docs, st)) {
+      val path = Fuzz.persist("spandedup-failing-corpus", texts)
+      fail(s"seed=${Fuzz.seed} corpus=$path: " +
+        s"${(got diff refSpanDedup(docs, st)).take(3)} extra; " +
         s"${(refSpanDedup(docs, st) diff got).take(3)} missing")
+    }
   }
 
   // ── z-order interleave: column vs a driver-side reference ──
@@ -169,7 +181,7 @@ class AdversarialKernelSpec extends SparkSpec {
     val v: Gen[Long] = Gen.frequency(
       4 -> Gen.choose(-(1L << 40), 1L << 40),
       1 -> Gen.oneOf(Long.MinValue, -1L, 0L, 1L, Long.MaxValue))
-    val pairs = Gen.listOfN(300, Gen.zip(v, v)).sample.get ++
+    val pairs = Fuzz.draw(Gen.listOfN(300, Gen.zip(v, v))) ++
       Seq((Long.MinValue, Long.MaxValue), (-1L, -1L), (0L, 0L))
     val df = pairs.toDF("x", "y")
     for (bits <- Seq(1, 5, 31)) {
@@ -177,7 +189,8 @@ class AdversarialKernelSpec extends SparkSpec {
           graft.sources.Layout.zValue(col("x"), col("y"), bits).as("z"))
         .as[(Long, Long, Long)].collect()
         .filter { case (x, y, z) => z != refZ(x, y, bits) }
-      assert(bad.isEmpty, s"bits=$bits diverges on: ${bad.take(5).mkString("; ")}")
+      assert(bad.isEmpty,
+        s"bits=$bits seed=${Fuzz.seed} diverges on: ${bad.take(5).mkString("; ")}")
     }
   }
 }

@@ -52,7 +52,7 @@ class FuzzyBestScoreSpec extends SparkSpec {
     val rawName = Gen.frequency(8 -> name,
       1 -> name.map(n => s"Café $n Müller"),
       1 -> name.map(n => s"$n 中文 😀 ß"))
-    val pairs = Gen.listOfN(300, Gen.zip(rawName, rawName)).sample.get
+    val pairs = Fuzz.draw(Gen.listOfN(300, Gen.zip(rawName, rawName)))
     val df = pairs.toDF("ln", "rn")
       .withColumn("left_norm", Names.normalizeName(col("ln")))
       .withColumn("right_norm", Names.normalizeName(col("rn")))
@@ -86,11 +86,11 @@ class FuzzyBestScoreSpec extends SparkSpec {
   }
 
   test("normalize is idempotent on generated strings") {
-    val gen = Gen.listOfN(200, Gen.frequency(
+    val gen = Fuzz.draw(Gen.listOfN(200, Gen.frequency(
       5 -> name,
       2 -> name.map(n => s"The $n Pty Ltd (AU) | Home"),
       2 -> name.map(n => s"$n &amp; Co - Contact"),
-      1 -> Gen.oneOf("", "  ", "&#123; [x] |", "a+b&c"))).sample.get
+      1 -> Gen.oneOf("", "  ", "&#123; [x] |", "a+b&c"))))
     val df = gen.toDF("x")
       .select(Names.normalizeName(col("x")).as("n1"))
       .select(col("n1"), Names.normalizeName(col("n1")).as("n2"))

@@ -93,7 +93,7 @@ class NamesSpec extends SparkSpec {
       // declarative chain vs the native byte walkers
       1 -> Gen.oneOf("Café Pty Ltd", "Müller & Söhne", "ß GmbH", "中文公司",
         "Ñandú | Home", "Ωμέγα Co", "😀 Emoji Pty", "é̈ Combining", "кириллица"))
-    val gen = Gen.listOfN(400, decorated).sample.get
+    val gen = Fuzz.draw(Gen.listOfN(400, decorated))
     val corpus = spark.read.parquet(s"$sf/customer.parquet")
       .select($"c_name".as("x")).limit(500)
       .unionByName(gen.toDF("x"))
