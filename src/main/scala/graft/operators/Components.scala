@@ -281,8 +281,12 @@ object Components {
     * when a long uncompacted run has let it grow — exactly when
     * [[graft.streaming.IncrementalDedup.compactLabels]] is due. */
   def resolveLabels(base: DataFrame, deltas: DataFrame): DataFrame = {
+    // cluster.asc tie-break: a (node, batch_id) duplicated across delta
+    // rows (replayed batch, at-least-once sink) must resolve to ONE
+    // deterministic label, not whichever row the shuffle happened to
+    // order first
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("batch_id").desc)
+      .partitionBy(col("node")).orderBy(col("batch_id").desc, col("cluster").asc)
     val latest = deltas.select(col("node"), col("cluster"), col("batch_id"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -111,6 +111,13 @@ object AbrZip {
                 // a concurrent attempt already published a complete
                 // copy — drop ours
                 fs.delete(tmp, false)
+                // ...but only if someone really did publish: a rename
+                // that failed with NO winner present (permissions, a
+                // dying filesystem) would otherwise silently lose the
+                // member from the staged corpus
+                if (!fs.exists(target)) throw new java.io.IOException(
+                  s"failed to publish zip member $target and no " +
+                    "concurrent attempt did either — refusing to drop it")
               }
               (zipPath, raw, n)
             }.toList

@@ -161,9 +161,16 @@ object IncrementalAnn {
       .join(pairIds, Seq("id"), "left_semi")
       .dropDuplicates("id")
     // per-generation decode: each code expands under the codebook that
-    // produced it (generation count is tiny — a driver-side union)
+    // produced it (generation count is tiny — a driver-side union).
+    // A code whose generation has NO loaded codebook (store corruption,
+    // a deleted _SUCCESS marker) must fail the batch, not decode to
+    // NULL and silently drop its pairs — that would be unbounded
+    // invisible recall loss.
+    val noBook: Column = raise_error(concat(
+      lit("no codebook loaded for stored code generation "),
+      col("gen").cast("string"))).cast("array<double>")
     val decodeGen: Column = books.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("array<double>")) { case (acc, (g, cb)) =>
+      .foldLeft(noBook) { case (acc, (g, cb)) =>
         when(col("gen") === g, SimilaritySearch.pqDecode(col("code"), cb))
           .otherwise(acc)
       }

@@ -198,4 +198,18 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(3L -> 3L, 7L -> 3L, 5L -> 3L, 9L -> 3L))
   }
+
+  test("delta store: duplicated (node, batch_id) rows resolve to one deterministic label") {
+    // an at-least-once sink can replay a batch and land the same
+    // (node, batch_id) twice with conflicting labels — resolution must
+    // not depend on shuffle order
+    val base = Seq((1L, 1L), (2L, 1L)).toDF("node", "cluster")
+    val deltas = Seq((2L, 9L, 3L), (2L, 5L, 3L), (3L, 7L, 2L), (3L, 4L, 3L))
+      .toDF("node", "cluster", "batch_id")
+    for (trial <- 1 to 3) {
+      val out = Components.resolveLabels(base, deltas.repartition(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out == Map(1L -> 1L, 2L -> 5L, 3L -> 4L), s"trial $trial: $out")
+    }
+  }
 }

@@ -246,6 +246,30 @@ class SourcesSpec extends SparkSpec {
     assert(viaLifecycle.count() == 4)
   }
 
+  test("ZIP expand refuses to silently drop a member when publish fails with no winner") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = tmpDir()
+    val zip = dir.resolve("bulk.zip")
+    val zout = new ZipOutputStream(Files.newOutputStream(zip))
+    zout.putNextEntry(new ZipEntry("part1.xml"))
+    zout.write("<Transfer/>".getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    // a filesystem whose rename always fails, with no concurrent
+    // attempt to publish the target: expand must error, not return a
+    // manifest that silently omits the member
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.norename.impl", classOf[NoRenameFs].getName)
+    val e = intercept[Throwable] {
+      graft.sources.AbrZip.expand(spark, zip.toString,
+        s"norename:$dir/staging").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("refusing to drop")),
+      s"expected the publish guard, got: ${messages(e).take(3)}")
+  }
+
   test("ingest fetcher seam stages objects for the ZIP/XML readers") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = tmpDir()
@@ -295,4 +319,13 @@ class SourcesSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
     assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
+}
+
+/** RawLocalFileSystem whose rename always fails — drives AbrZip's
+  * publish-failure guard test above. Hadoop instantiates it via the
+  * `fs.norename.impl` conf key; top-level with a no-arg constructor. */
+class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = false
 }

@@ -334,6 +334,38 @@ class StreamingSpec extends SparkSpec {
       "the committed generation was rewritten")
   }
 
+  test("streaming ANN: a stored code whose generation lost its codebook fails the batch loudly") {
+    val root = Files.createTempDirectory("graft-anngenloss")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes").toString
+    val pairs = root.resolve("pairs").toString
+    val v1 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v2 = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+    val w1 = Array(10f, -7f, 10f, -7f, 10f, -7f, 10f, -7f)
+
+    def ingest(ckpt: String, rows: (Long, Array[Float])*): Unit = {
+      rows.toSeq.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).schema
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codes, pairs, root.resolve(ckpt).toString, dim = 8, m = 4,
+        codewords = 16, maxDriftRatio = 4.0)
+    }
+    ingest("ckpt", 1L -> v1, 2L -> v2)          // gen 0
+    ingest("ckpt", 5L -> w1, 6L -> w1)          // drifted: trains gen 1
+    // lose generation 0's commit marker: its stored codes (ids 1, 2)
+    // can no longer be decoded
+    assert(Files.deleteIfExists(root.resolve("codes/_codebook/gen=0/_SUCCESS")))
+    // a batch that collides with a gen-0 stored code must FAIL the
+    // micro-batch, not silently drop the pair (unbounded recall loss)
+    val e = intercept[Throwable] { ingest("ckpt", 3L -> v1) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("no codebook loaded")),
+      s"expected loud missing-generation failure, got: ${messages(e)}")
+  }
+
   test("streaming model scoring: per-batch scores equal the batch operator") {
     // classifier scoring is per-doc stateless, so scoring each ingest
     // batch against the static model table must equal one batch pass
