@@ -106,7 +106,8 @@ object Components {
     * hashes are unchanged whichever implementation serves it.
     */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
-                              maxIter: Int = 40): DataFrame = {
+                              maxIter: Int = 40,
+                              localCap: Long = LocalIterationCap): DataFrame = {
     val raw = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     // every node ever seen (incl. self-pair-only nodes) — the label
     // frame's row set, whatever the surviving star edges look like
@@ -118,6 +119,28 @@ object Components {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Size-adaptive fast path: each distributed contraction round costs
+    // a fixed ~5 tiny shuffles of plan compilation + scheduling — on a
+    // graph this small (both frames already checkpointed, so the counts
+    // are one cheap job each) the whole closure is microseconds of
+    // driver union-find on a few MB, while the iteration would pay
+    // seconds regardless of data size. This is the micro-batch merge
+    // case: [[mergeIncrementalClusters]] contracts the graph to
+    // O(batch) BEFORE closing it. Corpus-scale inputs exceed the cap
+    // and run the unchanged distributed iteration; tests pin both paths
+    // (localCap = 0 forces distributed).
+    val localOrderable = e.schema("u").dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.StringType => true
+      case _ => false // exotic id types keep the distributed ordering
+    }
+    if (localCap > 0 && localOrderable &&
+        e.count() <= localCap && nodes.count() <= localCap)
+      return localClosure(nodes, e)
 
     // large-star: u's neighborhood min adopts all neighbors ABOVE u.
     // Input oriented, symmetrize; output is naturally big→small again
@@ -173,6 +196,69 @@ object Components {
     // their center, centers and self-pair-only nodes label themselves
     nodes.join(e.select(col("u").as("node"), col("v").as("cl")), Seq("node"), "left")
       .select(col("node"), coalesce(col("cl"), col("node")).as("cluster"))
+  }
+
+  /** Above this many edges or nodes the driver-local closure fast path
+    * is skipped and the distributed star contraction runs. 200k rows of
+    * boxed ids is tens of MB of driver heap — comfortably bounded —
+    * while the batch-contracted graphs the fast path exists for are
+    * thousands of rows. */
+  val LocalIterationCap: Long = 200000L
+
+  /** Spark-semantics ordering for collected atomic id values: STRING
+    * must compare as UTF-8 bytes (UTF8String's binary order), not
+    * java.lang.String's UTF-16 code units — they disagree above the
+    * BMP, and the local fast path must pick the SAME component minimum
+    * the distributed `min()` would. */
+  private def cmpAtomic(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(
+      s"unorderable component id: ${a.getClass}")
+  }
+
+  /** Driver union-find over a collected (checkpointed, cap-bounded)
+    * edge set; value-identical output contract to the distributed
+    * iteration: one (node, cluster = component-min) row per node in
+    * `nodes`, self-pair-only nodes labeling themselves. */
+  private def localClosure(nodes: DataFrame, e: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    for (row <- e.collect()) {
+      val u = row.get(0); val v = row.get(1)
+      require(u != null && v != null, "component ids must be non-null")
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(ru, rv)
+    }
+    // component minimum per root
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || cmpAtomic(n, cur) < 0) minOf.put(r, n)
+    }
+    val dt = e.schema("u").dataType
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    nodes.collect().foreach { row =>
+      val n = row.get(0)
+      val cl = if (parent.containsKey(n)) minOf.get(find(n)) else n
+      out.add(org.apache.spark.sql.Row(n, cl))
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster", dt, nullable = false))))
   }
 
   /** Incremental cluster maintenance: fold a batch of NEW near-dup

@@ -54,8 +54,12 @@ class ComponentsSpec extends SparkSpec {
 
   // ───── star contraction (large-star/small-star) ─────
 
-  private def runStar(edges: Seq[(Long, Long)], maxIter: Int = 40): Map[Long, Long] =
-    Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter)
+  // localCap = 0 forces the distributed iteration; the default exercises
+  // the size-gated driver fast path (these graphs are all tiny)
+  private def runStar(edges: Seq[(Long, Long)], maxIter: Int = 40,
+                      localCap: Long = Components.LocalIterationCap): Map[Long, Long] =
+    Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter,
+        localCap)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("star contraction: label-equality with min-label propagation on a chain") {
@@ -71,31 +75,52 @@ class ComponentsSpec extends SparkSpec {
     assert(runStar(edges)(7L) == 7L)
   }
 
-  test("star contraction: label-equality on random graphs across seeds") {
+  test("star contraction: label-equality on random graphs across seeds, both paths") {
     for (seed <- Seq(1, 7, 42)) {
       val rnd = new scala.util.Random(seed)
       val edges = (1 to 150).map(_ => (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
         .filter { case (a, b) => a != b }
-      assert(runStar(edges) == run(edges), s"seed $seed diverged")
+      val want = run(edges)
+      assert(runStar(edges) == want, s"seed $seed: local fast path diverged")
+      assert(runStar(edges, localCap = 0) == want,
+        s"seed $seed: distributed iteration diverged")
     }
   }
 
   test("star contraction closes a 64-link chain within 12 rounds") {
+    // a distributed-iteration property — force past the local fast path
     val edges = (0L until 63L).map(i => (i, i + 1))
-    assert(runStar(edges, maxIter = 12) == (0L to 63L).map(_ -> 0L).toMap)
+    assert(runStar(edges, maxIter = 12, localCap = 0) ==
+      (0L to 63L).map(_ -> 0L).toMap)
   }
 
   test("star contraction on empty edge set returns no rows") {
     assert(runStar(Seq.empty[(Long, Long)]).isEmpty)
   }
 
-  test("star contraction: generic over orderable id types (strings)") {
+  test("star contraction: generic over orderable id types (strings), both paths") {
     val edges = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-x", "doc-y"))
-    val out = Components.connectedComponentsStar(
-        edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(out == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
-      "doc-c" -> "doc-a", "doc-x" -> "doc-x", "doc-y" -> "doc-x"))
+    for (cap <- Seq(Components.LocalIterationCap, 0L)) {
+      val out = Components.connectedComponentsStar(
+          edges.toDF("a", "b"), "a", "b", 40, cap)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+        "doc-c" -> "doc-a", "doc-x" -> "doc-x", "doc-y" -> "doc-x"),
+        s"cap=$cap")
+    }
+  }
+
+  test("star contraction: local path orders strings as UTF-8 bytes, like Spark min()") {
+    // U+E000 sorts BELOW U+1F600 in UTF-8 bytes but ABOVE it in Java's
+    // UTF-16 code units (surrogates < 0xE000) — the local fast path must
+    // pick the same component minimum the distributed min() would
+    val edges = Seq(("doc-\uE000", "doc-\ud83d\ude00"))
+    val byCap = Seq(Components.LocalIterationCap, 0L).map { cap =>
+      Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", 40, cap)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(byCap.head == byCap.last, s"paths disagree: $byCap")
+    assert(byCap.head.values.toSet == Set("doc-\uE000"))
   }
 
   test("star contraction: giant cluster + long chain close in bounded rounds") {
@@ -106,8 +131,9 @@ class ComponentsSpec extends SparkSpec {
     val chain = (0L until 2000L).map(i => (200000L + i, 200000L + i + 1))
     val background = (1 to 500).map(i => (300000L + i * 2L, 300000L + i * 2L + 1))
     val edges = hub ++ chain ++ background
+    // bounded-round convergence is a distributed-iteration property
     val out = Components.connectedComponentsStar(
-        edges.toDF("a", "b"), "a", "b", maxIter = 15)
+        edges.toDF("a", "b"), "a", "b", maxIter = 15, localCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == 3001 + 2001 + 1000)
     assert(hub.forall(e => out(e._1) == 50L) && out(50L) == 50L)
@@ -121,7 +147,7 @@ class ComponentsSpec extends SparkSpec {
     val edges = (0L until 63L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
       Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b",
-        maxIter = 1).collect()
+        maxIter = 1, localCap = 0).collect()
     }
   }
 

@@ -111,6 +111,20 @@ class PlanSpec extends SparkSpec {
       s"expected the forward-fill window in:\n$p")
   }
 
+  test("d14: winnowing fingerprints compute without any shuffle or window") {
+    // winnowing is per-document-sequential, so the fingerprint table
+    // must be scan -> kernel -> explode: the gram stream (~w/2 x the
+    // output) never leaves its scan task. A Window or Exchange in this
+    // subtree means the composed-plan regression (two stacked
+    // WindowExecs shuffling the full gram table) is back.
+    val fps = graft.operators.Dedup.winnowedFingerprints(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 4, 8)
+    val p = fps.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"fingerprinting must be shuffle-free:\n$p")
+    assert(p.contains("Generate explode"), s"expected kernel+explode in:\n$p")
+  }
+
   test("c1: decontamination shuffles 8-byte gram hashes, never text") {
     val df = SparkEntry.queries("c1_decontaminate")(spark, sf)
     df.collect()
