@@ -56,7 +56,7 @@ object DumpPlans {
       "d10_pq_neardup" -> "PQ-screened near-dup: one persisted corpus pass computes LSH buckets + PQ codes; pairs block on the bucket equi-join, screen on decoded codes (m ints per side), and only approx-survivors re-join the full vectors for the exact cosine.",
       "d12_span_dedup" -> "C4 span dedup: keep-first is a partial-aggregable min(struct) on the full 128-bit span md5 — a hot boilerplate span collapses map-side before the exchange instead of skewing one reduce key (a window rank would ship every copy); span text rides exactly two exchanges (distinct-span argmin, per-doc regroup); the count join moves (id, n_spans) only.",
       "d13_incremental_span_dedup" -> "Incremental span scrub: only the batch explodes to spans; the store probe is a hash LEFT ANTI join on span_md5 against a membership set of one hash per distinct span — no text, no positions, no corpus re-read; two-layer keep-first (intra-batch argmin, then store anti-join) equals the full recompute.",
-      "d14_winnowing_overlap" -> "Winnowing overlap: one per-doc partitioning serves both the gram count and the sliding-window min (single exchange); the fingerprint stream is ~2/(w+1) of the gram stream by construction; the df cap drops corpus-ubiquitous fingerprints BEFORE the self-join so no fingerprint fans out quadratically.",
+      "d14_winnowing_overlap" -> "Winnowing overlap: fingerprinting is scan -> single-pass kernel -> explode — the gram stream (w/2 x the fingerprint table) never leaves its scan task, zero exchanges before the checkpointed ~2/(w+1)-density fingerprint table; the df cap drops corpus-ubiquitous fingerprints BEFORE the self-join so no fingerprint fans out quadratically.",
       "p9_epoch_ordinals" -> "Global ordinals: range partition on the order keys -> local rank -> O(partitions)-row offset aggregate broadcast back; the eager checkpoint freezes ONE physical partitioning before spark_partition_id is read from two subtrees (AQE coalescing or fresh boundary sampling would otherwise corrupt ordinals); no single-partition global window anywhere.",
       "t11_oov_unk" -> "OOV/UNK rewrite: the kept vocabulary (high-df head, small by construction) broadcasts onto the positional token stream as a hash ANTI-join; only OOV positions shuffle back per doc; the rewrite itself is a narrow kept/oov position merge (array_except + sort) — linear per doc, and the only BNLJ is the 1-row nDocs scalar cross.",
       "t12_bigram_fluency" -> "Bigram fluency: the corpus bigram stream materializes once (eager checkpoint) and feeds both the count aggregate and the join probe; the count table joins by key with no broadcast assumption — a real bigram vocabulary can exceed broadcast size; integer-exact sum DIV count.",
