@@ -113,13 +113,25 @@ object CorpusStats {
     val covered = grams.join(broadcast(shared), "gh")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+    scrubCovered(df, idCol, textCol, covered)
+  }
+
+  /** Shared scrub tail: delete every token position listed in `covered`
+    * (`(idCol, cpos)` rows, duplicates and out-of-range values inert),
+    * rebuilding the survivors in order — the
+    * (idCol, n_tokens, n_kept, cleaned) shape of [[removeSharedSpans]]
+    * and [[graft.operators.Dedup.dedupSubstrings]]. Kept positions via
+    * array_except (hash-based, order-preserving on its first argument):
+    * linear in the token count — a per-token array_contains over the
+    * covered set would be O(tokens × covered), quadratic exactly on the
+    * template-heavy docs these operators target. */
+  private[operators] def scrubCovered(df: DataFrame, idCol: String,
+                                      textCol: String,
+                                      covered: DataFrame): DataFrame = {
+    val perDoc = covered
       .groupBy(col(idCol))
       .agg(collect_set(col("cpos")).as("__covered"))
-    // kept positions via array_except (hash-based, order-preserving on
-    // its first argument): linear in the token count — a per-token
-    // array_contains over the covered set would be O(tokens × covered),
-    // quadratic exactly on the template-heavy docs this targets
-    df.join(covered, Seq(idCol), "left")
+    df.join(perDoc, Seq(idCol), "left")
       .withColumn("__toks", Hashing.tokens(col(textCol)))
       .withColumn("__cov", coalesce(col("__covered"), array().cast("array<int>")))
       .withColumn("__keptpos",

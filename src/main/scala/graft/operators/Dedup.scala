@@ -443,6 +443,52 @@ object Dedup {
         .as("fp"))
   }
 
+  /** Exact-substring scrub at ARBITRARY offsets (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — beyond-reference): every word-`k`-gram occurring more
+    * than once in the corpus keeps only its FIRST occurrence (minimal
+    * `(id, pos)`); each token covered by a later occurrence is deleted.
+    * A duplicated run of ≥ k tokens thus survives in exactly one place
+    * however it is aligned — the arbitrary-offset exact companion of
+    * [[spanDedup]] (grid-aligned exact spans) and
+    * [[winnowedFingerprints]] (sampled detection without a scrub);
+    * within-document self-repetition scrubs the same way. Documents
+    * shorter than `k` tokens hash as one whole-text gram
+    * (ShingleHashes64 semantics): a duplicate short doc scrubs to
+    * empty, its first copy survives.
+    *
+    * Scale shape: one checkpointed pass lowers the corpus to slim
+    * (id, pos, 60-bit hash) longs; the first-occurrence argmin is a
+    * partial-aggregated `min(struct)` per gram (a boilerplate gram
+    * collapses map-side — the [[spanDedup]] keep-first reasoning, never
+    * a rank window shipping every copy); only grams with > 1 occurrence
+    * — the duplication mass, not the vocabulary — re-join the stream,
+    * and only covered POSITIONS shuffle back per doc. The text column
+    * never enters an exchange (the removeSharedSpans tail). Full
+    * 60-bit hashes: a collision deletes innocent text, so the 31-bit
+    * bucket reduction is never used here.
+    *
+    * @return (idCol, n_tokens, n_kept, cleaned)
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+        posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+          .as(Seq("pos", "gh")))
+      .localCheckpoint(true)
+    val dupFirst = grams
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol), col("pos"))).as("__w"))
+      .filter(col("__occ") > 1)
+      .select(col("gh"), col(s"__w.$idCol").as("__wid"), col("__w.pos").as("__wpos"))
+    val covered = grams.join(dupFirst, "gh")
+      .filter(!(col(idCol) === col("__wid") && col("pos") === col("__wpos")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+    CorpusStats.scrubCovered(df, idCol, textCol, covered)
+  }
+
   /** Partial-overlap pairs by shared winnowing fingerprints: documents
     * sharing ≥ `minShared` distinct fingerprint values. Fingerprints
     * occurring in more than `fpDfCap` documents are dropped before the

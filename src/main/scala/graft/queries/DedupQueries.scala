@@ -448,6 +448,24 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // D-15: exact-substring scrub at arbitrary offsets (Lee et al. ACL
+    // 2022) — the same pasted-fragment universe d14 only DETECTS: every
+    // ≥ 8-token run duplicated anywhere in the corpus keeps its first
+    // occurrence and is deleted from every later one, so each fragment
+    // doc collapses to its unique suffix while its source keeps the
+    // text; within-doc repeats scrub too. Oracle replicates the
+    // first-occurrence rule with a rank window over the identical
+    // positional gram-hash stream.
+    "d15_substring_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val frags = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(array_join(slice(Hashing.tokens(col("text")), 11, 25), " "),
+            lit(" qq"), col("doc_id").cast("string")).as("text"))
+      Dedup.dedupSubstrings(docs.unionByName(frags), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // U-5: the INCREMENTAL ingest capstone — one batch flows through
     // the whole continuous-curation path against persisted state, the
     // way a daily 100 TB ingest actually runs: C4 span scrub vs the
@@ -833,6 +851,40 @@ object DedupQueries {
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared FROM pairs
          |WHERE n_shared >= 3 ORDER BY id_a, id_b""".stripMargin,
+    "d15_substring_scrub" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000,
+         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |      || ' qq' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM uni),
+         |p AS (SELECT doc_id, text, toks,
+         |        unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS pos FROM base),
+         |grams AS (SELECT doc_id, pos,
+         |  CASE WHEN len(toks) >= 8
+         |    THEN ${Hashing.sql.hash64("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')")}
+         |    ELSE ${Hashing.sql.hash64("text")} END AS gh
+         |  FROM p),
+         |ranked AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+         |  FROM grams),
+         |hits AS (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS off
+         |  FROM ranked WHERE rn > 1),
+         |covered AS (SELECT DISTINCT doc_id, pos + off AS cpos FROM hits),
+         |tokpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM base),
+         |tp AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok FROM tokpos),
+         |kept AS (SELECT t.doc_id, t.tpos, t.tok FROM tp t
+         |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.cpos
+         |  WHERE c.cpos IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY tpos) AS cleaned FROM kept GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(b.toks) AS INT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+         |  coalesce(a.cleaned, '') AS cleaned
+         |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
     "u5_incremental_ingest" -> {
       val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")
       val paste =

@@ -365,6 +365,70 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("substring scrub: later occurrences vanish at any offset, first survives") {
+    val k = 3
+    // d2 copies a mid-doc 5-token run of d1 at a different offset, with
+    // unique flanks; d3 repeats its own opening inside itself; d4/d5
+    // are identical short docs (< k tokens -> whole-text gram)
+    val d1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val d2 = "z1 z2 a3 a4 a5 a6 a7 z3"
+    val d3 = "r1 r2 r3 x1 r1 r2 r3"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, "s t"), (5L, "s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", k)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // d1 is first everywhere -> untouched
+    assert(got(1L) == ((8, 8, d1)))
+    // d2's copied run a3..a7 covers positions 2..6 (grams at 2,3,4);
+    // z-flanks survive
+    assert(got(2L) == ((8, 3, "z1 z2 z3")))
+    // d3's second "r1 r2 r3" (positions 4..6) scrubs; opening + x1 stay
+    assert(got(3L) == ((7, 4, "r1 r2 r3 x1")))
+    // duplicate short docs: first kept whole, second scrubbed empty
+    assert(got(4L) == ((2, 2, "s t")))
+    assert(got(5L) == ((2, 0, "")))
+  }
+
+  test("substring scrub equals a driver-side reference on nasty corpora") {
+    val k = 2
+    val tok = org.scalacheck.Gen.oneOf("a", "b", "c", "汉", "x'y")
+    val doc = org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.choose(0, 12).flatMap(n =>
+        org.scalacheck.Gen.listOfN(n, tok).map(_.mkString(" "))),
+      1 -> org.scalacheck.Gen.const(""),
+      1 -> org.scalacheck.Gen.const("  a  b  "))
+    val texts = Fuzz.draw(org.scalacheck.Gen.listOfN(100, doc)) ++ Seq("a", "a b", "a b")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def toks(t: String) = t.split(" ", -1).toVector
+    def gramsOf(t: String): Vector[(Int, String)] = {
+      val tk = toks(t)
+      if (tk.length >= k)
+        (0 to tk.length - k).map(i => i -> tk.slice(i, i + k).mkString(" ")).toVector
+      else Vector(0 -> t)
+    }
+    // first-occurrence rule over gram STRINGS (hash-free reference)
+    val all = docs.flatMap { case (id, t) => gramsOf(t).map { case (p, g) => (g, id, p) } }
+    val first = all.groupBy(_._1).map { case (g, os) => g -> os.map(o => (o._2, o._3)).min }
+    val occ = all.groupBy(_._1).map { case (g, os) => g -> os.size }
+    val want = docs.map { case (id, t) =>
+      val tk = toks(t)
+      val cov = gramsOf(t).collect {
+        case (p, g) if occ(g) > 1 && first(g) != ((id, p)) =>
+          (p until math.min(p + k, tk.length))
+      }.flatten.toSet
+      val kept = tk.zipWithIndex.collect { case (w, i) if !cov(i) => w }
+      (id, tk.length, kept.length, kept.mkString(" "))
+    }.toSet
+    val got = Dedup.dedupSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Int, Int, String)].collect().toSet
+    if (got != want) {
+      val path = Fuzz.persist("substring-scrub-failing-corpus", texts)
+      fail(s"seed=${Fuzz.seed} corpus=$path: " +
+        s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
+    }
+  }
+
   test("winnowingOverlap drops corpus-ubiquitous fingerprints at the df cap") {
     // every doc shares the template text → its fingerprints have df =
     // 40 > cap; the planted pair shares UNIQUE content and survives

@@ -125,6 +125,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"expected kernel+explode in:\n$p")
   }
 
+  test("d15: substring-scrub argmin is a partial min(struct); no theta joins") {
+    val p = plan("d15_substring_scrub")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"first-occurrence argmin must partial-aggregate map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"coverage join must stay an equi-join:\n$p")
+  }
+
   test("c1: decontamination shuffles 8-byte gram hashes, never text") {
     val df = SparkEntry.queries("c1_decontaminate")(spark, sf)
     df.collect()
