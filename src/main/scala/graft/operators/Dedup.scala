@@ -489,6 +489,59 @@ object Dedup {
     CorpusStats.scrubCovered(df, idCol, textCol, covered)
   }
 
+  /** The persisted store for [[incrementalSubstringScrub]]: ONE 60-bit
+    * hash per distinct word-`k`-gram ever seen — no text, no positions,
+    * no ids (the [[spanStore]] reasoning, at gram granularity). Write
+    * it bucketed on `gh` so each ingest batch probes co-located buckets
+    * instead of shuffling the store; append
+    * `substringGramStore(scrubbed batch)` after each ingest. */
+  def substringGramStore(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    df.select(posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+        .as(Seq("pos", "gh")))
+      .select(col("gh")).distinct()
+
+  /** Incremental [[dedupSubstrings]]: scrub an ingest BATCH against the
+    * gram store of all prior ingests — only the batch is ever tokenized
+    * (O(batch) hashing + one membership probe; the corpus is never
+    * re-read). Two scrub sources with one semantics: a batch gram whose
+    * hash is IN the store scrubs at every batch position (the store is
+    * earlier by construction, so the first occurrence is never in the
+    * batch); a fresh gram duplicated WITHIN the batch keeps its batch-
+    * first occurrence. When batch ids sort after corpus ids this equals
+    * [[dedupSubstrings]] over (corpus ∪ batch) restricted to batch rows
+    * (DedupSpec proves it; the d16 oracle recomputes it in full).
+    *
+    * @return (idCol, n_tokens, n_kept, cleaned) for the batch rows
+    */
+  def incrementalSubstringScrub(incoming: DataFrame, store: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int): DataFrame = {
+    val grams = incoming.select(col(idCol),
+        posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+          .as(Seq("pos", "gh")))
+      .localCheckpoint(true)
+    val storeGh = store.select(col("gh"))
+    // store hits scrub unconditionally
+    val coveredByStore = grams.join(storeGh, Seq("gh"), "left_semi")
+    // fresh grams replay the batch-local first-occurrence rule
+    val fresh = grams.join(storeGh, Seq("gh"), "left_anti")
+    val dupFirst = fresh
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol), col("pos"))).as("__w"))
+      .filter(col("__occ") > 1)
+      .select(col("gh"), col(s"__w.$idCol").as("__wid"), col("__w.pos").as("__wpos"))
+    val coveredInBatch = fresh.join(dupFirst, "gh")
+      .filter(!(col(idCol) === col("__wid") && col("pos") === col("__wpos")))
+      .select(col(idCol), col("pos"))
+    val covered = coveredByStore.select(col(idCol), col("pos"))
+      .unionByName(coveredInBatch)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+    CorpusStats.scrubCovered(incoming, idCol, textCol, covered)
+  }
+
   /** Partial-overlap pairs by shared winnowing fingerprints: documents
     * sharing ≥ `minShared` distinct fingerprint values. Fingerprints
     * occurring in more than `fpDfCap` documents are dropped before the

@@ -466,6 +466,27 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D-16: incremental substring scrub — the d15 semantic against a
+    // persisted gram store, the way a daily ingest runs it: only the
+    // batch is tokenized; a batch gram in the store scrubs everywhere
+    // (the store is earlier by construction), a fresh gram duplicated
+    // within the batch keeps its batch-first occurrence (the second
+    // pasted copy of each fragment scrubs to just its suffix tokens).
+    // Oracle = the full d15 recompute over corpus ∪ batch, restricted
+    // to batch rows — proving delta processing loses nothing.
+    "d16_incremental_substring_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val frags = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(array_join(slice(Hashing.tokens(col("text")), 11, 25), " "),
+            lit(" qq"), col("doc_id").cast("string")).as("text"))
+      val copies = frags.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val store = Dedup.substringGramStore(docs, "doc_id", "text", 8)
+      Dedup.incrementalSubstringScrub(frags.unionByName(copies), store,
+          "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // U-5: the INCREMENTAL ingest capstone — one batch flows through
     // the whole continuous-curation path against persisted state, the
     // way a daily 100 TB ingest actually runs: C4 span scrub vs the
@@ -884,6 +905,46 @@ object DedupQueries {
          |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
          |  coalesce(a.cleaned, '') AS cleaned
          |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    "d16_incremental_substring_scrub" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000,
+         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |      || ' qq' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1800000,
+         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |      || ' qq' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM uni),
+         |p AS (SELECT doc_id, text, toks,
+         |        unnest(generate_series(0, greatest(len(toks) - 8, 0))) AS pos FROM base),
+         |grams AS (SELECT doc_id, pos,
+         |  CASE WHEN len(toks) >= 8
+         |    THEN ${Hashing.sql.hash64("array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')")}
+         |    ELSE ${Hashing.sql.hash64("text")} END AS gh
+         |  FROM p),
+         |ranked AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+         |  FROM grams),
+         |hits AS (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS off
+         |  FROM ranked WHERE rn > 1),
+         |covered AS (SELECT DISTINCT doc_id, pos + off AS cpos FROM hits),
+         |tokpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM base),
+         |tp AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok FROM tokpos),
+         |kept AS (SELECT t.doc_id, t.tpos, t.tok FROM tp t
+         |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.cpos
+         |  WHERE c.cpos IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY tpos) AS cleaned FROM kept GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(b.toks) AS INT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+         |  coalesce(a.cleaned, '') AS cleaned
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |WHERE b.doc_id >= 800000 ORDER BY b.doc_id""".stripMargin,
 
     "u5_incremental_ingest" -> {
       val h = Hashing.sql.hash64("CAST(rep AS VARCHAR)")

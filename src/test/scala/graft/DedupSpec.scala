@@ -429,6 +429,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental substring scrub equals the full recompute on random splits") {
+    val k = 2
+    val rnd = new scala.util.Random(1031)
+    val vocab = Vector("m", "n", "o", "p", "q")
+    def randDoc() =
+      Vector.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // corpus ids < batch ids — the contract under which delta == full
+    val corpus = (1L to 40L).map(_ -> randDoc())
+    val batch = (101L to 125L).map(_ -> randDoc())
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val store = Dedup.substringGramStore(corpusDf, "doc_id", "text", k)
+    val got = Dedup.incrementalSubstringScrub(batchDf, store, "doc_id", "text", k)
+      .as[(Long, Int, Int, String)].collect().toSet
+    val want = Dedup.dedupSubstrings(
+        corpusDf.unionByName(batchDf), "doc_id", "text", k)
+      .filter($"doc_id" >= 101L)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == want,
+      s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
+  }
+
   test("winnowingOverlap drops corpus-ubiquitous fingerprints at the df cap") {
     // every doc shares the template text → its fingerprints have df =
     // 40 > cap; the planted pair shares UNIQUE content and survives
