@@ -516,11 +516,28 @@ object Dedup {
     */
   def incrementalSubstringScrub(incoming: DataFrame, store: DataFrame,
                                 idCol: String, textCol: String,
-                                k: Int): DataFrame = {
-    val grams = incoming.select(col(idCol),
+                                k: Int): DataFrame =
+    incrementalSubstringScrubFromGrams(incoming,
+      substringGrams(incoming, idCol, textCol, k), store, idCol, textCol, k)
+
+  /** The checkpointed positional gram stream `(idCol, pos, gh)` —
+    * compute it ONCE per ingest batch and feed both
+    * [[incrementalSubstringScrubFromGrams]] and the store delta
+    * (`grams.select("gh").distinct()` anti-joined with the store), so
+    * a streaming driver tokenizes the batch a single time. */
+  def substringGrams(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    df.select(col(idCol),
         posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
           .as(Seq("pos", "gh")))
       .localCheckpoint(true)
+
+  /** [[incrementalSubstringScrub]] over an already-computed gram
+    * stream. */
+  def incrementalSubstringScrubFromGrams(incoming: DataFrame, grams: DataFrame,
+                                         store: DataFrame,
+                                         idCol: String, textCol: String,
+                                         k: Int): DataFrame = {
     val storeGh = store.select(col("gh"))
     // store hits scrub unconditionally
     val coveredByStore = grams.join(storeGh, Seq("gh"), "left_semi")

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.operators.Dedup
+
+/** Continuous arbitrary-offset exact substring scrubbing: each
+  * micro-batch is cleaned against the gram-hash store accumulated from
+  * all PRIOR batches ([[graft.operators.Dedup.incrementalSubstringScrub]]),
+  * and the batch's FRESH gram hashes join the store — a perpetual
+  * ingest tokenizes only its own batch and probes a membership set of
+  * ONE 8-byte hash per distinct word-k-gram ever seen (no text, no
+  * positions, no ids: the minimal state the first-occurrence rule
+  * needs). The streaming twin of query d16, structured exactly like
+  * [[IncrementalSpanDedup]] (the grid-span sibling).
+  *
+  * Idempotence: both sinks write `batch_id=<n>` overwrite partitions,
+  * and a replayed micro-batch reads the store WITHOUT its own
+  * partition's prior attempt (strictly lower batch ids), so the scrub
+  * is bit-identical across at-least-once redeliveries.
+  *
+  * Store growth is monotone append-only and partitions are DISJOINT by
+  * construction (each batch appends only hashes the store lacked), so
+  * [[compactStore]] is a plain concatenation fold on the
+  * snapshot+delta cadence of the sibling stores.
+  */
+object IncrementalSubstringScrub {
+
+  /** Ingest any new files under `inputDir` once (AvailableNow), then
+    * stop. Call repeatedly for a scheduled-cadence pipeline. */
+  def runOnce(spark: SparkSession, schema: StructType, inputDir: String,
+              idCol: String, textCol: String,
+              storeDir: String, cleanOutDir: String, checkpointDir: String,
+              k: Int = 8): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+      .select(col(idCol), col(textCol))
+    val q = in.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val store = readStore(s, storeDir, ltBatch = batchId)
+        // ONE tokenization pass (checkpointed) feeds both the scrub
+        // and the store delta
+        val grams = Dedup.substringGrams(batch, idCol, textCol, k)
+        Dedup.incrementalSubstringScrubFromGrams(batch, grams, store,
+            idCol, textCol, k)
+          .write.mode("overwrite").parquet(s"$cleanOutDir/batch_id=$batchId")
+        // append AFTER scrubbing: the batch must not see its own grams
+        // on the store side (everything would scrub to ""); fresh-only
+        // keeps partitions disjoint for the compaction fold
+        grams.select(col("gh")).distinct()
+          .join(store, Seq("gh"), "left_anti")
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold the `batch_id=` pile through `uptoBatch` into the RESERVED
+    * `batch_id=-1` base and drop the folded partitions — same replay
+    * reasoning as [[IncrementalSpanDedup.compactStore]]: the snapshot
+    * never aliases a live batch id, and the NEWEST batch (the only one
+    * structured streaming can still replay) must never fold. */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   uptoBatch: Long): Unit = {
+    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val ids = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.exists(_ > uptoBatch),
+      s"refusing to compact through batch $uptoBatch: it is the newest " +
+        "batch and may still be replayed — compact only after a newer " +
+        "batch has committed")
+    val snapshot = readStore(spark, storeDir, ltBatch = uptoBatch + 1)
+      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val id = name.stripPrefix("batch_id=").toLong
+        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** The gram-hash membership set as of just before `ltBatch` (replay
+    * safety: a batch's own earlier attempt is excluded). */
+  def readStore(spark: SparkSession, storeDir: String,
+                ltBatch: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("gh", LongType))
+    spark.read.parquet(storeDir)   // batch_id is the partition column
+      .filter(col("batch_id") < ltBatch)
+      .select(col("gh"))
+  }
+}

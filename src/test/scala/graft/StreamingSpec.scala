@@ -135,6 +135,67 @@ class StreamingSpec extends SparkSpec {
     assert(clean()(5L) == ((2, 0, "")))
   }
 
+  test("streaming substring scrub: batches clean against the accumulated gram store") {
+    val root = Files.createTempDirectory("graft-substrscrub")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val out = root.resolve("clean").toString
+    val ckpt = root.resolve("ckpt").toString
+    val k = 2
+
+    def ingest(rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+      graft.streaming.IncrementalSubstringScrub.runOnce(spark, schema,
+        in.toString, "doc_id", "text", store, out, ckpt, k = k)
+    }
+    def clean(): Map[Long, (Int, Int, String)] =
+      spark.read.parquet(out)
+        .select($"doc_id", $"n_tokens", $"n_kept", $"cleaned")
+        .as[(Long, Int, Int, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // batch 0: doc 2 repeats doc 1's "c d" INTRA-batch at another offset
+    ingest(1L -> "a b c d", 2L -> "c d e")
+    assert(clean() == Map(
+      1L -> ((4, 4, "a b c d")),
+      2L -> ((3, 1, "e"))))
+
+    // batch 1: doc 3 reuses batch-0 grams (cross-batch, arbitrary
+    // offset); docs 4/5 duplicate each other inside the batch
+    ingest(3L -> "d e f", 4L -> "x y", 5L -> "x y")
+    assert(clean() == Map(
+      1L -> ((4, 4, "a b c d")),
+      2L -> ((3, 1, "e")),
+      3L -> ((3, 1, "f")),
+      4L -> ((2, 2, "x y")),
+      5L -> ((2, 0, ""))))
+    // store: one row per distinct gram ever seen, disjoint partitions
+    val ghs = spark.read.parquet(store).select($"gh").as[Long].collect()
+    assert(ghs.length == ghs.distinct.length)
+    assert(ghs.length == 6) // ab bc cd de (b0) + ef xy (b1)
+
+    // the NEWEST batch may still replay — folding it must refuse
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalSubstringScrub.compactStore(spark, store,
+        uptoBatch = 1)
+    }
+    assert(e.getMessage.contains("newest"))
+    // folding batch 0 preserves the membership set
+    graft.streaming.IncrementalSubstringScrub.compactStore(spark, store,
+      uptoBatch = 0)
+    val folded = spark.read.parquet(store).select($"gh").as[Long].collect()
+    assert(folded.sorted.toSeq == ghs.sorted.toSeq)
+    val partIds = new java.io.File(store).listFiles
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partIds == Seq("batch_id=-1", "batch_id=1"))
+
+    // batch 2 scrubs correctly against the compacted store
+    ingest(6L -> "a b z")
+    assert(clean()(6L) == ((3, 1, "z")))
+  }
+
   test("streaming cluster maintenance: label deltas resolve to the full closure") {
     val root = Files.createTempDirectory("graft-clusters")
     val in = root.resolve("in"); Files.createDirectories(in)
