@@ -587,6 +587,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental [[winnowingOverlap]]: partial-overlap pairs TOUCHING
+    * an ingest batch, against the fingerprint store of all prior
+    * ingests — only the batch is tokenized and winnowed; the store is
+    * exactly the `(id, fp)` output of [[winnowedFingerprints]] over
+    * prior batches (write it bucketed on `fp`; append the batch's rows
+    * after pairing). Old-old pairs never regenerate. The `fpDfCap`
+    * head exclusion is computed over store ∪ batch, so results equal
+    * the full recompute over (corpus ∪ batch) restricted to pairs with
+    * a batch member (DedupSpec proves it; the d17 oracle recomputes
+    * it in full).
+    *
+    * Output: id_a < id_b, n_shared (≥ `minShared` distinct shared
+    * fingerprint values).
+    */
+  def incrementalWinnowingOverlap(incoming: DataFrame, storeFps: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int, w: Int, minShared: Long,
+                                  fpDfCap: Long = 1000L): DataFrame = {
+    val newFps = winnowedFingerprints(incoming, idCol, textCol, k, w)
+      .localCheckpoint(true)
+    // the store side is a (bucketed) parquet read — scanning it twice
+    // (df counts + pair join) beats checkpointing a corpus-sized frame
+    val allFps = storeFps.select(col(idCol), col("fp")).unionByName(newFps)
+    val keep = allFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= fpDfCap).select(col("fp"))
+    val cappedNew = newFps.join(keep, Seq("fp"))
+    val cappedAll = allFps.join(keep, Seq("fp"))
+    cappedNew.select(col(idCol).as("nid"), col("fp"))
+      .join(cappedAll.select(col(idCol).as("oid"), col("fp")), Seq("fp"))
+      .filter(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("id_a"),
+        greatest(col("nid"), col("oid")).as("id_b"), col("fp"))
+      // a new-new pair surfaces in BOTH join orders per shared fp —
+      // dedup (id_a, id_b, fp) before counting
+      .distinct()
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The batch's surviving spans against a prior-ingest store:
     * intra-batch keep-first winners whose hash the store does NOT
     * contain — `(span_md5, id, span_idx, span_text)`. This is both

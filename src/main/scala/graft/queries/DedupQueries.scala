@@ -466,6 +466,24 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // D-17: incremental winnowing overlap — d14's detector against a
+    // persisted fingerprint store: only the pasted-fragment batch is
+    // winnowed; pairs touching the batch (fragment-vs-source AND
+    // fragment-vs-fragment) must equal the full corpus recompute
+    // restricted to batch members, with the df cap computed over
+    // store ∪ batch.
+    "d17_incremental_winnowing" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val frags = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(array_join(slice(Hashing.tokens(col("text")), 11, 25), " "),
+            lit(" qq"), col("doc_id").cast("string")).as("text"))
+      val store = Dedup.winnowedFingerprints(docs, "doc_id", "text", K, 4)
+      Dedup.incrementalWinnowingOverlap(frags, store, "doc_id", "text",
+          k = K, w = 4, minShared = 3, fpDfCap = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // D-16: incremental substring scrub — the d15 semantic against a
     // persisted gram store, the way a daily ingest runs it: only the
     // batch is tokenized; a batch gram in the store scrubs everywhere
@@ -905,6 +923,30 @@ object DedupQueries {
          |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
          |  coalesce(a.cleaned, '') AS cleaned
          |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    "d17_incremental_winnowing" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000,
+         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |      || ' qq' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |hs AS (SELECT doc_id,
+         |    list_transform(${Hashing.sql.shingles("text", K)}, g -> ${Hashing.sql.hash64("g")}) AS hl
+         |  FROM uni),
+         |fps AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(hl) - 3, 1)),
+         |      i -> list_min(list_slice(hl, i, i + 3)))) AS fp
+         |  FROM hs),
+         |keep AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY 1)
+         |         WHERE c <= 100),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM (SELECT * FROM fps JOIN keep USING (fp)) a
+         |  JOIN (SELECT * FROM fps JOIN keep USING (fp)) b USING (fp)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM pairs
+         |WHERE n_shared >= 3 AND id_b >= 800000 ORDER BY id_a, id_b""".stripMargin,
 
     "d16_incremental_substring_scrub" ->
       s"""WITH uni AS (

@@ -451,6 +451,30 @@ class DedupSpec extends SparkSpec {
       s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
   }
 
+  test("incremental winnowing overlap equals the full recompute on random splits") {
+    val (k, w) = (2, 3)
+    val rnd = new scala.util.Random(977)
+    val vocab = Vector("g", "h", "i", "j")
+    def randDoc() =
+      Vector.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (1L to 35L).map(_ -> randDoc())
+    val batch = (201L to 220L).map(_ -> randDoc())
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val store = Dedup.winnowedFingerprints(corpusDf, "doc_id", "text", k, w)
+    val got = Dedup.incrementalWinnowingOverlap(batchDf, store,
+        "doc_id", "text", k, w, minShared = 1, fpDfCap = 12)
+      .as[(Long, Long, Long)].collect().toSet
+    // full recompute restricted to pairs touching the batch (batch ids
+    // sort above corpus ids, so the larger pair member decides)
+    val want = Dedup.winnowingOverlap(corpusDf.unionByName(batchDf),
+        "doc_id", "text", k, w, minShared = 1, fpDfCap = 12)
+      .filter($"id_b" >= 201L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
+  }
+
   test("winnowingOverlap drops corpus-ubiquitous fingerprints at the df cap") {
     // every doc shares the template text → its fingerprints have df =
     // 40 > cap; the planted pair shares UNIQUE content and survives
