@@ -34,6 +34,18 @@ class EmptyInputSpec extends SparkSpec {
     // an empty store is a no-op filter, not a crash
     assert(Dedup.incrementalSpanDedup(
       Seq((1L, "a b")).toDF("doc_id", "text"), store0, "doc_id", "text", 16).count() == 1)
+    // substring-scrub family: empty corpus, empty batch, empty stores
+    assert(Dedup.dedupSubstrings(docs0, "doc_id", "text", 3).count() == 0)
+    val gstore0 = Dedup.substringGramStore(docs0, "doc_id", "text", 3)
+    assert(Dedup.incrementalSubstringScrub(docs0, gstore0, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.incrementalSubstringScrub(
+      Seq((1L, "a b")).toDF("doc_id", "text"), gstore0, "doc_id", "text", 3).count() == 1)
+    val fpstore0 = Dedup.winnowedFingerprints(docs0, "doc_id", "text", 3, 4)
+    assert(Dedup.incrementalWinnowingOverlap(docs0, fpstore0,
+      "doc_id", "text", 3, 4, 1).count() == 0)
+    assert(Dedup.incrementalWinnowingOverlap(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), fpstore0,
+      "doc_id", "text", 3, 4, 1).count() == 0)
   }
 
   test("similarity search: empty corpus and empty query set → empty top-k") {
