@@ -51,6 +51,20 @@ class ForcedShuffleSpec extends SparkSpec {
         graft.operators.Dedup.spanStore(docs, "doc_id", "text", 16),
         "doc_id", "text", 16)),
     "t11_oov_unk" -> (() => SparkEntry.queries("t11_oov_unk")(spark, sf)),
+    "substring_scrub(fresh)" -> (() =>
+      graft.operators.Dedup.dedupSubstrings(docs, "doc_id", "text", 8)),
+    "incr_substring_scrub(fresh)" -> (() =>
+      graft.operators.Dedup.incrementalSubstringScrub(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")),
+        graft.operators.Dedup.substringGramStore(docs, "doc_id", "text", 8),
+        "doc_id", "text", 8)),
+    "incr_winnowing(fresh)" -> (() =>
+      graft.operators.Dedup.incrementalWinnowingOverlap(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")),
+        graft.operators.Dedup.winnowedFingerprints(docs, "doc_id", "text", 3, 4),
+        "doc_id", "text", 3, 4, minShared = 3, fpDfCap = 100)),
     // the model join is the operator's scale story: a production model
     // exceeds the broadcast threshold, so the shuffle-hash fallback
     // must be byte-equal
@@ -71,7 +85,8 @@ class ForcedShuffleSpec extends SparkSpec {
       "y4_band_join", "t10_heavy_hitters", "w7_funnel", "d10_pq_neardup",
       "minhash_pairs(fresh)", "dup_clusters(fresh)", "embedding_knn(fresh)",
       "span_dedup(fresh)", "incr_span_dedup(fresh)", "t11_oov_unk",
-      "t13_classifier_score")
+      "t13_classifier_score", "substring_scrub(fresh)",
+      "incr_substring_scrub(fresh)", "incr_winnowing(fresh)")
     for (name <- names) {
       val withBroadcast = rows(name)
       val forced = withConf("spark.sql.autoBroadcastJoinThreshold", "-1")(rows(name))
@@ -85,7 +100,8 @@ class ForcedShuffleSpec extends SparkSpec {
     // AQE re-plans joins, coalesces partitions, and splits skew at
     // runtime — none of which may change RESULTS
     val names = Seq("minhash_pairs(fresh)", "embedding_knn(fresh)",
-      "n7_knn_join", "d10_pq_neardup", "w7_funnel", "span_dedup(fresh)")
+      "n7_knn_join", "d10_pq_neardup", "w7_funnel", "span_dedup(fresh)",
+      "substring_scrub(fresh)")
     for (name <- names) {
       val adaptive = rows(name)
       val static = withConf("spark.sql.adaptive.enabled", "false")(rows(name))
