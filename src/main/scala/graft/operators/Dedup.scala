@@ -604,12 +604,22 @@ object Dedup {
   def incrementalWinnowingOverlap(incoming: DataFrame, storeFps: DataFrame,
                                   idCol: String, textCol: String,
                                   k: Int, w: Int, minShared: Long,
-                                  fpDfCap: Long = 1000L): DataFrame = {
-    val newFps = winnowedFingerprints(incoming, idCol, textCol, k, w)
-      .localCheckpoint(true)
+                                  fpDfCap: Long = 1000L): DataFrame =
+    incrementalWinnowingOverlapFromFps(
+      winnowedFingerprints(incoming, idCol, textCol, k, w).localCheckpoint(true),
+      storeFps, idCol, minShared, fpDfCap)
+
+  /** [[incrementalWinnowingOverlap]] over an already-computed (and
+    * persisted/checkpointed) batch fingerprint table — the streaming
+    * driver winnows once and feeds both the pairing and the store
+    * append here. */
+  def incrementalWinnowingOverlapFromFps(newFps: DataFrame, storeFps: DataFrame,
+                                         idCol: String, minShared: Long,
+                                         fpDfCap: Long): DataFrame = {
     // the store side is a (bucketed) parquet read — scanning it twice
     // (df counts + pair join) beats checkpointing a corpus-sized frame
-    val allFps = storeFps.select(col(idCol), col("fp")).unionByName(newFps)
+    val allFps = storeFps.select(col(idCol), col("fp"))
+      .unionByName(newFps.select(col(idCol), col("fp")))
     val keep = allFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= fpDfCap).select(col("fp"))
     val cappedNew = newFps.join(keep, Seq("fp"))

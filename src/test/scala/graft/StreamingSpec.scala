@@ -196,6 +196,38 @@ class StreamingSpec extends SparkSpec {
     assert(clean()(6L) == ((3, 1, "z")))
   }
 
+  test("streaming winnowing: batch pairs against the accumulated fingerprint store") {
+    val root = Files.createTempDirectory("graft-winnowstream")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("fps").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    def ingest(rows: (Long, String)*): Unit = {
+      rows.toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+      graft.streaming.IncrementalWinnowing.runOnce(spark, schema, in.toString,
+        "doc_id", "text", store, pairs, ckpt, k = 2, w = 2, minShared = 1)
+    }
+    def pairsOf(batch: Long): Set[(Long, Long)] =
+      spark.read.parquet(pairs).filter($"batch_id" === batch)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    // batch 0: docs 1/2 share the >= w+k-1-token run "p q r s"
+    ingest(1L -> "p q r s t", 2L -> "z p q r s w")
+    assert(pairsOf(0L) == Set((1L, 2L)))
+
+    // batch 1: doc 3 pastes the run at yet another offset (pairs with
+    // BOTH stored docs, which are never re-winnowed); doc 4 is disjoint
+    ingest(3L -> "m n p q r s", 4L -> "a b c d e")
+    assert(pairsOf(1L) == Set((1L, 3L), (2L, 3L)))
+    // old-old pair (1,2) does not re-emit; store holds per-batch rows
+    val stored = spark.read.parquet(store)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(stored == Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming cluster maintenance: label deltas resolve to the full closure") {
     val root = Files.createTempDirectory("graft-clusters")
     val in = root.resolve("in"); Files.createDirectories(in)
