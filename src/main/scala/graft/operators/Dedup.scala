@@ -472,21 +472,29 @@ object Dedup {
     */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
-    val grams = df.select(col(idCol),
-        posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
-          .as(Seq("pos", "gh")))
-      .localCheckpoint(true)
+    val grams = substringGrams(df, idCol, textCol, k)
+    val covered = laterOccurrences(grams, idCol)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+    CorpusStats.scrubCovered(df, idCol, textCol, covered)
+  }
+
+  /** Occurrences of duplicated grams EXCEPT each gram's global first by
+    * (id, pos) — the positions the first-occurrence rule deletes. The
+    * argmin is a partial-aggregated min(struct): the shuffle carries
+    * one row per distinct gram per partition (vocabulary-bounded, not
+    * token-bounded), and only duplicated grams — the duplication mass —
+    * rejoin the stream. */
+  private def laterOccurrences(grams: DataFrame, idCol: String): DataFrame = {
     val dupFirst = grams
       .groupBy(col("gh"))
       .agg(count(lit(1)).as("__occ"),
         min(struct(col(idCol), col("pos"))).as("__w"))
       .filter(col("__occ") > 1)
       .select(col("gh"), col(s"__w.$idCol").as("__wid"), col("__w.pos").as("__wpos"))
-    val covered = grams.join(dupFirst, "gh")
+    grams.join(dupFirst, "gh")
       .filter(!(col(idCol) === col("__wid") && col("pos") === col("__wpos")))
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-    CorpusStats.scrubCovered(df, idCol, textCol, covered)
+      .select(col(idCol), col("pos"))
   }
 
   /** The persisted store for [[incrementalSubstringScrub]]: ONE 60-bit
@@ -539,21 +547,12 @@ object Dedup {
                                          idCol: String, textCol: String,
                                          k: Int): DataFrame = {
     val storeGh = store.select(col("gh"))
-    // store hits scrub unconditionally
+    // store hits scrub unconditionally; fresh grams replay the
+    // batch-local first-occurrence rule
     val coveredByStore = grams.join(storeGh, Seq("gh"), "left_semi")
-    // fresh grams replay the batch-local first-occurrence rule
     val fresh = grams.join(storeGh, Seq("gh"), "left_anti")
-    val dupFirst = fresh
-      .groupBy(col("gh"))
-      .agg(count(lit(1)).as("__occ"),
-        min(struct(col(idCol), col("pos"))).as("__w"))
-      .filter(col("__occ") > 1)
-      .select(col("gh"), col(s"__w.$idCol").as("__wid"), col("__w.pos").as("__wpos"))
-    val coveredInBatch = fresh.join(dupFirst, "gh")
-      .filter(!(col(idCol) === col("__wid") && col("pos") === col("__wpos")))
-      .select(col(idCol), col("pos"))
     val covered = coveredByStore.select(col(idCol), col("pos"))
-      .unionByName(coveredInBatch)
+      .unionByName(laterOccurrences(fresh, idCol))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
     CorpusStats.scrubCovered(incoming, idCol, textCol, covered)
