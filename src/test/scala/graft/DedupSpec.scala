@@ -475,6 +475,24 @@ class DedupSpec extends SparkSpec {
       s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
   }
 
+  test("substring scrub: a 200-doc boilerplate gram keeps exactly its first copy") {
+    // the duplication-mass path: one k-gram shared by every doc — the
+    // partial argmin must collapse it to one winner, and only doc 1
+    // (minimal id) keeps the template tokens
+    val k = 3
+    val docs = (1L to 200L).map(i => (i, s"t1 t2 t3 u$i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", k)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) == ((4, "t1 t2 t3 u1")))
+    // every later doc loses the template but keeps its unique tail
+    // (grams "t2 t3 uI" / "t3 uI" windows differ per doc, so only the
+    // shared "t1 t2 t3" occurrence scrubs positions 0..2)
+    for (i <- 2L to 200L)
+      assert(got(i) == ((1, s"u$i")), s"doc $i: ${got(i)}")
+  }
+
   test("winnowingOverlap drops corpus-ubiquitous fingerprints at the df cap") {
     // every doc shares the template text → its fingerprints have df =
     // 40 > cap; the planted pair shares UNIQUE content and survives

@@ -133,6 +133,15 @@ class PlanSpec extends SparkSpec {
       s"coverage join must stay an equi-join:\n$p")
   }
 
+  test("d16/d17: incremental store probes are hash semi/anti joins, never nested loops") {
+    for (name <- Seq("d16_incremental_substring_scrub", "d17_incremental_winnowing")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$name: store probe must stay an equi-join:\n$p")
+      assert(p.contains("partial_"), s"$name: expected partial aggregation:\n$p")
+    }
+  }
+
   test("c1: decontamination shuffles 8-byte gram hashes, never text") {
     val df = SparkEntry.queries("c1_decontaminate")(spark, sf)
     df.collect()
