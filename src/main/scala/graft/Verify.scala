@@ -20,8 +20,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 runs (and dumps
     // oracles for) just those queries. Unset for the driver's full run.
+    // Unknown names fail loudly — a typo would otherwise filter
+    // EVERYTHING out and read as a green (empty) run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     def keep(name: String) = only.forall(_.contains(name))
     val failures = SparkEntry.queries.toSeq.filter(p => keep(p._1))
         .sortBy(_._1).flatMap { case (name, fn) =>

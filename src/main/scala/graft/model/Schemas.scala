@@ -101,7 +101,10 @@ object Tables {
     * `spark.sql.session.timeZone=UTC`.
     */
   def epochMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-    case LongType         => expr(s"`$c` DIV 1000")
+    // FLOOR division, not DIV's truncation-toward-zero: a pre-1970
+    // nano timestamp must land on the micro BELOW it, matching both
+    // the timestamp paths and DuckDB's `epoch_ns(ts) // 1000`
+    case LongType         => expr(s"(`$c` - pmod(`$c`, 1000L)) DIV 1000")
     case TimestampType    => unix_micros(col(c))
     case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
     case other => throw new IllegalArgumentException(

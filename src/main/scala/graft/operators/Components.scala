@@ -138,8 +138,9 @@ object Components {
            _: org.apache.spark.sql.types.StringType => true
       case _ => false // exotic id types keep the distributed ordering
     }
+    val eCnt0 = e.count() // both frames checkpointed: one cheap job each
     if (localCap > 0 && localOrderable &&
-        e.count() <= localCap && nodes.count() <= localCap)
+        eCnt0 <= localCap && nodes.count() <= localCap)
       return localClosure(nodes, e)
 
     // large-star: u's neighborhood min adopts all neighbors ABOVE u.
@@ -170,7 +171,7 @@ object Components {
     }
 
     var it = 0
-    var eCnt = e.count()
+    var eCnt = eCnt0
     var converged = eCnt == 0
     while (!converged && it < maxIter) {
       // LAZY checkpoint: the count() below is the materializing action,
@@ -256,9 +257,13 @@ object Components {
       val cl = if (parent.containsKey(n)) minOf.get(find(n)) else n
       out.add(org.apache.spark.sql.Row(n, cl))
     }
+    // nullable: a null edge endpoint never reaches `e` (the u =!= v
+    // orientation filter drops it) but DOES survive into `nodes`, and
+    // the distributed path emits its (null, null) self-label row —
+    // parity requires the same here
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node", dt, nullable = false),
-      org.apache.spark.sql.types.StructField("cluster", dt, nullable = false))))
+      org.apache.spark.sql.types.StructField("node", dt, nullable = true),
+      org.apache.spark.sql.types.StructField("cluster", dt, nullable = true))))
   }
 
   /** Incremental cluster maintenance: fold a batch of NEW near-dup

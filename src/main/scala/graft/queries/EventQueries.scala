@@ -10,9 +10,12 @@ import graft.model.Tables
   * NB: `events.parquet` has shipped both TIMESTAMP(NANOS) (read as
   * bigint nanos under `spark.sql.legacy.parquet.nanosAsLong`) and
   * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). `Tables.loadEventsUs`
-  * normalizes `ts` to epoch-MICROS bigint at ingestion, so all time
-  * arithmetic here is integer micros; DuckDB oracles emit the same unit
-  * via `epoch_us(ts)` / `epoch_ns(ts) // 1000`.
+  * normalizes `ts` to epoch-MICROS bigint at ingestion — the engine's
+  * declared time RESOLUTION — so all comparisons, gaps, orderings, and
+  * range frames here are integer micros, and every oracle expresses
+  * the SAME truncated-micros domain (`epoch_ns(ts) // 1000`, floor):
+  * an oracle comparing raw nanos would diverge the moment a feed
+  * ships sub-microsecond precision.
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -184,23 +187,24 @@ object EventQueries {
         |SELECT win_start_us, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM hops GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "w7_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-        |            FROM events GROUP BY 1),
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN tus END) AS t_view
+        |       FROM e GROUP BY 1),
         |s2 AS (SELECT e.user_id, any_value(s1.t_view) AS t_view,
-        |         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_view THEN e.ts END) AS t_click
-        |       FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+        |         min(CASE WHEN e.event_type = 'click' AND e.tus >= s1.t_view THEN e.tus END) AS t_click
+        |       FROM e JOIN s1 USING (user_id) GROUP BY 1),
         |s3 AS (SELECT e.user_id, any_value(s2.t_click) AS t_click, any_value(s2.t_view) AS t_view,
-        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click THEN e.ts END) AS t_purchase
-        |       FROM events e JOIN s2 USING (user_id) GROUP BY 1)
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.tus >= s2.t_click THEN e.tus END) AS t_purchase
+        |       FROM e JOIN s2 USING (user_id) GROUP BY 1)
         |SELECT count(t_view) AS n_view, count(t_click) AS n_click,
         |  count(t_purchase) AS n_purchase FROM s3""".stripMargin,
     "w8_moving_avg" ->
-      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      """SELECT user_id, event_id, tus AS ts_us,
         |  count(*) OVER w AS n_1h,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_e2_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |FROM (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "w5_gapfill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
@@ -218,10 +222,10 @@ object EventQueries {
     "w2_user_running" ->
       """SELECT user_id, CAST(seq AS INT) AS seq, event_id, running_value FROM (
         |  SELECT user_id, event_id,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
-        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) AS seq,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
-        |  FROM events)
+        |  FROM (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events))
         |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin,
     "w4_session_window" ->
       """SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
@@ -239,17 +243,17 @@ object EventQueries {
         |GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "w3_sessionize" ->
       """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-        |  count(*) AS n_events, min(tns) // 1000 AS start_us, max(tns) // 1000 AS end_us
+        |  count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us
         |FROM (
-        |  SELECT user_id, event_id, tns,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |  SELECT user_id, event_id, tus,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM (
-        |    SELECT user_id, event_id, epoch_ns(ts) AS tns,
-        |      CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
-        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) > 1800000000000
+        |    SELECT user_id, event_id, tus,
+        |      CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) IS NULL
+        |        OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) > 1800000000
         |        THEN 1 ELSE 0 END AS is_new
-        |    FROM events))
+        |    FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events)))
         |GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
   )
 }

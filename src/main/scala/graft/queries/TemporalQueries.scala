@@ -127,20 +127,22 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "y1_asof_join" ->
-      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-        |p AS (SELECT user_id, ts, count(*) AS purch_n,
+      """WITH v AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, count(*) AS purch_n,
         |        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS purch_value_e2
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
-        |  epoch_us(p.ts) AS purch_us, p.purch_n, p.purch_value_e2
-        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |SELECT v.event_id, v.user_id, v.tus AS view_us,
+        |  p.tus AS purch_us, p.purch_n, p.purch_value_e2
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.tus >= p.tus
         |ORDER BY v.event_id""".stripMargin,
     "y3_asof_forward" ->
-      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-        |p AS (SELECT user_id, ts, count(*) AS purch_n
+      """WITH v AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, count(*) AS purch_n
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT v.event_id, epoch_us(p.ts) AS purch_us, p.purch_n
-        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+        |SELECT v.event_id, p.tus AS purch_us, p.purch_n
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.tus <= p.tus
         |ORDER BY v.event_id""".stripMargin,
     "y2_range_join" ->
       """WITH p AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS price_e2 FROM orders),
@@ -160,19 +162,19 @@ object TemporalQueries {
         |GROUP BY 1 ORDER BY a.user_id""".stripMargin,
     "y5_interval_overlap" ->
       """WITH seg AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
-        |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
-        |      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) > 1800000000000
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) IS NULL
+        |      OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) > 1800000000
         |      THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
+        |  FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events)),
         |numbered AS (
-        |  SELECT user_id, tns,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |  SELECT user_id, tus,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM seg),
         |iv AS (
-        |  SELECT user_id, session_seq, min(tns) // 1000 AS lo_us,
-        |    max(tns) // 1000 + 1800000000 AS hi_us
+        |  SELECT user_id, session_seq, min(tus) AS lo_us,
+        |    max(tus) + 1800000000 AS hi_us
         |  FROM numbered GROUP BY 1, 2)
         |SELECT a.user_id, count(*) AS n_overlaps,
         |  CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_users

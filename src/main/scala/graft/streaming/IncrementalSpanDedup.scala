@@ -90,7 +90,12 @@ object IncrementalSpanDedup {
       s"refusing to compact through batch $uptoBatch: it is the newest " +
         "batch and may still be replayed — compact only after a newer " +
         "batch has committed")
+    // distinct: partitions are disjoint on a clean history, but a crash
+    // between writing this snapshot and deleting the folded partitions
+    // leaves their hashes in BOTH — without the dedup every interrupted
+    // compaction would bake the duplicates into the base forever
     val snapshot = readStore(spark, storeDir, ltBatch = uptoBatch + 1)
+      .distinct()
       .localCheckpoint(true) // materialize BEFORE overwriting the inputs
     snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
     fs.listStatus(path).foreach { st =>

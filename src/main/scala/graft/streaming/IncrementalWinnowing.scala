@@ -43,7 +43,8 @@ object IncrementalWinnowing {
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, fpStoreDir, idCol, ltBatch = batchId)
+        val store = readStore(s, fpStoreDir, idCol,
+          schema(idCol).dataType, ltBatch = batchId)
         // ONE winnowing pass (checkpointed inside the operator) feeds
         // both the pairing and the store delta
         val newFps = Dedup.winnowedFingerprints(batch, idCol, textCol, k, w)
@@ -66,15 +67,18 @@ object IncrementalWinnowing {
 
   /** The accumulated (id, fp) fingerprint table as of just before
     * `ltBatch` (replay safety: a batch's own earlier attempt is
-    * excluded). */
+    * excluded). `idType` shapes the empty first-batch frame — the
+    * operator family is generic over orderable id types, so the store
+    * must not hard-code one. */
   def readStore(spark: SparkSession, storeDir: String, idCol: String,
+                idType: org.apache.spark.sql.types.DataType,
                 ltBatch: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType().add(idCol, LongType).add("fp", LongType))
+        new StructType().add(idCol, idType).add("fp", LongType))
     spark.read.parquet(storeDir)   // batch_id is the partition column
       .filter(col("batch_id") < ltBatch)
       .select(col(idCol), col("fp"))
