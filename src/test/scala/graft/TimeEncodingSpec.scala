@@ -40,6 +40,19 @@ class TimeEncodingSpec extends SparkSpec {
     assert(decoded("ntz") == micros.sorted, s"ntz: ${decoded("ntz")}")
   }
 
+  test("bigint-nanos with sub-microsecond precision floors to the micro below") {
+    // -1500 ns lies between micros -2 and -1: floor must pick -2 (the
+    // DuckDB epoch_ns(ts) // 1000 semantics), where truncation toward
+    // zero would pick -1 and break oracle parity on pre-1970 feeds
+    val root = Files.createTempDirectory("graft-ts-floor")
+    Seq(-1500L, -1L, 999L, 1001L, 123456789L).map(Tuple1(_)).toDF("ts")
+      .write.parquet(s"$root/ns")
+    val df = spark.read.parquet(s"$root/ns")
+    val got = df.select(Tables.epochMicros(df, "ts").as("us"))
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(-2L, -1L, 0L, 1L, 123456L), s"got $got")
+  }
+
   test("epochMicros rejects an unsupported encoding loudly") {
     val df = Seq("2020-01-01").toDF("ts")
     val e = intercept[IllegalArgumentException] {
