@@ -53,7 +53,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(p => keep(p._1))
+    // A filtered run must not strand prior full-run results: emit the
+    // oracle for every query that either ran now OR already has a result
+    // directory in outDir, so a later comparator pass over the directory
+    // always finds a matching oracle entry (SQL comes from the
+    // authoritative SparkEntry map, not from re-parsing the old file).
+    val json = SparkEntry.oracleSql
+      .filter(p => keep(p._1) || Files.exists(Paths.get(s"$outDir/${p._1}")))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Failures must be loud AND machine-readable: errors.json per query,

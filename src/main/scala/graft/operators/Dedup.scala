@@ -434,7 +434,11 @@ object Dedup {
     * buffers before sampling discarded most of it.
     *
     * Requires one row per `idCol` value (the natural fingerprint-table
-    * contract); duplicate ids would duplicate `(id, fp)` pairs. */
+    * contract); duplicate ids duplicate `(id, fp)` pairs — the
+    * overlap counters downstream are duplicate-blind
+    * ([[winnowingOverlap]] counts DISTINCT shared fp values, the
+    * incremental path dedups `(id_a, id_b, fp)` before counting), but
+    * a store built from duplicate-id input wastes space. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(w > 0, "need window w > 0")
@@ -532,7 +536,13 @@ object Dedup {
     * compute it ONCE per ingest batch and feed both
     * [[incrementalSubstringScrubFromGrams]] and the store delta
     * (`grams.select("gh").distinct()` anti-joined with the store), so
-    * a streaming driver tokenizes the batch a single time. */
+    * a streaming driver tokenizes the batch a single time.
+    *
+    * CONSTRUCTION IS EAGER: the `localCheckpoint(true)` runs the full
+    * tokenization job at call time, so merely building a consumer's
+    * DataFrame (plan inspection, DumpPlans) pays it even if the result
+    * is never collected — the price of sharing one tokenize across the
+    * scrub and the store delta without pinning a cache entry. */
   def substringGrams(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame =
     df.select(col(idCol),
@@ -582,7 +592,12 @@ object Dedup {
     capped.select(col(idCol).as("id_a"), col("fp"))
       .join(capped.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      // count DISTINCT shared values: with the one-row-per-id contract
+      // (id_a, id_b, fp) rows are already unique so this equals
+      // count(*) at the same shuffle volume (partial distinct dedups
+      // map-side), and duplicate-id inputs degrade to correct counts
+      // instead of silently inflating n_shared
+      .groupBy(col("id_a"), col("id_b")).agg(countDistinct(col("fp")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

@@ -179,7 +179,7 @@ object EventQueries {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
     "w6_hopping_window" ->
-      """WITH e AS (SELECT epoch_us(ts) AS t_us, event_type, value FROM events),
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS t_us, event_type, value FROM events),
         |hops AS (SELECT event_type, value,
         |  unnest(generate_series((t_us // 900000000) * 900000000 - 2700000000,
         |                         (t_us // 900000000) * 900000000, 900000000)) AS win_start_us
@@ -207,8 +207,8 @@ object EventQueries {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "w5_gapfill" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
-        |              epoch_us(ts) AS us, value FROM events),
+      """WITH ev AS (SELECT user_id, us // 3600000000 AS bucket, us, value
+        |            FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events)),
         |obs AS (SELECT user_id, bucket, (max({'u': us, 'v': value})).v AS obs_value
         |        FROM ev GROUP BY 1, 2),
         |span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM ev GROUP BY 1),

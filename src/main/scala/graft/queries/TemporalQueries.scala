@@ -15,7 +15,8 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * Timestamp parity: `Tables.loadEventsUs` normalizes events.ts to
   * epoch-MICROS bigint whatever the parquet shipped (TIMESTAMP(NANOS)
   * bigint under nanosAsLong, or TIMESTAMP(MICROS)/NTZ); every emitted
-  * time is epoch micros (`epoch_us(ts)` in DuckDB). Money parity: sums
+  * time is epoch micros (`epoch_ns(ts) // 1000` in DuckDB — floor, not
+  * round, so pre-1970 sub-microsecond nanos agree). Money parity: sums
   * go through `CAST(round(v*100) AS BIGINT)` cents so aggregation is
   * integer-exact in both engines.
   */
@@ -153,7 +154,7 @@ object TemporalQueries {
         |FROM i JOIN p ON price_e2 >= lo_e2 AND price_e2 < hi_e2
         |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin,
     "y4_band_join" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events)
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us FROM events)
         |SELECT a.user_id, count(*) AS n_pairs,
         |  CAST(sum(abs(a.t_us - b.t_us)) AS BIGINT) AS sum_gap_us,
         |  CAST(max(abs(a.t_us - b.t_us)) AS BIGINT) AS max_gap_us
