@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ExprBridge
 import org.apache.spark.sql.types._
@@ -40,7 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *           left_kw, right_kw (sorted distinct keyword arrays)
   */
 case class FuzzyBestScore(children: Seq[Expression], floorScore: Int, kwFloor: Int = 30)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -48,36 +49,37 @@ case class FuzzyBestScore(children: Seq[Expression], floorScore: Int, kwFloor: I
   @transient private lazy val c = children.toArray
 
   override def eval(input: InternalRow): Any = {
-    import FuzzyBestScore._
     val v0 = c(0).eval(input); val v1 = c(1).eval(input)
     val v2 = c(2).eval(input); val v3 = c(3).eval(input)
     val v4 = c(4).eval(input); val v5 = c(5).eval(input)
     val v6 = c(6).eval(input); val v7 = c(7).eval(input)
     if (v0 == null || v1 == null || v2 == null || v3 == null ||
       v4 == null || v5 == null || v6 == null || v7 == null) return 0
+    KernelOps.fuzzyBest(
+      v0.asInstanceOf[UTF8String], v1.asInstanceOf[UTF8String],
+      v2.asInstanceOf[UTF8String], v3.asInstanceOf[UTF8String],
+      v4.asInstanceOf[ArrayData], v5.asInstanceOf[ArrayData],
+      v6.asInstanceOf[ArrayData], v7.asInstanceOf[ArrayData],
+      floorScore, kwFloor)
+  }
 
-    var best = 0
-    // strategy floors rise with the running best: a score <= best can
-    // never change the max, so asking the scorer to refuse below
-    // best + 1 is exact and narrows its levenshtein band.
-    var s = ratioAtLeastU8(v0.asInstanceOf[UTF8String], v1.asInstanceOf[UTF8String], floorScore)
-    if (s > best) best = s
-    if (best < 100) {
-      s = tokenSetRatioAtLeast(v4.asInstanceOf[ArrayData], v5.asInstanceOf[ArrayData],
-        math.max(floorScore, best + 1))
-      if (s > best) best = s
-      if (best < 100) {
-        s = ratioAtLeastU8(v2.asInstanceOf[UTF8String], v3.asInstanceOf[UTF8String],
-          math.max(floorScore, best + 1))
-        if (s > best) best = s
-      }
-    }
-    if (best < 100) {
-      // jaccard <= 100 can only tie a best of 100, never raise the max
-      s = jaccard100(v6.asInstanceOf[ArrayData], v7.asInstanceOf[ArrayData])
-      if (s >= kwFloor && s > best) best = s
-    }
-    best
+  /** One static [[KernelOps]] call guarded by the children's null
+    * flags (any null child → 0, matching `eval`); result is never
+    * null, so downstream codegen sees a FalseLiteral null bit. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull.code.toString).mkString("(", ") || (", ")")
+    val args = evals.map(_.value.code.toString).mkString(", ")
+    val childCode = evals.map(_.code).reduce(_ + _)
+    val resultCode =
+      code"""
+        |$childCode
+        |int ${ev.value} = 0;
+        |if (!($anyNull)) {
+        |  ${ev.value} = graft.plans.KernelOps.fuzzyBest($args, $floorScore, $kwFloor);
+        |}
+      """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

@@ -1,0 +1,381 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static entry points for the kernel expressions' generated code.
+  *
+  * Every kernel in this package implements `doGenCode` by emitting a
+  * single call into this object — the generated Java stays a one-liner
+  * inside the whole-stage loop (no interpreted-eval boundary, no
+  * InternalRow materialization, no boxing), while the scalar logic
+  * lives here as ordinary JIT-compiled Scala shared bit-for-bit with
+  * the interpreted `eval` path (which delegates to the same methods).
+  *
+  * A standalone object with NO companion class: scalac then emits
+  * static forwarders on class `graft.plans.KernelOps`, so janino
+  * resolves `graft.plans.KernelOps.winnow(...)` as a plain static
+  * call — no `MODULE$` indirection in the generated source.
+  */
+object KernelOps {
+  import ShingleHashes64.{digest, hash60, M31}
+
+  /** [[ShingleHashes64]]: word-k-shingle 60-bit hashes (optionally
+    * reduced mod 2³¹−1) in one pass. */
+  def shingleHashes(text0: UTF8String, k: Int, modM31: Boolean): ArrayData = {
+    val text = text0.toString
+    val toks = text.split(" ", -1)
+    val md = digest.get()
+    @inline def reduce(h: Long): Long = if (modM31) h % M31 else h
+    if (toks.length >= k) {
+      val n = toks.length - k + 1
+      val out = new Array[Long](n)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = reduce(hash60(md, sb.toString))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array(reduce(hash60(md, text))))
+    }
+  }
+
+  /** [[SimHash64]]: simhash of per-token 60-bit hashes, `bits` wide. */
+  def simhash(hs: ArrayData, bits: Int): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  /** [[WinnowFingerprints64]]: SIGMOD'03 winnowing — sliding-window
+    * minima of the word-k-gram 60-bit hash stream (monotonic deque),
+    * distinct, ascending. */
+  def winnow(text0: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = text0.toString
+    val toks = text.split(" ", -1)
+    val md = digest.get()
+    // gram-hash stream, identical to shingleHashes(k, modM31 = false)
+    val hs: Array[Long] =
+      if (toks.length >= k) {
+        val n = toks.length - k + 1
+        val out = new Array[Long](n)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = hash60(md, sb.toString)
+          i += 1
+        }
+        out
+      } else Array(hash60(md, text))
+    // sliding-window minima via a monotonic (increasing-value) deque of
+    // positions; emit from the first full window (or the last position
+    // when the whole stream is shorter than w)
+    val n = hs.length
+    val firstEmit = math.min(w, n) - 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val mins = new Array[Long](n - firstEmit)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) < i - w + 1) head += 1
+      if (i >= firstEmit) { mins(m) = hs(deque(head)); m += 1 }
+      i += 1
+    }
+    // distinct + ascending
+    java.util.Arrays.sort(mins)
+    var d = 0
+    i = 1
+    while (i < mins.length) {
+      if (mins(i) != mins(d)) { d += 1; mins(d) = mins(i) }
+      i += 1
+    }
+    val nd = if (mins.isEmpty) 0 else d + 1
+    new GenericArrayData(java.util.Arrays.copyOf(mins, nd))
+  }
+
+  /** [[MinHashSig]]: H-permutation minhash signature over precomputed
+    * base hashes. */
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](numHashes)
+    val M = M31
+    var j = 0
+    while (j < numHashes) {
+      val a = (j + 1) * 999983L % M
+      val b = j * 101L
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val x = (a * hashes.getLong(i) + b) % M
+        if (x < min) min = x
+        i += 1
+      }
+      sig(j) = if (n == 0) 0L else min
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** [[JaccardLong100]]: Jaccard*100 between long arrays counting
+    * distinct elements. */
+  def jaccardLong100(l: ArrayData, r: ArrayData): Int = {
+    val a = sortedDistinct(l)
+    val b = sortedDistinct(r)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0
+    else math.floor(inter.toDouble * 100 / union.toDouble).toInt
+  }
+
+  private def sortedDistinct(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val a = arr.toLongArray()
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == n) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** [[RatioScore]]: exact levenshtein ratio (no qualifying floor). */
+  def ratioScore(lu: UTF8String, ru: UTF8String): Int = {
+    if (lu.numBytes != lu.numChars || ru.numBytes != ru.numChars) {
+      // non-ASCII: defer to Spark's own char-level distance
+      val ml = math.max(math.max(lu.numChars, ru.numChars), 1)
+      val d = lu.levenshteinDistance(ru)
+      math.floor(100.0 * (1.0 - d.toDouble / ml.toDouble)).toInt
+    } else {
+      val a = lu.getBytes
+      val b = ru.getBytes
+      val ml = math.max(math.max(a.length, b.length), 1)
+      val d = FuzzyBestScore.boundedLevenshtein(a, b, ml)
+      math.floor(100.0 * (1.0 - d.toDouble / ml.toDouble)).toInt
+    }
+  }
+
+  /** [[FuzzyBestScore]]: adaptive-floor max over the four scoring
+    * strategies (token-sort ratio, token-set ratio, plain ratio,
+    * keyword Jaccard). */
+  def fuzzyBest(lSorted: UTF8String, rSorted: UTF8String,
+                lNorm: UTF8String, rNorm: UTF8String,
+                lSet: ArrayData, rSet: ArrayData,
+                lKw: ArrayData, rKw: ArrayData,
+                floorScore: Int, kwFloor: Int): Int = {
+    import FuzzyBestScore._
+    var best = 0
+    // strategy floors rise with the running best: a score <= best can
+    // never change the max, so asking the scorer to refuse below
+    // best + 1 is exact and narrows its levenshtein band.
+    var s = ratioAtLeastU8(lSorted, rSorted, floorScore)
+    if (s > best) best = s
+    if (best < 100) {
+      s = tokenSetRatioAtLeast(lSet, rSet, math.max(floorScore, best + 1))
+      if (s > best) best = s
+      if (best < 100) {
+        s = ratioAtLeastU8(lNorm, rNorm, math.max(floorScore, best + 1))
+        if (s > best) best = s
+      }
+    }
+    if (best < 100) {
+      // jaccard <= 100 can only tie a best of 100, never raise the max
+      s = jaccard100(lKw, rKw)
+      if (s >= kwFloor && s > best) best = s
+    }
+    best
+  }
+
+  /** [[NormalizeName]] (F-6); caller maps null → EMPTY_UTF8. */
+  def normalizeName(in: UTF8String): UTF8String = NameRegex.normalize(in)
+
+  /** [[KeywordsArr]] (F-7); caller maps null → EMPTY_UTF8. */
+  def keywordsArr(in: UTF8String): ArrayData = {
+    val kws = NameRegex.keywords(NameRegex.normalize(in).toString)
+    val out = new Array[Any](kws.length)
+    var i = 0
+    while (i < kws.length) { out(i) = UTF8String.fromString(kws(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[ExtractFromTitle]] (F-8); null-safe (null → null at the caller). */
+  def extractFromTitle(v: UTF8String): UTF8String = {
+    val title = v.toString
+    var i = 0
+    while (i < NameRegex.titlePatterns.length) {
+      val m = NameRegex.titlePatterns(i).matcher(title)
+      if (m.find()) {
+        val g = m.group(1)
+        // Spark regexp_extract: unmatched group → ""; then trim (space-only)
+        val cand = UTF8String.fromString(if (g == null) "" else g).trim()
+        if (cand.numChars() >= 3 && !NameRegex.digitsOnly.matcher(cand.toString).find())
+          return cand
+      }
+      i += 1
+    }
+    v
+  }
+
+  /** [[IsValidCompanyName]] (F-5); caller maps null → false. */
+  def isValidCompanyName(u8: UTF8String): Boolean = {
+    if (u8.trim().numChars() < 3) return false
+    val s = u8.toString
+    var i = 0
+    while (i < NameRegex.invalidStart.length) {
+      if (NameRegex.invalidStart(i).matcher(s).find()) return false
+      i += 1
+    }
+    true
+  }
+
+  /** [[VecDot]]: sequential-fold dot product; boxed null on length
+    * mismatch or a null element (the zip_with null-propagation). */
+  def vecDot(a: ArrayData, b: ArrayData,
+             aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** [[LshBuckets]] for a NULL vector: all-zero buckets. */
+  def lshBucketsNull(tables: Int): ArrayData =
+    new GenericArrayData(new Array[Long](tables))
+
+  /** [[LshBuckets]]: all `tables` sign-LSH bucket ids in one pass. */
+  def lshBuckets(a: ArrayData, isFloat: Boolean, bits: Int, tables: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](tables)
+    var anyNull = n == 0
+    var i = 0
+    while (i < n && !anyNull) { anyNull = a.isNullAt(i); i += 1 }
+    if (!anyNull) {
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var j = 0
+        while (j < bits) {
+          val plane = (t.toLong * bits + j) * 40503L
+          var acc = 0.0
+          var k = 0
+          while (k < n) {
+            // hyperplaneComponent(j, i): ((i*2654435761 + j*40503) % 1997) - 998,
+            // i is the 1-based sequence index
+            val comp = (((k + 1).toLong * 2654435761L + plane) % 1997L - 998L).toDouble
+            val x = if (isFloat) a.getFloat(k).toDouble else a.getDouble(k)
+            acc += x * comp
+            k += 1
+          }
+          // Spark SQL (and DuckDB) order NaN above every finite value,
+          // so a NaN projection satisfies `proj > 0` in the declarative
+          // twin — mirror that, not Java's NaN-comparisons-are-false
+          if (acc > 0.0 || acc.isNaN) bucket |= (1L << j)
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[PqEncode]] for a NULL vector: m null codes. */
+  def pqEncodeNull(m: Int): ArrayData = new GenericArrayData(new Array[Any](m))
+
+  /** [[PqEncode]]: per-subspace index of the L2-nearest codeword. */
+  def pqEncode(a: ArrayData, isFloat: Boolean,
+               codebook: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var ok = a.numElements() >= base + subDim
+      var j = 0
+      while (ok && j < subDim) { if (a.isNullAt(base + j)) ok = false; j += 1 }
+      if (!ok) out(mi) = null
+      else {
+        val cws = codebook(mi)
+        var bestK = 0
+        var bestD = 0.0
+        var first = true
+        var ki = 0
+        while (ki < cws.length) {
+          val cw = cws(ki)
+          var acc = 0.0
+          var t = 0
+          while (t < subDim) {
+            val x = if (isFloat) a.getFloat(base + t).toDouble else a.getDouble(base + t)
+            val d = x - cw(t)
+            acc += d * d
+            t += 1
+          }
+          // Double.compare ranks NaN above every finite value — the
+          // same total order array_min/array_position use, so a NaN
+          // distance never beats a finite one (and an all-NaN subspace
+          // keeps codeword 0, the twin's first-position answer)
+          if (first || java.lang.Double.compare(acc, bestD) < 0) {
+            bestD = acc; bestK = ki; first = false
+          }
+          ki += 1
+        }
+        out(mi) = bestK
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+}

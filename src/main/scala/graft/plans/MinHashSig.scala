@@ -1,10 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ExprBridge
 import org.apache.spark.sql.types._
 
@@ -17,31 +16,15 @@ import org.apache.spark.sql.types._
   * A_j = (j+1)·999983 mod M31, B_j = j·101, M31 = 2^31-1.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
-    val n = hashes.numElements()
-    val sig = new Array[Long](numHashes)
-    val M = 2147483647L
-    var j = 0
-    while (j < numHashes) {
-      val a = (j + 1) * 999983L % M
-      val b = j * 101L
-      var min = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val x = (a * hashes.getLong(i) + b) % M
-        if (x < min) min = x
-        i += 1
-      }
-      sig(j) = if (n == 0) 0L else min
-      j += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.minhashSig($c, $numHashes)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

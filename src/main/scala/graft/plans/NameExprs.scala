@@ -5,8 +5,8 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graft.ExprBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -98,13 +98,22 @@ private[graft] object NameRegex {
 
 /** F-6 normalize_name; null/blank → "". */
 case class NormalizeName(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    NameRegex.normalize(
+    KernelOps.normalizeName(
       if (v == null) UTF8String.EMPTY_UTF8 else v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode = code"""
+      |${c.code}
+      |UTF8String ${ev.value} = graft.plans.KernelOps.normalizeName(
+      |  ${c.isNull} ? UTF8String.EMPTY_UTF8 : ${c.value});
+    """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -113,18 +122,22 @@ case class NormalizeName(child: Expression)
 /** F-7 keyword extraction: sorted distinct keyword array of the
   * normalized name. */
 case class KeywordsArr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    val norm = NameRegex.normalize(
+    KernelOps.keywordsArr(
       if (v == null) UTF8String.EMPTY_UTF8 else v.asInstanceOf[UTF8String])
-    val kws = NameRegex.keywords(norm.toString)
-    val out = new Array[Any](kws.length)
-    var i = 0
-    while (i < kws.length) { out(i) = UTF8String.fromString(kws(i)); i += 1 }
-    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode = code"""
+      |${c.code}
+      |ArrayData ${ev.value} = graft.plans.KernelOps.keywordsArr(
+      |  ${c.isNull} ? UTF8String.EMPTY_UTF8 : ${c.value});
+    """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -134,27 +147,13 @@ case class KeywordsArr(child: Expression)
   * trimmed capture is >=3 chars and not digits/punct-only; fall back to
   * the original title (null → null). */
 case class ExtractFromTitle(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val title = v.asInstanceOf[UTF8String].toString
-    var i = 0
-    while (i < NameRegex.titlePatterns.length) {
-      val m = NameRegex.titlePatterns(i).matcher(title)
-      if (m.find()) {
-        val g = m.group(1)
-        // Spark regexp_extract: unmatched group → ""; then trim (space-only)
-        val cand = UTF8String.fromString(if (g == null) "" else g).trim()
-        if (cand.numChars() >= 3 && !NameRegex.digitsOnly.matcher(cand.toString).find())
-          return cand
-      }
-      i += 1
-    }
-    v
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.extractFromTitle(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.extractFromTitle($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -162,21 +161,22 @@ case class ExtractFromTitle(child: Expression)
 /** F-5 validity predicate (patterns anchored at start via `^` in the
   * pattern text itself; evaluated with find() == Spark rlike). */
 case class IsValidCompanyName(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return false
-    val u8 = v.asInstanceOf[UTF8String]
-    if (u8.trim().numChars() < 3) return false
-    val s = u8.toString
-    var i = 0
-    while (i < NameRegex.invalidStart.length) {
-      if (NameRegex.invalidStart(i).matcher(s).find()) return false
-      i += 1
-    }
-    true
+    if (v == null) false
+    else KernelOps.isValidCompanyName(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode = code"""
+      |${c.code}
+      |boolean ${ev.value} =
+      |  !(${c.isNull}) && graft.plans.KernelOps.isValidCompanyName(${c.value});
+    """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

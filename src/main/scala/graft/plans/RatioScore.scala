@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ExprBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,25 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * ranking paths (top-k) that need true scores with no qualifying
   * floor. */
 case class RatioScore(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val lu = l.asInstanceOf[UTF8String]
-    val ru = r.asInstanceOf[UTF8String]
-    if (lu.numBytes != lu.numChars || ru.numBytes != ru.numChars) {
-      // non-ASCII: defer to Spark's own char-level distance
-      val ml = math.max(math.max(lu.numChars, ru.numChars), 1)
-      val d = lu.levenshteinDistance(ru)
-      math.floor(100.0 * (1.0 - d.toDouble / ml.toDouble)).toInt
-    } else {
-      val a = lu.getBytes
-      val b = ru.getBytes
-      val ml = math.max(math.max(a.length, b.length), 1)
-      val d = FuzzyBestScore.boundedLevenshtein(a, b, ml)
-      math.floor(100.0 * (1.0 - d.toDouble / ml.toDouble)).toInt
-    }
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    KernelOps.ratioScore(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.KernelOps.ratioScore($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

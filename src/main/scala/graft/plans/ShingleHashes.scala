@@ -5,8 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ExprBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,41 +24,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * string round-trip PER SHINGLE (~2M digests at sf0.1). Here: one
   * tokenize, a reused MessageDigest, and the 60-bit value read straight
   * off the first 7.5 digest bytes (== parsing the first 15 hex chars).
+  *
+  * Codegen emits a single static call into [[KernelOps]], so the
+  * expression stays inside the whole-stage loop (no interpreted-eval
+  * boundary, no InternalRow materialization).
   */
 case class ShingleHashes64(child: Expression, k: Int, modM31: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @inline private def reduce(h: Long): Long =
-    if (modM31) h % ShingleHashes64.M31 else h
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.shingleHashes(v.asInstanceOf[UTF8String], k, modM31)
 
-  override protected def nullSafeEval(v: Any): Any = {
-    import ShingleHashes64._
-    val text = v.asInstanceOf[UTF8String].toString
-    val toks = text.split(" ", -1)
-    val md = digest.get()
-    if (toks.length >= k) {
-      val n = toks.length - k + 1
-      val out = new Array[Long](n)
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i < n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        out(i) = reduce(hash60(md, sb.toString))
-        i += 1
-      }
-      new GenericArrayData(out)
-    } else {
-      new GenericArrayData(Array(reduce(hash60(md, text))))
-    }
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.KernelOps.shingleHashes($c, $k, $modM31)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -69,34 +49,17 @@ case class ShingleHashes64(child: Expression, k: Int, modM31: Boolean = true)
   * (bit j set iff the ±1 votes from token-hash bit j sum positive; all
   * inputs are positive 60-bit values, so `>>` agrees with the
   * declarative arithmetic shift), one pass per token instead of `bits`
-  * interpreted array traversals. */
+  * interpreted array traversals. Codegen: static [[KernelOps]] call. */
 case class SimHash64(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val hs = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = hs.numElements()
-    val votes = new Array[Int](bits)
-    var i = 0
-    while (i < n) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < bits) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var sim = 0L
-    var j = 0
-    while (j < bits) {
-      if (votes(j) > 0) sim |= (1L << j)
-      j += 1
-    }
-    sim
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.simhash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.simhash($c, $bits)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -117,70 +80,21 @@ object SimHash64 {
   * composed plan (posexplode → count window → sliding-min window →
   * filter → distinct) exchanges the full gram table — ~w/2× larger
   * than this expression's output — across two WindowExecs before
-  * sampling throws most of it away.
+  * sampling throws most of it away. Codegen: static [[KernelOps]]
+  * call inside the scan stage's whole-stage loop.
   */
 case class WinnowFingerprints64(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0, "need gram size k > 0")
   require(w > 0, "need window w > 0")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(v: Any): Any = {
-    import ShingleHashes64._
-    val text = v.asInstanceOf[UTF8String].toString
-    val toks = text.split(" ", -1)
-    val md = digest.get()
-    // gram-hash stream, identical to ShingleHashes64(k, modM31=false)
-    val hs: Array[Long] =
-      if (toks.length >= k) {
-        val n = toks.length - k + 1
-        val out = new Array[Long](n)
-        val sb = new java.lang.StringBuilder(64)
-        var i = 0
-        while (i < n) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          out(i) = hash60(md, sb.toString)
-          i += 1
-        }
-        out
-      } else Array(hash60(md, text))
-    // sliding-window minima via a monotonic (increasing-value) deque of
-    // positions; emit from the first full window (or the last position
-    // when the whole stream is shorter than w)
-    val n = hs.length
-    val firstEmit = math.min(w, n) - 1
-    val deque = new Array[Int](n)
-    var head = 0
-    var tail = 0 // exclusive
-    val mins = new Array[Long](n - firstEmit)
-    var m = 0
-    var i = 0
-    while (i < n) {
-      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
-      deque(tail) = i
-      tail += 1
-      if (deque(head) < i - w + 1) head += 1
-      if (i >= firstEmit) { mins(m) = hs(deque(head)); m += 1 }
-      i += 1
-    }
-    // distinct + ascending
-    java.util.Arrays.sort(mins)
-    var d = 0
-    i = 1
-    while (i < mins.length) {
-      if (mins(i) != mins(d)) { d += 1; mins(d) = mins(i) }
-      i += 1
-    }
-    val nd = if (mins.isEmpty) 0 else d + 1
-    new GenericArrayData(java.util.Arrays.copyOf(mins, nd))
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.winnow($c, $k, $w)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
