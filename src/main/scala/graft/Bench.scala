@@ -39,9 +39,28 @@ object Bench {
     // steady-state per-batch cost is what d13/c3/u5 should measure.
     // The build is not hidden — it is timed and reported as its own
     // field below.
+    // Self-adjudication tap: per-query shuffle/spill/GC deltas let a
+    // contended run be told apart from a regression without a re-run
+    // (identical shuffle volume + inflated wall = contention; grown
+    // shuffle volume = plan change). See BASELINE.md "Contention rule".
+    val tap = org.apache.spark.graft.MetricsBridge.install(spark.sparkContext)
+    def metricsDelta[T](f: => T): (T, Array[Long]) = {
+      org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+      val before = tap.snapshot()
+      val r = f
+      org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+      val after = tap.snapshot()
+      (r, after.zip(before).map { case (a, b) => a - b })
+    }
+    def metricsJson(d: Array[Long]): String =
+      s"""{"shuffle_read_b":${d(0)},"shuffle_write_b":${d(1)},""" +
+        s""""spill_mem_b":${d(2)},"spill_disk_b":${d(3)},""" +
+        s""""gc_ms":${d(4)},"cpu_sec":${d(5) / 1e9}}"""
     val tPre = System.nanoTime()
-    val preErr = try { graft.queries.DedupQueries.prebuildStores(spark, sfDir); None }
-                 catch { case e: Throwable => Some(e.toString.take(200)) }
+    val (preErr, preMetrics) = metricsDelta {
+      try { graft.queries.DedupQueries.prebuildStores(spark, sfDir); None }
+      catch { case e: Throwable => Some(e.toString.take(200)) }
+    }
     val prebuildSec = (System.nanoTime() - tPre) / 1e9
     // sorted order: deterministic run order across builds, so shared
     // memoized intermediates (the match table, the unified table) are
@@ -51,24 +70,29 @@ object Bench {
     // through a round as a silently-fast entry).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.toString.take(200)) }
+      val (err, metrics) = metricsDelta {
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.take(200)) }
+      }
       val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
-      (name, sec, err)
+      (name, sec, err, metrics)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = (results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) } ++
+    val taskMetrics = (results.map { case (k, _, _, m) => jstr(k) + ":" + metricsJson(m) } :+
+        (jstr("prebuild") + ":" + metricsJson(preMetrics)))
+      .mkString("{", ",", "}")
+    val errs = (results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) } ++
         preErr.map(e => jstr("prebuild") + ":" + jstr(e)))
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","prebuild_sec":$prebuildSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prebuild_sec":$prebuildSec,"queries":$qs,"task_metrics":$taskMetrics,"errors":$errs,"sf":"$sfDir"}"""
     println(fullLine)
     // Stdout capture has repeatedly tail-truncated this line (the
     // per-query map is >4k chars); persist the full record to a stable
