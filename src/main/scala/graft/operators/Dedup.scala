@@ -130,8 +130,17 @@ object Dedup {
                                idCol: String, bands: Int,
                                minJaccard100: Int): DataFrame = {
     val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
+    // verify only ids that appear in a candidate pair, deduped by id —
+    // a store read taken mid-compaction (snapshot written, folded
+    // partitions not yet deleted) holds each folded row twice, and
+    // without the dedup every such pair would verify into two output
+    // rows; the semi-join bounds the dedup to O(pairs), not O(store)
+    val pairIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
     val allSh = existingSigs.select(col(idCol), col("sh"))
       .unionByName(newSigs.select(col(idCol), col("sh")))
+      .join(pairIds, Seq(idCol), "left_semi")
+      .dropDuplicates(idCol)
     val shA = allSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val shB = allSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     shB.join(shA.join(pairs, "id_a"), "id_b")
@@ -163,8 +172,13 @@ object Dedup {
                             idCol: String, numHashes: Int, bands: Int,
                             minAgree100: Int): DataFrame = {
     val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
+    // same mid-compaction duplicate shield as the exact-Jaccard path
+    val pairIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
     val allSig = existingSigs.select(col(idCol), col("sig"))
       .unionByName(newSigs.select(col(idCol), col("sig")))
+      .join(pairIds, Seq(idCol), "left_semi")
+      .dropDuplicates(idCol)
     val sigA = allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sigB = allSig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     sigB.join(sigA.join(pairs, "id_a"), "id_b")
@@ -634,7 +648,12 @@ object Dedup {
     // (df counts + pair join) beats checkpointing a corpus-sized frame
     val allFps = storeFps.select(col(idCol), col("fp"))
       .unionByName(newFps.select(col(idCol), col("fp")))
-    val keep = allFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    // df = DISTINCT docs per fp: a store read taken mid-compaction
+    // (snapshot written, folded partitions not yet deleted) holds each
+    // folded row twice — a plain count(*) would double those dfs and
+    // spuriously drop fps in (cap/2, cap]. Same shuffle volume: the
+    // partial distinct dedups (fp, id) map-side.
+    val keep = allFps.groupBy(col("fp")).agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") <= fpDfCap).select(col("fp"))
     val cappedNew = newFps.join(keep, Seq("fp"))
     val cappedAll = allFps.join(keep, Seq("fp"))

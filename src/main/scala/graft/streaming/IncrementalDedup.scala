@@ -50,7 +50,8 @@ object IncrementalDedup {
                        else fullSigs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val existing = readStore(s, sigStoreDir, newSigs.schema)
+          val existing = readStoreBefore(s, sigStoreDir, newSigs.schema,
+            ltBatch = batchId)
           val pairs =
             if (verifyBySig)
               Dedup.incrementalPairsBySig(
@@ -176,5 +177,62 @@ object IncrementalDedup {
       spark.read.schema(schema).parquet(dir + glob)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The signature store as of just before `ltBatch` — replay safety:
+    * an at-least-once redelivery must not see its own prior attempt on
+    * the existing side (its docs would appear twice in verification,
+    * doubling every pair row of the replayed output). `schema` shapes
+    * the empty pre-first-batch frame and the column projection. */
+  private[streaming] def readStoreBefore(spark: SparkSession, dir: String,
+                                         schema: StructType,
+                                         ltBatch: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nonEmpty = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+    if (nonEmpty)
+      spark.read.parquet(dir)   // batch_id is the partition column
+        .filter(col("batch_id") < ltBatch)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Signature-store compaction: fold the `batch_id=` pile through
+    * `uptoBatch` into the RESERVED `batch_id=-1` base and drop the
+    * folded partitions — the [[IncrementalSubstringScrub.compactStore]]
+    * shape. Partitions are disjoint by id on a clean history; the
+    * `dropDuplicates` absorbs the crash window where a prior
+    * interrupted compaction left rows in both the base and a folded
+    * partition. The NEWEST batch (the only one structured streaming
+    * can still replay) must never fold. */
+  def compactSigs(spark: SparkSession, sigStoreDir: String,
+                  uptoBatch: Long): Unit = {
+    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
+    val path = new org.apache.hadoop.fs.Path(sigStoreDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val ids = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.exists(_ > uptoBatch),
+      s"refusing to compact through batch $uptoBatch: it is the newest " +
+        "batch and may still be replayed — compact only after a newer " +
+        "batch has committed")
+    val all = spark.read.parquet(sigStoreDir)
+      .filter(col("batch_id") <= uptoBatch)
+    val idColName = all.columns.head
+    val snapshot = all.drop("batch_id")
+      .dropDuplicates(idColName)
+      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
+    snapshot.write.mode("overwrite").parquet(s"$sigStoreDir/batch_id=-1")
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val id = name.stripPrefix("batch_id=").toLong
+        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
+      }
+    }
   }
 }

@@ -65,6 +65,42 @@ object IncrementalWinnowing {
     q.awaitTermination()
   }
 
+  /** Fingerprint-store compaction: fold the `batch_id=` pile through
+    * `uptoBatch` into the RESERVED `batch_id=-1` base and drop the
+    * folded partitions — the [[IncrementalSubstringScrub.compactStore]]
+    * shape. Partitions are disjoint by id on a clean history; the
+    * `distinct` absorbs the crash window where a prior interrupted
+    * compaction left rows in both the base and a folded partition. The
+    * NEWEST batch (the only one structured streaming can still replay)
+    * must never fold. */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   uptoBatch: Long): Unit = {
+    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val ids = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.exists(_ > uptoBatch),
+      s"refusing to compact through batch $uptoBatch: it is the newest " +
+        "batch and may still be replayed — compact only after a newer " +
+        "batch has committed")
+    val snapshot = spark.read.parquet(storeDir)
+      .filter(col("batch_id") <= uptoBatch)
+      .drop("batch_id")
+      .distinct()
+      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val id = name.stripPrefix("batch_id=").toLong
+        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** The accumulated (id, fp) fingerprint table as of just before
     * `ltBatch` (replay safety: a batch's own earlier attempt is
     * excluded). `idType` shapes the empty first-batch frame — the

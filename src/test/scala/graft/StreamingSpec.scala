@@ -663,4 +663,163 @@ class StreamingSpec extends SparkSpec {
     assert(IncrementalCorpusStats.resolveStats(spark, compacted, uptoBatch = Some(1L))
       .as[(String, Long, Long)].collect().toSet == recompute(b0 ++ b1))
   }
+
+  /** Clone `ckpt` to a sibling dir with batch 0's commit marker (and
+    * the Hadoop `.crc` sidecars / atomic-write temps) dropped — the
+    * checkpoint exactly as a driver that crashed between the sink
+    * write and the commit leaves it, at a fresh path because Spark's
+    * same-path concurrent-checkpoint guard keys on the literal
+    * directory within one JVM. */
+  private def cloneCkptWithoutCommit(ckpt: java.nio.file.Path): java.nio.file.Path = {
+    val ckpt2 = ckpt.resolveSibling(ckpt.getFileName.toString + "-replay")
+    Files.walk(ckpt).forEach { src =>
+      val dst = ckpt2.resolve(ckpt.relativize(src))
+      if (Files.isDirectory(src)) Files.createDirectories(dst)
+      else if (!src.getFileName.toString.startsWith("."))
+        Files.copy(src, dst)
+    }
+    assert(Files.deleteIfExists(ckpt2.resolve("commits/0")))
+    ckpt2
+  }
+
+  private def snap(dir: String): Seq[String] =
+    spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+
+  test("streaming winnowing replay: redelivered micro-batch is bit-identical, store not double-appended") {
+    // at-least-once redelivery through the REAL checkpoint machinery
+    // (the substring-scrub replay pattern): the store read excludes the
+    // batch's own prior attempt (batch_id < batchId), so the replay
+    // must reproduce pairs and fingerprints exactly
+    val root = Files.createTempDirectory("graft-winnowreplay")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("fps").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt")
+
+    Seq((1L, "p q r s t"), (2L, "z p q r s w"), (3L, "a b c d e"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    def run(ck: java.nio.file.Path): Unit =
+      graft.streaming.IncrementalWinnowing.runOnce(spark, schema, in.toString,
+        "doc_id", "text", store, pairs, ck.toString, k = 2, w = 2, minShared = 1)
+    run(ckpt)
+    val pairs1 = snap(pairs)
+    val store1 = snap(store)
+    assert(pairs1.nonEmpty && store1.nonEmpty)
+
+    run(cloneCkptWithoutCommit(ckpt))
+    assert(snap(pairs) == pairs1, "replayed winnowing pairs diverged")
+    assert(snap(store) == store1, "replay double-appended the fingerprint store")
+  }
+
+  test("streaming ANN replay: redelivered micro-batch is bit-identical, no spurious retrain or self-pairs") {
+    // the replayed batch finds its own codes already in the store
+    // (same ids) and its own trained generation already committed:
+    // pair normalization + id-dedup must make both invisible, and the
+    // zero drift against the generation it itself trained must not
+    // spawn generation 1
+    val root = Files.createTempDirectory("graft-annreplay")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt")
+    val v1 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v2 = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+
+    Seq((1L, v1), (2L, v2), (3L, v1)).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    def run(ck: java.nio.file.Path): Unit =
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codes, pairs, ck.toString, dim = 8, m = 4, codewords = 16,
+        maxDriftRatio = 4.0)
+    run(ckpt)
+    val pairs1 = snap(pairs)
+    val store1 = snap(codes + "/batch_id=*")
+    assert(pairs1.nonEmpty && store1.nonEmpty)
+
+    run(cloneCkptWithoutCommit(ckpt))
+    assert(snap(pairs) == pairs1, "replayed ANN pairs diverged")
+    assert(snap(codes + "/batch_id=*") == store1, "replay double-appended the code store")
+    // the replay re-used generation 0, not trained a fresh one
+    assert(new java.io.File(codes, "_codebook").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet == Set("gen=0"))
+  }
+
+  test("streaming dedup replay: redelivered batch re-pairs identically, labels and sigs intact") {
+    // the sig store read excludes the batch's own prior attempt
+    // (readStoreBefore) — without it the replay would verify every doc
+    // against its own first-attempt copy and double each pair row
+    val root = Files.createTempDirectory("graft-dedupreplay")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val sigs = root.resolve("sigs").toString
+    val pairs = root.resolve("pairs").toString
+    val labels = root.resolve("labels").toString
+    val ckpt = root.resolve("ckpt")
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+
+    Seq((1L, base), (2L, base + " tail"), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    def run(ck: java.nio.file.Path): Unit =
+      IncrementalDedup.runOnce(spark, schema, in.toString, "doc_id", "text",
+        sigs, pairs, ck.toString, labelsStoreDir = Some(labels))
+    run(ckpt)
+    val pairs1 = snap(pairs)
+    val sigs1 = snap(sigs)
+    val labels1 = snap(labels)
+    assert(pairs1.nonEmpty && sigs1.nonEmpty && labels1.nonEmpty)
+
+    run(cloneCkptWithoutCommit(ckpt))
+    assert(snap(pairs) == pairs1, "replayed dedup pairs diverged")
+    assert(snap(sigs) == sigs1, "replay double-appended the signature store")
+    assert(snap(labels) == labels1, "replayed label delta diverged")
+  }
+
+  test("streaming span dedup replay: redelivered batch scrubs identically, store intact") {
+    val root = Files.createTempDirectory("graft-spanreplay")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val out = root.resolve("clean").toString
+    val ckpt = root.resolve("ckpt")
+
+    Seq((1L, "a b c d e f"), (2L, "d e f x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    def run(ck: java.nio.file.Path): Unit =
+      graft.streaming.IncrementalSpanDedup.runOnce(spark, schema, in.toString,
+        "doc_id", "text", store, out, ck.toString, spanTokens = 3)
+    run(ckpt)
+    val clean1 = snap(out)
+    val store1 = snap(store)
+    assert(clean1.nonEmpty && store1.nonEmpty)
+
+    run(cloneCkptWithoutCommit(ckpt))
+    assert(snap(out) == clean1, "replayed span scrub diverged")
+    assert(snap(store) == store1, "replay double-appended the span store")
+  }
+
+  test("streaming corpus stats replay: redelivered partial overwrites its own partition bit-identically") {
+    val root = Files.createTempDirectory("graft-statsreplay")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt")
+
+    Seq((1L, "a b b c"), (2L, "b c d")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).select("doc_id", "text").schema
+    def run(ck: java.nio.file.Path): Unit =
+      IncrementalCorpusStats.runOnce(spark, schema, in.toString,
+        "doc_id", "text", store, ck.toString)
+    run(ckpt)
+    val store1 = snap(store)
+    val resolved1 = IncrementalCorpusStats.resolveStats(spark, store)
+      .as[(String, Long, Long)].collect().toSet
+    assert(store1.nonEmpty)
+
+    run(cloneCkptWithoutCommit(ckpt))
+    assert(snap(store) == store1, "replayed partial diverged or duplicated")
+    assert(IncrementalCorpusStats.resolveStats(spark, store)
+      .as[(String, Long, Long)].collect().toSet == resolved1)
+  }
 }
