@@ -339,10 +339,53 @@ object SimilaritySearch {
     * vector; the whole chain (deterministic codebook → encode →
     * decode → screen → exact) is bitwise oracle-expressible (d10).
     */
+  /** LSH-blocked exact near-dup pairs: sign-LSH bucket self-join →
+    * cosine ≥ `minCosine` verification over the full vectors. The
+    * candidate side is frequency-capped per bucket ([[BucketCap]], cap
+    * `maxBucket`): n members in a bucket contribute n×cap pair rows,
+    * never n² — the guard that keeps a degenerate bucket (spam-clone
+    * mass, all-zero vectors) from rebuilding the cross join inside one
+    * shuffle key. With `maxBucket` ≥ the corpus's max bucket occupancy
+    * the result is identical to the uncapped join (the oracle-pinned
+    * configurations are sized that way; measured occupancy at sf0.1 is
+    * ≤ 149 under bits=8 — SCALE.md round-9 notes).
+    *
+    * Scale knob: bucket count must GROW with the corpus — hold
+    * `bits ≈ log2(2N / targetOccupancy)` so per-bucket membership
+    * stays constant and candidate volume stays O(N·tables·occupancy).
+    * Fixed geometry at growing N is measurably superlinear (SCALE.md
+    * "fixed vs scaled geometry"). */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, bits: Int, tables: Int,
+                      maxBucket: Int): DataFrame = {
+    val u = graft.model.Tables.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", Vectors.norm(col("vec")))
+    val banded = u.select(col("id"),
+      posexplode(Vectors.lshBucketsAll(col("vec"), bits, tables))
+        .as(Seq("tbl", "bucket")))
+    val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "id", maxBucket)
+    val pairs = banded.select(col("id").as("qid"), col("tbl"), col("bucket"))
+      .join(capped.select(col("id").as("cid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(least(col("qid"), col("cid")).as("id_a"),
+        greatest(col("qid"), col("cid")).as("id_b"))
+      .distinct()
+    val ua = u.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
+    val ub = u.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
+    pairs.join(ua, "id_a").join(ub, "id_b")
+      .withColumn("cosine", Vectors.cosineWithNorms(
+        col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   def pqNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double, margin: Double,
                      bits: Int, tables: Int,
-                     m: Int = 8, codewords: Int = 16): DataFrame = {
+                     m: Int = 8, codewords: Int = 16,
+                     maxBucket: Int = 256): DataFrame = {
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
     // verification); the float vector is dropped immediately after.
@@ -358,11 +401,16 @@ object SimilaritySearch {
       .localCheckpoint(true)
     val banded = u.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val pairs = banded.select(col("id").as("id_a"), col("tbl"), col("bucket"))
-      .join(banded.select(col("id").as("id_b"), col("tbl"), col("bucket")),
+    // candidate side frequency-capped (n×cap pair rows per bucket, not
+    // n²) — identical to uncapped while maxBucket ≥ occupancy (the
+    // oracle-pinned config; see lshNearDupPairs scaladoc)
+    val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "id", maxBucket)
+    val pairs = banded.select(col("id").as("qid"), col("tbl"), col("bucket"))
+      .join(capped.select(col("id").as("cid"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .filter(col("qid") =!= col("cid"))
+      .select(least(col("qid"), col("cid")).as("id_a"),
+        greatest(col("qid"), col("cid")).as("id_b"))
       .distinct()
     // approx screen: the pair joins move (id, code, dnorm) rows — m
     // small ints + one double per side — and the decode + dot run

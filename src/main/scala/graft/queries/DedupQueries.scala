@@ -133,7 +133,7 @@ object DedupQueries {
     * (via [[embeddingPairsDf]]) and d10. ONE definition: the d10-is-a-
     * subset-of-d5 invariant DedupSpec checks is only meaningful while
     * all consumers see byte-identical inputs. */
-  private def embeddingUniverse(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embeddingUniverse(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val orig = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
@@ -148,27 +148,17 @@ object DedupQueries {
     * many-consumers memo shape as the minhash pair table. */
   private val embPairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def embeddingPairsDf(s: SparkSession, d: String): DataFrame =
-    embPairsMemo.getOrElseUpdate(s.hashCode + "|" + d, {
-      val Bits = 8; val NTables = 4
-      val u = embeddingUniverse(s, d)
-        .withColumn("nrm", graft.functions.Vectors.norm(col("vec")))
-      val banded = u.select(col("vec_id"),
-        posexplode(graft.functions.Vectors.lshBucketsAll(col("vec"), Bits, NTables))
-          .as(Seq("tbl", "bucket")))
-      val pairs = banded.as("ba").join(banded.as("bb"),
-          col("ba.tbl") === col("bb.tbl") && col("ba.bucket") === col("bb.bucket") &&
-            col("ba.vec_id") < col("bb.vec_id"))
-        .select(col("ba.vec_id").as("id_a"), col("bb.vec_id").as("id_b"))
-        .distinct()
-      val ua = u.select(col("vec_id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
-      val ub = u.select(col("vec_id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
-      pairs.join(ua, "id_a").join(ub, "id_b")
-        .withColumn("cosine", graft.functions.Vectors.cosineWithNorms(
-          col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
-        .filter(col("cosine") >= 0.9)
-        .select(col("id_a"), col("id_b"), col("cosine"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    embPairsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      // bits=8 / cap=256 is the oracle-pinned geometry: measured max
+      // bucket occupancy at sf0.1 is 149, so the cap never binds here
+      // and the result equals the uncapped join (SCALE.md round-9
+      // notes measure what the same operator does when the corpus
+      // outgrows the geometry, and the scaled-bits configuration that
+      // restores linearity)
+      graft.operators.SimilaritySearch.lshNearDupPairs(
+          embeddingUniverse(s, d), "vec_id", "vec",
+          minCosine = 0.9, bits = 8, tables = 4, maxBucket = 256)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   val queries: Map[String, Q] = Map(
     // D-1: exact dedup by content hash, keep-lowest-id
@@ -383,7 +373,8 @@ object DedupQueries {
     "d10_pq_neardup" -> ((s, d) =>
       graft.operators.SimilaritySearch.pqNearDupPairs(
           embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
-          threshold = 0.9, margin = 0.15, bits = 8, tables = 4)
+          threshold = 0.9, margin = 0.15, bits = 8, tables = 4,
+          maxBucket = 256)
         .orderBy(col("id_a"), col("id_b"))),
 
     "d5_embedding_neardup" -> ((s, d) =>
@@ -530,11 +521,18 @@ object DedupQueries {
       val store = spanStoreDf(s, d)
       // the scrub result feeds two subtrees (signature pass + final
       // join); recomputing the light batch-sized chain beats an eager
-      // materialization here (measured), and the streaming twin
-      // persists instead where the batch recurs across sinks
-      val survivors = Dedup.incrementalSpanDedup(batch, store, "doc_id", "text", 16)
+      // materialization here (measured at 1x/10x/100x — SCALE.md
+      // "u5 recompute vs checkpoint"; ScaleRun re-times both variants
+      // every scale run via -Dgraft.u5.checkpoint=true), and the
+      // streaming twin persists instead where the batch recurs across
+      // sinks
+      val survivorsPlan = Dedup.incrementalSpanDedup(batch, store, "doc_id", "text", 16)
         .filter(col("n_spans_kept") > 0)
         .select(col("doc_id"), col("n_spans_kept"), col("clean_text"))
+      val survivors =
+        if (sys.props.get("graft.u5.checkpoint").contains("true"))
+          survivorsPlan.localCheckpoint(true)
+        else survivorsPlan
       val batchPairs = Dedup.incrementalMinhashPairs(
         survivors.select(col("doc_id"), col("clean_text").as("text")),
         docSigsDf(s, d), "doc_id", "text", K, H, B, 50)

@@ -1,0 +1,153 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured scale proof for the capstone operators (SCALE.md): run the
+  * dedup/ANN/curation capstones at several corpus multipliers
+  * ([[ScaleGen]] dialect replicas) and record wall seconds plus
+  * shuffle/spill/GC task-metric deltas per query, so near-linearity is
+  * measured, not argued from plan shape. Also records recall@k of the
+  * approximate ANN paths against the brute-force exact top-k at every
+  * scale, and times u5 both with its recompute-the-scrub-subtree choice
+  * and with an eager localCheckpoint of the scrub result
+  * (-Dgraft.u5.checkpoint=true), so that design decision is re-measured
+  * at scale instead of carried forward.
+  *
+  * Usage: ScaleRun <label=dir>[,<label=dir>...] [outJsonPath]
+  */
+object ScaleRun {
+  private val Capstones = Seq(
+    "c2_dup_clusters", "c5_embedding_clusters",
+    "d10_pq_neardup", "d11_containment",
+    "d14_winnowing_overlap", "d15_substring_scrub",
+    "n7_knn_join",
+    "u1_unified_pipeline", "u3_curation_pipeline", "u5_incremental_ingest")
+
+  def main(args: Array[String]): Unit = {
+    val pairs = args(0).split(",").map { kv =>
+      val Array(l, d) = kv.split("=", 2); (l, d)
+    }
+    val outPath = if (args.length > 1) args(1) else "target/scale_results.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tap = org.apache.spark.graft.MetricsBridge.install(spark.sparkContext)
+    def timedWithMetrics(f: => Unit): (Double, Array[Long]) = {
+      org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+      val before = tap.snapshot()
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+      val after = tap.snapshot()
+      (sec, after.zip(before).map { case (a, b) => a - b })
+    }
+    def mJson(sec: Double, d: Array[Long]): String =
+      f"""{"sec":$sec%.3f,"shuffle_read_b":${d(0)},"shuffle_write_b":${d(1)},""" +
+        f""""spill_mem_b":${d(2)},"spill_disk_b":${d(3)},"gc_ms":${d(4)},""" +
+        f""""cpu_sec":${d(5) / 1e9}%.2f}"""
+
+    // JVM warmup: codegen, parquet reader, shuffle, kernels
+    try {
+      spark.range(1000).selectExpr("md5(cast(id as string)) h")
+        .groupBy("h").count().count()
+      graft.plans.GraftExtensions.register(spark)
+      spark.range(1000).selectExpr(
+          "graft_shingle_hashes(concat('a b c d e f g ', id), 3) AS sh")
+        .selectExpr("graft_minhash(sh, 16) AS sig").count()
+    } catch { case _: Throwable => () }
+
+    def topkSets(name: String, dir: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+
+    val scaleJsons = pairs.map { case (label, dir) =>
+      System.err.println(s"[scale] === $label ($dir) ===")
+      val (preSec, preM) = timedWithMetrics(
+        graft.queries.DedupQueries.prebuildStores(spark, dir))
+      System.err.println(f"[scale] $label prebuild ${preSec}%.1f s")
+      val qJsons = Capstones.map { name =>
+        val (sec, m) = timedWithMetrics {
+          graft.SparkEntry.queries(name)(spark, dir).count(); ()
+        }
+        System.err.println(f"[scale] $label $name%-24s ${sec}%8.2f s  " +
+          f"shuffle ${(m(0) + m(1)) / 1e6}%.0f MB  spill ${(m(2) + m(3)) / 1e6}%.0f MB")
+        s""""$name":${mJson(sec, m)}"""
+      }
+      // u5 variant: eager localCheckpoint of the scrub subtree instead
+      // of recomputing it into both consumers. The first (recompute)
+      // u5 run above pays first-touch costs the variant then rides on,
+      // so ALSO re-time the recompute form afterwards — the variant vs
+      // rerun comparison is warm-vs-warm.
+      System.setProperty("graft.u5.checkpoint", "true")
+      val (u5ckSec, u5ckM) = try timedWithMetrics {
+        graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
+      } finally System.clearProperty("graft.u5.checkpoint")
+      System.err.println(f"[scale] $label u5(+checkpoint)          ${u5ckSec}%8.2f s")
+      val (u5reSec, u5reM) = timedWithMetrics {
+        graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
+      }
+      System.err.println(f"[scale] $label u5(recompute, warm)      ${u5reSec}%8.2f s")
+      // Scaled-geometry variants: the c5/d10 pair generators with the
+      // LSH bucket count grown to the corpus (bits ≈ log2(2N/16), the
+      // SCALE.md knob) — the configuration a 100 TB deployment runs,
+      // measured against the fixed oracle-pinned geometry above.
+      val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val scaledBits = math.max(8,
+        math.ceil(math.log(2.0 * nVecs / 16.0) / math.log(2.0)).toInt)
+      val universe = graft.queries.DedupQueries.embeddingUniverse(spark, dir)
+      val (c5sSec, c5sM) = timedWithMetrics {
+        graft.operators.Components.connectedComponentsStar(
+          graft.operators.SimilaritySearch.lshNearDupPairs(
+            universe, "vec_id", "vec", minCosine = 0.9,
+            bits = scaledBits, tables = 4, maxBucket = 256),
+          "id_a", "id_b").count(); ()
+      }
+      System.err.println(f"[scale] $label c5(bits=$scaledBits)           ${c5sSec}%8.2f s  " +
+        f"shuffle ${(c5sM(0) + c5sM(1)) / 1e6}%.0f MB  spill ${(c5sM(2) + c5sM(3)) / 1e6}%.0f MB")
+      val (d10sSec, d10sM) = timedWithMetrics {
+        graft.operators.SimilaritySearch.pqNearDupPairs(
+          universe, "vec_id", "vec", dim = 64,
+          threshold = 0.9, margin = 0.15, bits = scaledBits, tables = 4,
+          maxBucket = 256).count(); ()
+      }
+      System.err.println(f"[scale] $label d10(bits=$scaledBits)          ${d10sSec}%8.2f s  " +
+        f"shuffle ${(d10sM(0) + d10sM(1)) / 1e6}%.0f MB  spill ${(d10sM(2) + d10sM(3)) / 1e6}%.0f MB")
+      // ANN recall@k against brute force, same corpus
+      val exact = topkSets("n1_ann_bruteforce", dir)
+      val recalls = Seq("n2_ann_lsh", "n3_ann_ivf", "n5_ann_pq").map { name =>
+        val got = topkSets(name, dir)
+        val r = exact.toSeq.map { case (q, ex) =>
+          got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+        }
+        val mean = r.sum / r.size
+        System.err.println(f"[scale] $label recall@5 $name%-12s ${mean}%.3f")
+        f""""$name":$mean%.4f"""
+      }
+      s"""{"label":"$label","dir":"$dir","prebuild":${mJson(preSec, preM)},""" +
+        s""""queries":{${qJsons.mkString(",")}},""" +
+        s""""u5_checkpoint_variant":${mJson(u5ckSec, u5ckM)},""" +
+        s""""u5_recompute_warm":${mJson(u5reSec, u5reM)},""" +
+        s""""scaled_bits":$scaledBits,""" +
+        s""""c5_scaled_geometry":${mJson(c5sSec, c5sM)},""" +
+        s""""d10_scaled_geometry":${mJson(d10sSec, d10sM)},""" +
+        s""""recall_at_5":{${recalls.mkString(",")}}}"""
+    }
+    val out = s"""{"metric":"scale","cpus":$cpus,"scales":[${scaleJsons.mkString(",")}]}"""
+    println(out)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
