@@ -358,27 +358,39 @@ object SimilaritySearch {
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, bits: Int, tables: Int,
                       maxBucket: Int): DataFrame = {
-    val u = graft.model.Tables.spread(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", Vectors.norm(col("vec")))
-    val banded = u.select(col("id"),
-      posexplode(Vectors.lshBucketsAll(col("vec"), bits, tables))
-        .as(Seq("tbl", "bucket")))
+    // Vectors ride INTO the bucket join and cosine runs inside the
+    // bucket task; only (id_a, id_b, cosine) SURVIVORS ever shuffle
+    // again. The alternative (slim pair list → distinct → re-join the
+    // wide vectors by id) re-shuffles a candidate-volume × vector-width
+    // intermediate through two joins — measured 20 GB of sort spill at
+    // 20k vectors (x10) and a filled disk at 200k (x100), vs the
+    // corpus-linear O(N·tables·width) banded shuffle here. A pair
+    // colliding in several tables is scored ≤`tables` times (the
+    // cosines are bitwise identical — same inputs, sequential fold)
+    // and collapsed by the groupBy; that redundant arithmetic is noise
+    // next to a second wide shuffle.
+    val banded = graft.model.Tables.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Vectors.norm(col(vecCol)).as("nrm"),
+        posexplode(Vectors.lshBucketsAll(col(vecCol), bits, tables))
+          .as(Seq("tbl", "bucket")))
+      .select("tbl", "bucket", "id", "vec", "nrm")
+    // candidate side frequency-capped: n members in a bucket emit
+    // n×cap scored pairs, never n² (identical results while cap ≥
+    // occupancy — the oracle-pinned configs are sized that way). The
+    // capped side is small (≤ cap·buckets·tables rows) → shuffle-hash
+    // build side: no sort of wide vector rows anywhere in the plan.
     val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "id", maxBucket)
-    val pairs = banded.select(col("id").as("qid"), col("tbl"), col("bucket"))
-      .join(capped.select(col("id").as("cid"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .select(least(col("qid"), col("cid")).as("id_a"),
-        greatest(col("qid"), col("cid")).as("id_b"))
-      .distinct()
-    val ua = u.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("n_a"))
-    val ub = u.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("n_b"))
-    pairs.join(ua, "id_a").join(ub, "id_b")
+      .select(col("tbl"), col("bucket"), col("id").as("cid"),
+        col("vec").as("cvec"), col("nrm").as("cnrm"))
+    banded.join(capped.hint("shuffle_hash"), Seq("tbl", "bucket"))
+      .filter(col("id") =!= col("cid"))
       .withColumn("cosine", Vectors.cosineWithNorms(
-        col("vec_a"), col("vec_b"), col("n_a"), col("n_b")))
+        col("vec"), col("cvec"), col("nrm"), col("cnrm")))
       .filter(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(least(col("id"), col("cid")).as("id_a"),
+        greatest(col("id"), col("cid")).as("id_b"), col("cosine"))
+      .groupBy("id_a", "id_b").agg(max(col("cosine")).as("cosine"))
   }
 
   def pqNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
