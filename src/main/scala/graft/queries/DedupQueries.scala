@@ -115,6 +115,23 @@ object DedupQueries {
     plainLabelsDf(s, d).count()
   }
 
+  /** Drop every in-memory memo this module holds: unpersist the cached
+    * frames and clear the maps so the blocks (and, after a GC, their
+    * localCheckpoint ancestors) leave executor storage. A session that
+    * measures SEVERAL corpora back-to-back (ScaleRun) must call this
+    * between corpora — the memos are keyed per (session, dir), so the
+    * previous corpus's signature/pair/label caches otherwise stay
+    * resident and the new corpus's jobs pay their eviction + GC churn
+    * (measured: d11 at x10 reads 141 s in a polluted JVM vs 8–14 s in
+    * a clean one — SCALE.md round-9 notes). The disk-bucketed stores
+    * ([[bucketedStore]]) are dropped from the map only; their bytes
+    * live in the warehouse dir, not executor memory. */
+  def releaseMemos(): Unit = {
+    Seq(sigsMemo, docSigsMemo, pairsMemo, labelsMemo, embPairsMemo)
+      .foreach { m => m.values.foreach(_.unpersist(false)); m.clear() }
+    storeMemo.clear()
+  }
+
   private val pairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s.hashCode + "|" + d,

@@ -41,6 +41,12 @@ object MatchQueries {
   /** j1's match table feeds two declared queries (the join itself and
     * the A-7 rate counters); memoized + persisted per sfDir so the
     * 10000×|candidates| scoring pass runs once per session. */
+  /** Unpersist and forget the match-table memo (see
+    * [[DedupQueries.releaseMemos]] for when and why). */
+  def releaseMemos(): Unit = {
+    matchMemo.values.foreach(_.unpersist(false)); matchMemo.clear()
+  }
+
   private val matchMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def matchesDf(s: SparkSession, d: String): DataFrame =
     matchMemo.getOrElseUpdate(s.hashCode + "|" + d,

@@ -55,6 +55,12 @@ object PipelineQueries {
     Tables.spread(Tables.load(s, d, "customer").filter(col("c_custkey") % 7 === 0)
       .selectExpr(ccCols: _*))
 
+  /** Unpersist and forget the unified-table memo (see
+    * [[DedupQueries.releaseMemos]] for when and why). */
+  def releaseMemos(): Unit = {
+    memo.values.foreach(_.unpersist(false)); memo.clear()
+  }
+
   /** Unified table memoized per sfDir — it feeds both U-1 and U-2. */
   private val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def unified(s: SparkSession, d: String): DataFrame =

@@ -57,6 +57,29 @@ object JdbcUpsertSink {
     else if (url.startsWith("jdbc:derby")) "derby"
     else throw new IllegalArgumentException(s"cannot infer dialect from $url")
 
+  /** One writer at a time per EMBEDDED Derby database. Concurrent
+    * partition tasks in one JVM can deadlock inside Derby's engine on
+    * raw Java monitors — observed live (round 9, full-suite run): task A
+    * in `BaseContainerHandle.close` holds the container-handle monitor
+    * and waits for a `StoredPage` monitor, while task B in
+    * `BasePage.releaseExclusive` holds that page monitor and waits for
+    * the container handle (DerbyObservable notify/delete inversion,
+    * reached from MERGE error-cleanup racing another task's page
+    * release). That is a JVM-level deadlock: no SQLException, no lock
+    * timeout, both tasks parked forever — the 40xxx retry path below
+    * never sees it. Server dialects (postgresql) keep full per-partition
+    * parallelism; embedded Derby exists only as the sandbox's in-process
+    * test double, where serialized writes cost nothing real. Keyed per
+    * URL so distinct test databases don't serialize each other. */
+  private val embeddedWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withDialectLock[A](dialect: String, url: String)(body: => A): A =
+    if (dialect == "derby") {
+      val lock = embeddedWriteLocks.computeIfAbsent(url, _ => new Object)
+      lock.synchronized(body)
+    } else body
+
   /** Write `df` into `table`, skipping rows whose `keyCol` already exists
     * (reference ON-CONFLICT-DO-NOTHING parity). `cols` defaults to the
     * DataFrame's columns; the target table and its unique/PK constraint
@@ -73,7 +96,7 @@ object JdbcUpsertSink {
     // binds only the columns
     val bindKeyFirst = dialect == "derby"
     df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.nonEmpty) {
+      if (rows.nonEmpty) withDialectLock(dialect, url) {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
