@@ -43,6 +43,33 @@ object U1Prof {
       customer.filter(col("c_custkey") % 7 === 0 && col("c_custkey") < maxKey)
         .selectExpr(ccCols: _*))
 
+    // Equality mode: does the token-blocked scale path accept the SAME
+    // (left, right, confidence) set as the exact broadcast product on
+    // this corpus? (Blocking can only lose a pair whose every shared
+    // keyword token is more frequent than maxTokenFreq on the right —
+    // the measured-zero-diff result is corpus evidence, not a theorem.)
+    if (args.length > 1 && args(1) == "eq") {
+      val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue), "cc_id")
+        .select(col("cc_id"), col("extracted_name"))
+      def run(kind: String): org.apache.spark.sql.DataFrame = {
+        val j = if (kind == "broadcast")
+          graft.operators.MatchJoin.broadcastJoin(
+            abr, "abn", "entity_name", cand, "cc_id", "extracted_name", 80)
+        else
+          graft.operators.MatchJoin.blockedJoin(
+            abr, "abn", "entity_name", cand, "cc_id", "extracted_name",
+            80, maxTokenFreq = 50L)
+        j.select(col("left_key"), col("right_key"), col("merged_confidence"))
+          .localCheckpoint(true)
+      }
+      val bc = time("eq broadcastJoin")(run("broadcast"))
+      val bl = time("eq blockedJoin")(run("blocked"))
+      val nBc = bc.count(); val nBl = bl.count()
+      val onlyBc = bc.exceptAll(bl).count(); val onlyBl = bl.exceptAll(bc).count()
+      println(s"PROF eq broadcast=$nBc blocked=$nBl onlyBroadcast=$onlyBc onlyBlocked=$onlyBl")
+      spark.stop(); return
+    }
+
     for (round <- 1 to 2) {
       // full candidate side (x-scale sized broadcast)
       time(s"r$round broadcastJoin full cand") {
