@@ -49,24 +49,31 @@ object U1Prof {
     // keyword token is more frequent than maxTokenFreq on the right —
     // the measured-zero-diff result is corpus evidence, not a theorem.)
     if (args.length > 1 && args(1) == "eq") {
+      // Cap choice matters at scale: ScaleGen gives every base
+      // customer ~mult replicas sharing its numeric name token, so a
+      // cap below the replica multiplicity (50 at x100) starves most
+      // left rows of any block — measured 3999/10000 accepted vs the
+      // broadcast product's 10000. The blockedJoin DEFAULT (1000) is
+      // the configuration under test; extra caps via args(2..).
+      val caps = if (args.length > 2) args.drop(2).map(_.toLong).toSeq
+                 else Seq(1000L)
       val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue), "cc_id")
         .select(col("cc_id"), col("extracted_name"))
-      def run(kind: String): org.apache.spark.sql.DataFrame = {
-        val j = if (kind == "broadcast")
-          graft.operators.MatchJoin.broadcastJoin(
-            abr, "abn", "entity_name", cand, "cc_id", "extracted_name", 80)
-        else
-          graft.operators.MatchJoin.blockedJoin(
-            abr, "abn", "entity_name", cand, "cc_id", "extracted_name",
-            80, maxTokenFreq = 50L)
-        j.select(col("left_key"), col("right_key"), col("merged_confidence"))
+      def ck(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(col("left_key"), col("right_key"), col("merged_confidence"))
           .localCheckpoint(true)
+      val bc = time("eq broadcastJoin")(ck(graft.operators.MatchJoin.broadcastJoin(
+        abr, "abn", "entity_name", cand, "cc_id", "extracted_name", 80)))
+      val nBc = bc.count()
+      for (cap <- caps) {
+        val bl = time(s"eq blockedJoin cap=$cap")(ck(graft.operators.MatchJoin.blockedJoin(
+          abr, "abn", "entity_name", cand, "cc_id", "extracted_name",
+          80, maxTokenFreq = cap)))
+        val nBl = bl.count()
+        val onlyBc = bc.exceptAll(bl).count(); val onlyBl = bl.exceptAll(bc).count()
+        println(s"PROF eq cap=$cap broadcast=$nBc blocked=$nBl " +
+          s"onlyBroadcast=$onlyBc onlyBlocked=$onlyBl")
       }
-      val bc = time("eq broadcastJoin")(run("broadcast"))
-      val bl = time("eq blockedJoin")(run("blocked"))
-      val nBc = bc.count(); val nBl = bl.count()
-      val onlyBc = bc.exceptAll(bl).count(); val onlyBl = bl.exceptAll(bc).count()
-      println(s"PROF eq broadcast=$nBc blocked=$nBl onlyBroadcast=$onlyBc onlyBlocked=$onlyBl")
       spark.stop(); return
     }
 

@@ -303,4 +303,32 @@ class VectorsSpec extends SparkSpec {
     assert(keep(banded) == keep(banded.repartition(13)),
       "cap selection must be a pure function of (bucket, id), not partitioning")
   }
+
+  test("declared ANN configs hold the round-9 measured recall floors at sf0.1") {
+    // Floors = the RecallRun/ScaleRun measured recall@5 of the DECLARED
+    // n2/n3/n5 configurations on the sf0.1 corpus (bench/recall_r9.json:
+    // lsh b4 t4 = 0.325, ivf p3 = 0.325, pq m8 c16 r4 = 0.375) minus a
+    // ~0.07 margin, so a regression in bucket hashing, probe routing or
+    // PQ encode/re-rank that silently costs recall fails here instead
+    // of surfacing as an unexplained quality drop at corpus scale.
+    val d = "/root/testdata/sf0.1"
+    def sets(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, d)
+        .select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = sets("n1_ann_bruteforce")
+    def recallOf(name: String): Double = {
+      val got = sets(name)
+      val r = exact.toSeq.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      r.sum / r.size
+    }
+    val lsh = recallOf("n2_ann_lsh")
+    val ivf = recallOf("n3_ann_ivf")
+    val pq = recallOf("n5_ann_pq")
+    info(f"sf0.1 recall@5: lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f")
+    assert(lsh >= 0.25, s"n2 lsh recall regressed below measured floor: $lsh")
+    assert(ivf >= 0.25, s"n3 ivf recall regressed below measured floor: $ivf")
+    assert(pq >= 0.30, s"n5 pq recall regressed below measured floor: $pq")
+  }
 }
