@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: a 120-query Bench/Verify session accumulates memoized blocks
+  // and localCheckpoints; at 8g the tail of the run measured GC-bound
+  // (the SCALE.md round-9 same-JVM-inflation finding). The box has
+  // 128 GiB; tests cap lower via SPARK_DRIVER_MEM if needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Whole-stage codegen emits thousands of janino classes across a
+  // 120-query session; the JIT code cache (default 240m) filling up
+  // silently stops compilation and runs the tail interpreted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

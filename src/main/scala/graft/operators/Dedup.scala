@@ -129,12 +129,17 @@ object Dedup {
   def incrementalPairsFromSigs(newSigs: DataFrame, existingSigs: DataFrame,
                                idCol: String, bands: Int,
                                minJaccard100: Int): DataFrame = {
-    val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
     // verify only ids that appear in a candidate pair, deduped by id —
     // a store read taken mid-compaction (snapshot written, folded
     // partitions not yet deleted) holds each folded row twice, and
     // without the dedup every such pair would verify into two output
-    // rows; the semi-join bounds the dedup to O(pairs), not O(store)
+    // rows; the semi-join bounds the dedup to O(pairs), not O(store).
+    // The pair list feeds BOTH the semi-join and the verify join, so
+    // materialize it once (call-local checkpoint): without it Catalyst
+    // recomputes the banded candidate join per consumer, which measured
+    // 3x on every incremental query (u5 9.7 s -> 3.6 s warm at sf0.1).
+    val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
+      .localCheckpoint(true)
     val pairIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
     val allSh = existingSigs.select(col(idCol), col("sh"))
@@ -171,8 +176,10 @@ object Dedup {
   def incrementalPairsBySig(newSigs: DataFrame, existingSigs: DataFrame,
                             idCol: String, numHashes: Int, bands: Int,
                             minAgree100: Int): DataFrame = {
+    // same mid-compaction duplicate shield as the exact-Jaccard path,
+    // with the same once-materialized pair list (two consumers)
     val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
-    // same mid-compaction duplicate shield as the exact-Jaccard path
+      .localCheckpoint(true)
     val pairIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
     val allSig = existingSigs.select(col(idCol), col("sig"))
