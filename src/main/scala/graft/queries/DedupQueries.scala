@@ -887,7 +887,7 @@ object DedupQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 800000,
-         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |    coalesce(array_to_string(list_slice(string_split(text, ' '), 11, 35), ' '), '')
          |      || ' qq' || CAST(doc_id AS VARCHAR)
          |  FROM documents WHERE doc_id % 13 = 0),
          |hs AS (SELECT doc_id,
@@ -905,12 +905,18 @@ object DedupQueries {
          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared FROM pairs
          |WHERE n_shared >= 3 ORDER BY id_a, id_b""".stripMargin,
+    // The coalesce in every `qq` fragment CTE is load-bearing engine
+    // parity, not defensiveness: a source doc with < 11 tokens makes
+    // the slice EMPTY, and DuckDB's array_to_string([]) is NULL while
+    // Spark's array_join([]) is '' — without it the staged fragment is
+    // NULL in the oracle and ' qqN' in Spark. Invisible at sf0.01 (no
+    // short doc has id % 13 = 0 there); found by the sf0.1 cross-check.
     "d15_substring_scrub" ->
       s"""WITH uni AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 800000,
-         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |    coalesce(array_to_string(list_slice(string_split(text, ' '), 11, 35), ' '), '')
          |      || ' qq' || CAST(doc_id AS VARCHAR)
          |  FROM documents WHERE doc_id % 13 = 0),
          |base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM uni),
@@ -944,7 +950,7 @@ object DedupQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 800000,
-         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |    coalesce(array_to_string(list_slice(string_split(text, ' '), 11, 35), ' '), '')
          |      || ' qq' || CAST(doc_id AS VARCHAR)
          |  FROM documents WHERE doc_id % 13 = 0),
          |hs AS (SELECT doc_id,
@@ -968,12 +974,12 @@ object DedupQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 800000,
-         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |    coalesce(array_to_string(list_slice(string_split(text, ' '), 11, 35), ' '), '')
          |      || ' qq' || CAST(doc_id AS VARCHAR)
          |  FROM documents WHERE doc_id % 13 = 0
          |  UNION ALL
          |  SELECT doc_id + 1800000,
-         |    array_to_string(list_slice(string_split(text, ' '), 11, 35), ' ')
+         |    coalesce(array_to_string(list_slice(string_split(text, ' '), 11, 35), ' '), '')
          |      || ' qq' || CAST(doc_id AS VARCHAR)
          |  FROM documents WHERE doc_id % 13 = 0),
          |base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM uni),
