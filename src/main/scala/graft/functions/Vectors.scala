@@ -82,5 +82,18 @@ object Vectors {
       }
       s"CAST(${terms.mkString(" + ")} AS BIGINT)"
     }
+
+    /** [[lshBucket]] with `bits`/`table` as SQL EXPRESSIONS instead of
+      * compile-time constants — the plane count folds over
+      * generate_series at query run time, so one oracle string serves
+      * any corpus-derived geometry (the d10 scaled-bits rule). Plane
+      * index `table * bits + j` and the strict `> 0.0` sign test match
+      * the static form term-for-term; all integer arithmetic, so the
+      * two forms are bitwise-identical for equal (bits, table). */
+    def lshBucketDyn(v: String, bits: String, table: String): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, $bits - 1), j ->
+         |  CASE WHEN list_sum(list_transform(generate_series(1, len($v)), i ->
+         |    $v[i]::DOUBLE * (((i * 2654435761 + (($table * $bits + j)) * 40503) % 1997 - 998)::DOUBLE))) > 0.0
+         |  THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)""".stripMargin
   }
 }

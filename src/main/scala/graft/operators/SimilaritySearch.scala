@@ -355,6 +355,21 @@ object SimilaritySearch {
     * stays constant and candidate volume stays O(N·tables·occupancy).
     * Fixed geometry at growing N is measurably superlinear (SCALE.md
     * "fixed vs scaled geometry"). */
+  /** The scale knob from the scaladoc above as code: smallest `bits`
+    * with 2^bits >= ceil(2n / targetOccupancy), floored at `minBits` —
+    * bucket count grows with the corpus so per-bucket membership stays
+    * ~`targetOccupancy` and candidate volume stays O(n·tables·occ).
+    * Pure integer arithmetic (ceil-divide + bit length), replicated
+    * exactly by the DuckDB oracle's
+    * `greatest(minBits, length(bin(target - 1)))` — no floating-point
+    * log2 whose 1-ulp platform differences could straddle an integer
+    * boundary at power-of-two corpus sizes. */
+  def scaledLshBits(n: Long, targetOccupancy: Int = 16, minBits: Int = 4): Int = {
+    val target = (2 * n + targetOccupancy - 1) / targetOccupancy
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(target - 1, 0))
+    math.max(minBits, bitLen)
+  }
+
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, bits: Int, tables: Int,
                       maxBucket: Int): DataFrame = {

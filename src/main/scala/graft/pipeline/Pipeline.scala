@@ -32,17 +32,33 @@ object Pipeline {
   /** t3' stage 2+3: similarity join + unified assembly
     * (reference :380-485). abr must carry the staging_abr columns; cc
     * must carry (idCol, website_url, company_name, industry). Output =
-    * unified_companies minus the insert-time timestamp. */
-  def buildUnified(abr: DataFrame, cc: DataFrame, ccId: String, cutoff: Int): DataFrame = {
+    * unified_companies minus the insert-time timestamp.
+    *
+    * `blockTokenFreq = Some(f)` swaps the exact broadcast product for
+    * [[MatchJoin.blockedJoin]] with stop-token frequency `f` — the
+    * composition a 100 TB deployment runs: the exact product degrades
+    * superlinearly once the candidate side outgrows its broadcastability
+    * envelope (measured 4.8× wall for 2× data at x200 — SCALE.md),
+    * while token blocking keeps pair volume at the sum of block sizes
+    * (23× cheaper at x100). Recall bound: a pair sharing no sub-`f`
+    * keyword token is never scored; at cutoff 80 the unscored pairs are
+    * near-exclusively digit-only-token near-matches (SCALE.md round-9
+    * recall analysis — cap-invariant from 1000→20000). */
+  def buildUnified(abr: DataFrame, cc: DataFrame, ccId: String, cutoff: Int,
+                   blockTokenFreq: Option[Long] = None): DataFrame = {
     // No persist: the cleaned candidate table feeds two consumers, but
     // the cleaning stage is a narrow map of compact expressions —
     // recomputing it is cheaper than a persist stage (measured both
     // ways; the candidate side is the small side by construction).
     val cand = cleanCandidates(cc, ccId)
-    val matches = MatchJoin.broadcastJoin(
-      abr.select(col("abn"), col("entity_name")), "abn", "entity_name",
-      cand.select(col(ccId), col("extracted_name")), ccId, "extracted_name", cutoff)
-      .select(col("left_key").as("m_abn"), col("right_key").as("m_cand"),
+    val abrSide = abr.select(col("abn"), col("entity_name"))
+    val candSide = cand.select(col(ccId), col("extracted_name"))
+    val matches = (blockTokenFreq match {
+      case Some(f) => MatchJoin.blockedJoin(
+        abrSide, "abn", "entity_name", candSide, ccId, "extracted_name", cutoff, f)
+      case None => MatchJoin.broadcastJoin(
+        abrSide, "abn", "entity_name", candSide, ccId, "extracted_name", cutoff)
+    }).select(col("left_key").as("m_abn"), col("right_key").as("m_cand"),
         col("merged_confidence"))
     val ccCols = cand.select(col(ccId).as("cand_id"), col("website_url"),
       col("extracted_name").as("company_name"), col("industry"))

@@ -163,6 +163,15 @@ object DedupQueries {
   /** d5's thresholded embedding near-dup pairs, shared by the pair dump
     * (d5) and the cluster formation (c5) — the same one-modality-in,
     * many-consumers memo shape as the minhash pair table. */
+  /** Corpus-sized LSH geometry for d10_scaled, memoized per sfDir —
+    * one exact count of the embedding universe per corpus per session.
+    * An Int memo, not a DataFrame: nothing to unpersist in
+    * releaseMemos, and the count re-runs per fresh corpus by design. */
+  private val scaledBitsMemo = scala.collection.concurrent.TrieMap[String, Int]()
+  private def scaledBits(s: SparkSession, d: String): Int =
+    scaledBitsMemo.getOrElseUpdate(s.hashCode + "|" + d,
+      graft.operators.SimilaritySearch.scaledLshBits(embeddingUniverse(s, d).count()))
+
   private val embPairsMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def embeddingPairsDf(s: SparkSession, d: String): DataFrame =
     embPairsMemo.getOrElseUpdate(s.hashCode + "|" + d,
@@ -391,6 +400,20 @@ object DedupQueries {
       graft.operators.SimilaritySearch.pqNearDupPairs(
           embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
           threshold = 0.9, margin = 0.15, bits = 8, tables = 4,
+          maxBucket = 256)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // D-10 scaled: the same PQ near-dup with CORPUS-SIZED banding —
+    // bits = scaledLshBits(N) holds per-bucket occupancy ~16 as N grows,
+    // the configuration a 100 TB run uses (the pinned bits=8 geometry
+    // saturates its buckets at x100: 47.7 GB spill, 378 s; scaled bits
+    // measured 109 s with zero spill — SCALE.md). One exact count()
+    // derives the geometry; the oracle recomputes the identical bits
+    // from the identical count with integer-only arithmetic.
+    "d10_pq_neardup_scaled" -> ((s, d) =>
+      graft.operators.SimilaritySearch.pqNearDupPairs(
+          embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
+          threshold = 0.9, margin = 0.15, bits = scaledBits(s, d), tables = 4,
           maxBucket = 256)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -784,47 +807,26 @@ object DedupQueries {
          |ORDER BY id_a""".stripMargin,
     "d10_pq_neardup" -> {
       val Bits = 8; val NTables = 4
-      val M = 8; val Kcw = 16; val SubDim = 8
-      val u = embUniverseSql
-      val banded = (0 until NTables).map(tb =>
+      d10Sql((0 until NTables).map(tb =>
         s"SELECT vec_id, $tb AS tbl, ${Vectors.sql.lshBucket("vec", Bits, tb)} AS bucket FROM u")
-        .mkString("\nUNION ALL ")
-      val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
-        "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
-      val approxCos = Vectors.sql.cosineWithNorms("da.dv", "db.dv", "da.dnorm", "db.dnorm")
-      val exactCos = Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")
-      s"""WITH u AS ($u),
-         |anch AS (SELECT ki, av FROM (
-         |  SELECT row_number() OVER (ORDER BY
-         |      ${Hashing.sql.hash64("CAST(vec_id AS VARCHAR)")} ASC,
-         |      vec_id ASC) AS ki, vec AS av
-         |  FROM u) WHERE ki <= $Kcw),
-         |subs AS (SELECT unnest([${(0 until M).mkString(", ")}]) AS mi),
-         |cw AS (SELECT mi, ki, list_slice(av, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS cw
-         |       FROM anch CROSS JOIN subs),
-         |pqd AS (SELECT vec_id, mi, ki, $l2 AS dist FROM (
-         |  SELECT vec_id, mi, ki,
-         |    list_slice(vec, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS sv, cw
-         |  FROM u CROSS JOIN cw)),
-         |enc AS (SELECT vec_id, mi, ki FROM (
-         |  SELECT vec_id, mi, ki,
-         |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist ASC, ki ASC) AS rr
-         |  FROM pqd) WHERE rr = 1),
-         |dec AS (SELECT vec_id, flatten(list(cw ORDER BY mi)) AS dv
-         |        FROM enc JOIN cw USING (mi, ki) GROUP BY vec_id),
-         |banded AS ($banded),
-         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |  WHERE a.vec_id < b.vec_id),
-         |dn AS (SELECT vec_id, dv, ${Vectors.sql.norm("dv")} AS dnorm FROM dec),
-         |scr AS (SELECT id_a, id_b
-         |  FROM pairs JOIN dn da ON da.vec_id = id_a JOIN dn db ON db.vec_id = id_b
-         |  WHERE $approxCos >= (0.9 - 0.15)::DOUBLE),
-         |un AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm FROM u)
-         |SELECT id_a, id_b, $exactCos AS cosine
-         |FROM scr JOIN un ua ON ua.vec_id = id_a JOIN un ub ON ub.vec_id = id_b
-         |WHERE $exactCos >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
+        .mkString("\nUNION ALL "))
+    },
+    // d10's scale-safe geometry as its own oracle-gated declaration:
+    // bits grows with the corpus (SimilaritySearch.scaledLshBits — the
+    // SCALE.md rule that measured 3.5× faster with zero spill where the
+    // pinned bits=8 saturated at x100 with 47.7 GB of spill). The oracle
+    // derives the SAME bits from the SAME corpus count with integer-only
+    // arithmetic, then bands with the dynamic-bits bucket expression —
+    // so the geometry rule itself is under the cross-engine hash gate.
+    "d10_pq_neardup_scaled" -> {
+      val NTables = 4
+      d10Sql(
+        s"""SELECT vec_id, tb AS tbl,
+           |  ${Vectors.sql.lshBucketDyn("vec", "bits", "tb")} AS bucket
+           |FROM u CROSS JOIN geo
+           |CROSS JOIN (SELECT unnest([${(0 until NTables).mkString(", ")}]) AS tb) tbls""".stripMargin,
+        preCtes =
+          "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM u),\n")
     },
     "d5_embedding_neardup" -> d5OracleSql,
     "c5_embedding_clusters" ->
@@ -1096,6 +1098,52 @@ object DedupQueries {
       |  list_transform(generate_series(1, len(embedding)),
       |    i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05 ELSE embedding[i]::DOUBLE END)
       |FROM embeddings""".stripMargin
+
+  /** d10's oracle SQL parameterized by the banding CTE body — the PQ
+    * chain (anchor-sampled codebook → encode → decode → approx screen →
+    * exact verify) is geometry-independent; only `banded` (and for the
+    * scaled variant the corpus-derived `geo.bits` CTE in `preCtes`)
+    * differs between the pinned and scaled declarations. */
+  private def d10Sql(bandedSql: String, preCtes: String = ""): String = {
+    val M = 8; val Kcw = 16; val SubDim = 8
+    val u = embUniverseSql
+    val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
+      "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
+    val approxCos = Vectors.sql.cosineWithNorms("da.dv", "db.dv", "da.dnorm", "db.dnorm")
+    val exactCos = Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")
+    s"""WITH u AS ($u),
+       |${preCtes}anch AS (SELECT ki, av FROM (
+       |  SELECT row_number() OVER (ORDER BY
+       |      ${Hashing.sql.hash64("CAST(vec_id AS VARCHAR)")} ASC,
+       |      vec_id ASC) AS ki, vec AS av
+       |  FROM u) WHERE ki <= $Kcw),
+       |subs AS (SELECT unnest([${(0 until M).mkString(", ")}]) AS mi),
+       |cw AS (SELECT mi, ki, list_slice(av, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS cw
+       |       FROM anch CROSS JOIN subs),
+       |pqd AS (SELECT vec_id, mi, ki, $l2 AS dist FROM (
+       |  SELECT vec_id, mi, ki,
+       |    list_slice(vec, mi * $SubDim + 1, mi * $SubDim + $SubDim) AS sv, cw
+       |  FROM u CROSS JOIN cw)),
+       |enc AS (SELECT vec_id, mi, ki FROM (
+       |  SELECT vec_id, mi, ki,
+       |    row_number() OVER (PARTITION BY vec_id, mi ORDER BY dist ASC, ki ASC) AS rr
+       |  FROM pqd) WHERE rr = 1),
+       |dec AS (SELECT vec_id, flatten(list(cw ORDER BY mi)) AS dv
+       |        FROM enc JOIN cw USING (mi, ki) GROUP BY vec_id),
+       |banded AS ($bandedSql),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |dn AS (SELECT vec_id, dv, ${Vectors.sql.norm("dv")} AS dnorm FROM dec),
+       |scr AS (SELECT id_a, id_b
+       |  FROM pairs JOIN dn da ON da.vec_id = id_a JOIN dn db ON db.vec_id = id_b
+       |  WHERE $approxCos >= (0.9 - 0.15)::DOUBLE),
+       |un AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm FROM u)
+       |SELECT id_a, id_b, $exactCos AS cosine
+       |FROM scr JOIN un ua ON ua.vec_id = id_a JOIN un ub ON ub.vec_id = id_b
+       |WHERE $exactCos >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** d5's oracle SQL, shared verbatim with c5's recursive closure. */
   private lazy val d5OracleSql: String = {

@@ -68,8 +68,30 @@ object PipelineQueries {
       Pipeline.buildUnified(abrDf(s, d), ccDf(s, d), "cc_id", cutoff)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Stop-token frequency for the blocked pipeline variant —
+    * blockedJoin's default 1000, the deployment configuration SCALE.md
+    * measured (cap=50 starves 60% of left rows at x100 where numeric
+    * name tokens have ~100 replica occurrences; cap=1000 accepts
+    * 9445/10000 with the residual gap cap-invariant to 20000).
+    * j1_blocked_join keeps 50 to exercise the tight-cap skew-control
+    * regime; this entry declares the one a 100 TB run uses. */
+  private val blockFreq = 1000L
+
   val queries: Map[String, Q] = Map(
     "u1_unified_pipeline" -> ((s, d) => unified(s, d).orderBy(col("abn"))),
+    // The scale path a 100 TB deployment runs (see Pipeline.buildUnified
+    // scaladoc): same staging, cleaning, assembly and keep-first as u1,
+    // with the exact broadcast product replaced by token blocking. Its
+    // oracle replicates the blocking, so correctness is gated on the
+    // blocked semantics themselves; the recall bound vs u1 is the
+    // documented shared-rare-keyword condition (PipelineSpec pins the
+    // subset/confidence-dominance invariants against u1).
+    "u1_blocked_pipeline" -> ((s, d) =>
+      memo.getOrElseUpdate("blocked|" + s.hashCode + "|" + d,
+        Pipeline.buildUnified(abrDf(s, d), ccDf(s, d), "cc_id", cutoff,
+            blockTokenFreq = Some(blockFreq))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .orderBy(col("abn"))),
     "u2_quality_report" -> ((s, d) => Pipeline.qualityReport(unified(s, d)))
   )
 
@@ -88,7 +110,18 @@ object PipelineQueries {
        |  FROM (SELECT ${p}_key, ${p}_name, ${Names.sql.normalize(s"${p}_name")} AS ${p}_norm
        |        FROM ($src)) WHERE length(${p}_norm) >= $minNorm)""".stripMargin
 
-  private val unifiedSql: String = {
+  /** Blocked-pair source mirroring [[graft.operators.MatchJoin.blockedJoin]]
+    * (same CTE shape as MatchQueries' j1_blocked oracle): DISTINCT pairs
+    * sharing a keyword token whose right-side frequency <= blockFreq. */
+  private val blockedPairsSrc: String =
+    s"""(SELECT DISTINCT l.left_key, l.left_name, l.left_norm, l.left_sorted, l.left_set, l.left_kw,
+       |   r.right_key, r.right_name, r.right_norm, r.right_sorted, r.right_set, r.right_kw
+       | FROM (SELECT lp.*, unnest(left_kw) AS tok FROM lp) l
+       | JOIN (SELECT rp.*, unnest(right_kw) AS tok FROM rp) r USING (tok)
+       | JOIN (SELECT tok FROM (SELECT unnest(right_kw) AS tok FROM rp)
+       |       GROUP BY tok HAVING count(*) <= $blockFreq) ok USING (tok))""".stripMargin
+
+  private def unifiedSqlFrom(pairsFrom: String): String = {
     val floorF = cutoff - 20
     val cleaned =
       s"""SELECT cc_id, website_url, industry, extracted FROM (
@@ -107,7 +140,7 @@ object PipelineQueries {
        |  ${Similarity.sql.tokenSetRatioFromSets("left_set", "right_set")} AS s_set,
        |  ${Similarity.sql.ratio("left_norm", "right_norm")} AS s_ratio,
        |  ${Similarity.sql.keywordScoreFromLists("left_kw", "right_kw")} AS s_kw
-       |  FROM lp CROSS JOIN rp),
+       |  FROM $pairsFrom),
        |best AS (SELECT left_key, right_key,
        |  CAST(coalesce(greatest(
        |    CASE WHEN s_sort >= $floorF THEN s_sort END,
@@ -127,9 +160,14 @@ object PipelineQueries {
        |JOIN cleaned ON matches.right_key = cleaned.cc_id""".stripMargin
   }
 
+  private lazy val unifiedSql: String = unifiedSqlFrom("lp CROSS JOIN rp")
+  private lazy val unifiedBlockedSql: String = unifiedSqlFrom(blockedPairsSrc)
+
   val oracles: Map[String, String] = Map(
     "u1_unified_pipeline" ->
       s"""SELECT * FROM ($unifiedSql) ORDER BY abn""".stripMargin,
+    "u1_blocked_pipeline" ->
+      s"""SELECT * FROM ($unifiedBlockedSql) ORDER BY abn""".stripMargin,
     "u2_quality_report" ->
       s"""SELECT count(*) AS total,
          |  count(CASE WHEN website_url IS NULL THEN 1 END) AS null_website,

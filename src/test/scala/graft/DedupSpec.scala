@@ -205,6 +205,40 @@ class DedupSpec extends SparkSpec {
       s"PQ-screen recall $recall below 0.9 (${pq.size}/${exact.size} pairs)")
   }
 
+  test("d10 scaled geometry: integer bits rule + exact-verified pairs vs brute force") {
+    import graft.operators.SimilaritySearch.scaledLshBits
+    // The corpus-sizing rule, integer-exact (smallest b with
+    // 2^b >= ceil(2n/16), floored at 4) — same values the DuckDB
+    // oracle's greatest(4, length(bin(target-1))) derives, incl. the
+    // power-of-two boundaries where a float log2 could mis-round.
+    assert(scaledLshBits(8) == 4)        // tiny corpus: floor binds
+    assert(scaledLshBits(100) == 4)
+    assert(scaledLshBits(1000) == 7)     // sf0.01 universe
+    assert(scaledLshBits(1024) == 7)     // target exactly 128 = 2^7
+    assert(scaledLshBits(1025) == 8)     // one past the boundary
+    assert(scaledLshBits(200000) == 15)  // the x100 cell SCALE.md measured
+    // Scaled banding changes CANDIDATES (coarser or finer buckets than
+    // the pinned bits=8) but never the verifier: every emitted pair
+    // must be a true >= 0.9 cosine pair of the universe.
+    val uni = graft.queries.DedupQueries.embeddingUniverse(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      (ia, va) <- uni.toSeq; (ib, vb) <- uni.toSeq
+      if ia < ib && cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    val scaled = graft.queries.DedupQueries.queries("d10_pq_neardup_scaled")(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(scaled.subsetOf(truth), "scaled d10 emitted a sub-threshold pair")
+    val recall = (truth intersect scaled).size.toDouble / math.max(1, truth.size)
+    assert(recall >= 0.9, s"scaled-geometry recall $recall below 0.9")
+  }
+
   test("ngram jaccard: identical=100, disjoint=0") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("text_a", "text_b")
     val out = Dedup.ngramJaccard(pairs, "text_a", "text_b", 3, 60)

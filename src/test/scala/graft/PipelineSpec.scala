@@ -20,6 +20,24 @@ class PipelineSpec extends SparkSpec {
     assert(unified.select($"abn").distinct().count() == rows.length)
   }
 
+  test("blocked pipeline: accepted set is dominated by the exact variant") {
+    // blockedJoin scores a SUBSET of the exact product's pairs, so per
+    // left key its best score can only be <= the exact best — every
+    // blocked-accepted abn must appear in the exact result with at
+    // least the blocked confidence. (The reverse direction is the
+    // documented recall bound: exact-accepted pairs sharing no rare
+    // keyword token are invisible to blocking.)
+    val blocked = graft.queries.PipelineQueries
+      .queries("u1_blocked_pipeline")(spark, sf)
+      .select($"abn", $"merged_confidence".as("conf_b"))
+    val exact = unified.select($"abn", $"merged_confidence".as("conf_e"))
+    assert(blocked.count() > 0)
+    val joined = blocked.join(exact, "abn")
+    assert(joined.count() == blocked.count(), "blocked abn not in exact result")
+    assert(joined.filter($"conf_b" > $"conf_e").count() == 0,
+      "blocked confidence exceeds exact best over superset pairs")
+  }
+
   test("cleaning drops RSS-prefixed and blank candidates") {
     val cleaned = Pipeline.cleanCandidates(
       Seq(("RSS Feed Co", "u1"), ("  ", "u2"), ("Acme Pty Ltd", "u3"))
