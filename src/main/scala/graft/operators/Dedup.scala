@@ -135,11 +135,13 @@ object Dedup {
     // without the dedup every such pair would verify into two output
     // rows; the semi-join bounds the dedup to O(pairs), not O(store).
     // The pair list feeds BOTH the semi-join and the verify join, so
-    // materialize it once (call-local checkpoint): without it Catalyst
-    // recomputes the banded candidate join per consumer, which measured
-    // 3x on every incremental query (u5 9.7 s -> 3.6 s warm at sf0.1).
-    val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
-      .localCheckpoint(true)
+    // materialize it once: without it Catalyst recomputes the banded
+    // candidate join per consumer, which measured 3x on every
+    // incremental query (u5 9.7 s -> 3.6 s warm at sf0.1). Mechanism
+    // is master-aware — see [[Materialize.once]] (cluster runs get the
+    // recomputable persist form, not a non-resilient checkpoint).
+    val pairs = Materialize.once(
+      incrementalCandidatePairs(newSigs, existingSigs, idCol, bands))
     val pairIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
     val allSh = existingSigs.select(col(idCol), col("sh"))
@@ -177,9 +179,10 @@ object Dedup {
                             idCol: String, numHashes: Int, bands: Int,
                             minAgree100: Int): DataFrame = {
     // same mid-compaction duplicate shield as the exact-Jaccard path,
-    // with the same once-materialized pair list (two consumers)
-    val pairs = incrementalCandidatePairs(newSigs, existingSigs, idCol, bands)
-      .localCheckpoint(true)
+    // with the same once-materialized pair list (two consumers;
+    // master-aware — see [[Materialize.once]])
+    val pairs = Materialize.once(
+      incrementalCandidatePairs(newSigs, existingSigs, idCol, bands))
     val pairIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
     val allSig = existingSigs.select(col(idCol), col("sig"))

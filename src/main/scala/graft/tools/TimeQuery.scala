@@ -21,10 +21,21 @@ object TimeQuery {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // Same task-metrics tap as Bench: per-run shuffle/spill/GC/CPU
+    // deltas make a wall-clock difference adjudicable (flat metrics +
+    // moved wall = contention; moved cpu/shuffle = real change).
+    val tap = org.apache.spark.graft.MetricsBridge.install(spark.sparkContext)
     val times = (1 to n).map { _ =>
+      org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+      val before = tap.snapshot()
       val t0 = System.nanoTime()
       fn(spark, d).count()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+      val m = tap.snapshot().zip(before).map { case (a, b) => a - b }
+      println(f"RUN $name wall=$sec%.2f shuffle_r=${m(0)} shuffle_w=${m(1)} " +
+        f"spill_mem=${m(2)} spill_disk=${m(3)} gc_ms=${m(4)} cpu_sec=${m(5) / 1e9}%.1f")
+      sec
     }
     println(f"TIMES $name ${times.map(t => f"$t%.2f").mkString(" ")} min=${times.min}%.2f")
     spark.stop()
