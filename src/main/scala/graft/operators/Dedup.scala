@@ -117,18 +117,29 @@ object Dedup {
   def incrementalMinhashPairs(incoming: DataFrame, existingSigs: DataFrame,
                               idCol: String, textCol: String,
                               shingleK: Int, numHashes: Int, bands: Int,
-                              minJaccard100: Int): DataFrame = {
+                              minJaccard100: Int,
+                              uniqueIds: Boolean = false): DataFrame = {
     val newSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    incrementalPairsFromSigs(newSigs, existingSigs, idCol, bands, minJaccard100)
+    incrementalPairsFromSigs(newSigs, existingSigs, idCol, bands, minJaccard100,
+      uniqueIds)
   }
 
   /** [[incrementalMinhashPairs]] with the batch signatures already
     * computed — the streaming driver uses this so one signature pass
     * feeds both the pair join and the store append. */
+  /** `uniqueIds = true` asserts the caller's store guarantees at most
+    * one row per id (a manifest-managed store — [[graft.sources
+    * .StoreManifest]] — or a write-once bucketed artifact): the
+    * mid-compaction duplicate SHIELD (`dropDuplicates` on the verify
+    * side, an extra exchange of the wide `sh` rows) is skipped. The
+    * default keeps the shield for unmanaged directory piles, whose
+    * root-scan can observe a snapshot and its folded partitions
+    * together. */
   def incrementalPairsFromSigs(newSigs: DataFrame, existingSigs: DataFrame,
                                idCol: String, bands: Int,
-                               minJaccard100: Int): DataFrame = {
+                               minJaccard100: Int,
+                               uniqueIds: Boolean = false): DataFrame = {
     // verify only ids that appear in a candidate pair, deduped by id —
     // a store read taken mid-compaction (snapshot written, folded
     // partitions not yet deleted) holds each folded row twice, and
@@ -144,10 +155,10 @@ object Dedup {
       incrementalCandidatePairs(newSigs, existingSigs, idCol, bands))
     val pairIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
-    val allSh = existingSigs.select(col(idCol), col("sh"))
+    val allSh0 = existingSigs.select(col(idCol), col("sh"))
       .unionByName(newSigs.select(col(idCol), col("sh")))
       .join(pairIds, Seq(idCol), "left_semi")
-      .dropDuplicates(idCol)
+    val allSh = if (uniqueIds) allSh0 else allSh0.dropDuplicates(idCol)
     val shA = allSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val shB = allSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     shB.join(shA.join(pairs, "id_a"), "id_b")
@@ -177,18 +188,20 @@ object Dedup {
     */
   def incrementalPairsBySig(newSigs: DataFrame, existingSigs: DataFrame,
                             idCol: String, numHashes: Int, bands: Int,
-                            minAgree100: Int): DataFrame = {
-    // same mid-compaction duplicate shield as the exact-Jaccard path,
-    // with the same once-materialized pair list (two consumers;
-    // master-aware — see [[Materialize.once]])
+                            minAgree100: Int,
+                            uniqueIds: Boolean = false): DataFrame = {
+    // same mid-compaction duplicate shield as the exact-Jaccard path
+    // (and the same `uniqueIds` opt-out for manifest-managed or
+    // write-once stores), with the same once-materialized pair list
+    // (two consumers; master-aware — see [[Materialize.once]])
     val pairs = Materialize.once(
       incrementalCandidatePairs(newSigs, existingSigs, idCol, bands))
     val pairIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
-    val allSig = existingSigs.select(col(idCol), col("sig"))
+    val allSig0 = existingSigs.select(col(idCol), col("sig"))
       .unionByName(newSigs.select(col(idCol), col("sig")))
       .join(pairIds, Seq(idCol), "left_semi")
-      .dropDuplicates(idCol)
+    val allSig = if (uniqueIds) allSig0 else allSig0.dropDuplicates(idCol)
     val sigA = allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sigB = allSig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     sigB.join(sigA.join(pairs, "id_a"), "id_b")
@@ -642,18 +655,22 @@ object Dedup {
   def incrementalWinnowingOverlap(incoming: DataFrame, storeFps: DataFrame,
                                   idCol: String, textCol: String,
                                   k: Int, w: Int, minShared: Long,
-                                  fpDfCap: Long = 1000L): DataFrame =
+                                  fpDfCap: Long = 1000L,
+                                  uniqueFps: Boolean = false): DataFrame =
     incrementalWinnowingOverlapFromFps(
       winnowedFingerprints(incoming, idCol, textCol, k, w).localCheckpoint(true),
-      storeFps, idCol, minShared, fpDfCap)
+      storeFps, idCol, minShared, fpDfCap, uniqueFps)
 
   /** [[incrementalWinnowingOverlap]] over an already-computed (and
     * persisted/checkpointed) batch fingerprint table — the streaming
     * driver winnows once and feeds both the pairing and the store
-    * append here. */
+    * append here. `uniqueFps = true` asserts the store guarantees
+    * (id, fp) uniqueness (manifest-managed or write-once) and swaps the
+    * df shield's partial-distinct for a plain partial count. */
   def incrementalWinnowingOverlapFromFps(newFps: DataFrame, storeFps: DataFrame,
                                          idCol: String, minShared: Long,
-                                         fpDfCap: Long): DataFrame = {
+                                         fpDfCap: Long,
+                                         uniqueFps: Boolean = false): DataFrame = {
     // the store side is a (bucketed) parquet read — scanning it twice
     // (df counts + pair join) beats checkpointing a corpus-sized frame
     val allFps = storeFps.select(col(idCol), col("fp"))
@@ -662,8 +679,11 @@ object Dedup {
     // (snapshot written, folded partitions not yet deleted) holds each
     // folded row twice — a plain count(*) would double those dfs and
     // spuriously drop fps in (cap/2, cap]. Same shuffle volume: the
-    // partial distinct dedups (fp, id) map-side.
-    val keep = allFps.groupBy(col("fp")).agg(countDistinct(col(idCol)).as("__df"))
+    // partial distinct dedups (fp, id) map-side. On a store whose
+    // layout guarantees uniqueness the counts coincide and the cheaper
+    // plain count (no per-group hash set in the partial) suffices.
+    val dfOf = if (uniqueFps) count(lit(1)) else countDistinct(col(idCol))
+    val keep = allFps.groupBy(col("fp")).agg(dfOf.as("__df"))
       .filter(col("__df") <= fpDfCap).select(col("fp"))
     val cappedNew = newFps.join(keep, Seq("fp"))
     val cappedAll = allFps.join(keep, Seq("fp"))

@@ -222,7 +222,7 @@ object DedupQueries {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz qq ww")).as("text"))
       Dedup.incrementalMinhashPairs(incoming, docSigsDf(s, d),
-          "doc_id", "text", K, H, B, 50)
+          "doc_id", "text", K, H, B, 50, uniqueIds = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -241,7 +241,8 @@ object DedupQueries {
       val newSigs = Dedup.sigOnly(
         Dedup.minhashSignatures(incoming, "doc_id", "text", K, H, B)
           .localCheckpoint(true), "doc_id", B)
-      Dedup.incrementalPairsBySig(newSigs, store, "doc_id", H, B, 50)
+      Dedup.incrementalPairsBySig(newSigs, store, "doc_id", H, B, 50,
+          uniqueIds = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -274,7 +275,7 @@ object DedupQueries {
       // memoized tables — the batch pays only its own hashing, banding
       // against the store, and the O(batch) contracted merge
       val batchPairs = Dedup.incrementalMinhashPairs(incoming, mutationSigsDf(s, d),
-        "doc_id", "text", K, H, B, 50)
+        "doc_id", "text", K, H, B, 50, uniqueIds = true)
       graft.operators.Components.mergeIncrementalClusters(
           dupClustersDf(s, d), batchPairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
@@ -295,7 +296,7 @@ object DedupQueries {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" rr ss")).as("text"))
       val batchPairs = Dedup.incrementalMinhashPairs(incoming, mutationSigsDf(s, d),
-        "doc_id", "text", K, H, B, 50)
+        "doc_id", "text", K, H, B, 50, uniqueIds = true)
       val base = dupClustersDf(s, d)
       val delta = graft.operators.Components.mergeIncrementalClustersDelta(
         base, batchPairs, "id_a", "id_b")
@@ -511,7 +512,7 @@ object DedupQueries {
             lit(" qq"), col("doc_id").cast("string")).as("text"))
       val store = Dedup.winnowedFingerprints(docs, "doc_id", "text", K, 4)
       Dedup.incrementalWinnowingOverlap(frags, store, "doc_id", "text",
-          k = K, w = 4, minShared = 3, fpDfCap = 100)
+          k = K, w = 4, minShared = 3, fpDfCap = 100, uniqueFps = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -573,9 +574,12 @@ object DedupQueries {
         if (sys.props.get("graft.u5.checkpoint").contains("true"))
           survivorsPlan.localCheckpoint(true)
         else survivorsPlan
+      // uniqueIds: the store side is the memoized write-once signature
+      // frame (one row per doc by construction) — the mid-compaction
+      // duplicate shield is for unmanaged directory piles
       val batchPairs = Dedup.incrementalMinhashPairs(
         survivors.select(col("doc_id"), col("clean_text").as("text")),
-        docSigsDf(s, d), "doc_id", "text", K, H, B, 50)
+        docSigsDf(s, d), "doc_id", "text", K, H, B, 50, uniqueIds = true)
       val merged = graft.operators.Components.mergeIncrementalClusters(
         plainLabelsDf(s, d), batchPairs, "id_a", "id_b")
       val labeled = survivors

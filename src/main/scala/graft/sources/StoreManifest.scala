@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic-visibility layout for the incremental `batch_id=` stores.
+  *
+  * The legacy layout is a bare directory pile: readers list the store
+  * root, so a compaction (snapshot-write THEN partition-delete) exposes
+  * a mid-window state in which folded rows exist twice, and every
+  * incremental operator carries an O(pairs)-bounded dedup shield to
+  * tolerate it (~20-30% of each incremental query's steady-state cost —
+  * SCALE.md "shield cost and the manifest alternative").
+  *
+  * The manifest layout removes the window instead of tolerating it:
+  * readers resolve the store through the newest committed version file
+  * under `_manifest/` (one live batch-directory name per line), writers
+  * publish a new version by atomic rename, and directories not listed
+  * by the resolved version are invisible garbage. A compaction writes
+  * its snapshot to a FRESH directory name (never overwriting a listed
+  * one), publishes the swapped listing, and only then deletes the
+  * folded directories — so any reader resolves strictly old-or-new,
+  * never a mix, and store reads are guaranteed duplicate-free
+  * (CompactionWindowSpec pins both states; the operators' shields
+  * become opt-in for unmanaged inputs).
+  *
+  * Concurrency contract (same as the legacy layout, now explicit):
+  * ONE writer at a time — the streaming driver's foreachBatch and the
+  * maintenance compactor are sequenced, never concurrent; readers are
+  * unrestricted. Version files are monotonically numbered; a writer
+  * crash mid-publish leaves a `.tmp` file that no reader resolves.
+  * Physical deletion of just-unlisted directories races only with a
+  * reader that RESOLVED before the publish and is still scanning —
+  * the same in-flight race the legacy delete had; on an object store
+  * deployment, defer deletion by one maintenance cycle to close it.
+  */
+object StoreManifest {
+
+  private val Dir = "_manifest"
+  private val KeepVersions = 4
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.drop(1).forall(_.isDigit))
+      Some(name.drop(1).toLong)
+    else None
+
+  /** Newest committed (version, listed dir names), or None when the
+    * store is unmanaged (no `_manifest/` with a committed version). */
+  def latest(spark: SparkSession, storeDir: String): Option[(Long, Seq[String])] = {
+    val (fs, root) = fsOf(spark, storeDir)
+    val mdir = new Path(root, Dir)
+    if (!fs.exists(mdir)) return None
+    val versions = fs.listStatus(mdir).flatMap(s => versionOf(s.getPath.getName))
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = fs.open(new Path(mdir, f"v$v%020d"))
+    val body = try new String(in.readAllBytes, java.nio.charset.StandardCharsets.UTF_8)
+               finally in.close()
+    Some(v -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  def isManaged(spark: SparkSession, storeDir: String): Boolean =
+    latest(spark, storeDir).isDefined
+
+  /** Commit `entries` as the next version: write to a `.tmp` name,
+    * then atomic rename to the committed `v<N>` name. Returns the
+    * committed version. */
+  def publish(spark: SparkSession, storeDir: String,
+              entries: Seq[String]): Long = {
+    val (fs, root) = fsOf(spark, storeDir)
+    val mdir = new Path(root, Dir)
+    fs.mkdirs(mdir)
+    val v = latest(spark, storeDir).map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(mdir, f".tmp-v$v%020d-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new Path(mdir, f"v$v%020d")),
+      s"manifest publish lost a race for version $v at $storeDir — " +
+        "the store's single-writer contract was violated")
+    // GC old version FILES only (never data dirs): readers of the last
+    // few versions keep resolving while this writer moves on
+    fs.listStatus(mdir).foreach { s =>
+      versionOf(s.getPath.getName).foreach { ov =>
+        if (ov + KeepVersions <= v) fs.delete(s.getPath, false)
+      }
+    }
+    v
+  }
+
+  /** The names a legacy (pre-manifest) pile holds — its `batch_id=`
+    * children — for first-contact migration. */
+  private def legacyDirs(fs: FileSystem, root: Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).toSeq
+
+  /** Idempotently add one batch directory to the live set, migrating a
+    * legacy pile (manifest = all existing `batch_id=` dirs) on first
+    * contact. Call AFTER the directory's data is fully written. */
+  def commitBatch(spark: SparkSession, storeDir: String,
+                  dirName: String): Unit = {
+    val (fs, root) = fsOf(spark, storeDir)
+    val live = latest(spark, storeDir).map(_._2)
+      .getOrElse(legacyDirs(fs, root).filter(_ != dirName))
+    if (!live.contains(dirName))
+      publish(spark, storeDir, live :+ dirName)
+    ()
+  }
+
+  /** Atomically swap the live set to (live − drop) + add — the
+    * compaction publish. Migrates a legacy pile on first contact. */
+  def replace(spark: SparkSession, storeDir: String,
+              drop: Set[String], add: Seq[String]): Unit = {
+    val (fs, root) = fsOf(spark, storeDir)
+    val live = latest(spark, storeDir).map(_._2).getOrElse(legacyDirs(fs, root))
+    publish(spark, storeDir,
+      live.filterNot(drop.contains) ++ add.filterNot(live.contains))
+    ()
+  }
+
+  /** Read the live directories of a MANAGED store as one DataFrame
+    * (with the `batch_id` partition column preserved via basePath), or
+    * None when the store is unmanaged — callers fall back to their
+    * legacy root scan. An empty live set yields None as well: callers
+    * already construct the correctly-typed empty frame. */
+  def readLive(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    latest(spark, storeDir).collect {
+      case (_, dirs) if dirs.nonEmpty =>
+        spark.read.option("basePath", storeDir)
+          .parquet(dirs.map(n => s"$storeDir/$n"): _*)
+    }
+
+  /** True when the store resolves to NO live data: unmanaged and no
+    * legacy dirs, or managed with an empty live set. */
+  def resolvesEmpty(spark: SparkSession, storeDir: String): Boolean = {
+    val (fs, root) = fsOf(spark, storeDir)
+    latest(spark, storeDir) match {
+      case Some((_, dirs)) => dirs.isEmpty
+      case None => legacyDirs(fs, root).isEmpty
+    }
+  }
+}

@@ -52,18 +52,26 @@ object IncrementalDedup {
         try {
           val existing = readStoreBefore(s, sigStoreDir, newSigs.schema,
             ltBatch = batchId)
+          // uniqueIds: a manifest-resolved store read is duplicate-free
+          // by construction — the verify-side dropDuplicates shield
+          // (an extra exchange of wide sig/sh rows) is skipped
+          val unique = graft.sources.StoreManifest.isManaged(s, sigStoreDir)
           val pairs =
             if (verifyBySig)
               Dedup.incrementalPairsBySig(
-                newSigs, existing, idCol, numHashes, bands, minJaccard100)
+                newSigs, existing, idCol, numHashes, bands, minJaccard100,
+                uniqueIds = unique)
             else
               Dedup.incrementalPairsFromSigs(
-                newSigs, existing, idCol, bands, minJaccard100)
+                newSigs, existing, idCol, bands, minJaccard100,
+                uniqueIds = unique)
           pairs.write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing: the batch must not see its own sigs
           // on the existing side (pairs would double via both orders)
           newSigs.write.mode("overwrite")
             .parquet(s"$sigStoreDir/batch_id=$batchId")
+          graft.sources.StoreManifest.commitBatch(s, sigStoreDir,
+            s"batch_id=$batchId")
           // continuous cluster maintenance: fold this batch's pairs into
           // the labeling as a per-batch DELTA (changed + new rows only —
           // O(merged components), never O(corpus)); replays overwrite
@@ -77,6 +85,8 @@ object IncrementalDedup {
             graft.operators.Components.mergeIncrementalClustersDelta(
                 current, batchPairs, "id_a", "id_b")
               .write.mode("overwrite").parquet(s"$labelsDir/batch_id=$batchId")
+            graft.sources.StoreManifest.commitBatch(s, labelsDir,
+              s"batch_id=$batchId")
           }
         } finally newSigs.unpersist()
         ()
@@ -100,12 +110,18 @@ object IncrementalDedup {
     def empty = idLike.select(col(idLike.columns.head).as("node"),
       col(idLike.columns.head).as("cluster")).limit(0)
     if (!fs.exists(path)) return empty
-    val parts = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
+    // manifest-resolved when managed (atomic across compactions — see
+    // StoreManifest); legacy piles root-scan as before
+    val managed = graft.sources.StoreManifest.latest(spark, labelsDir)
+    val parts = managed.map(_._2.map(_.stripPrefix("batch_id=").toLong))
+      .getOrElse(fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).toSeq)
       .filter(_ < ltBatch)
     if (parts.isEmpty) return empty
-    val all = spark.read.parquet(labelsDir)   // batch_id partition column
+    val all = (if (managed.isDefined)
+        graft.sources.StoreManifest.readLive(spark, labelsDir).get
+      else spark.read.parquet(labelsDir))  // batch_id partition column
       .filter(col("batch_id") < ltBatch)
     graft.operators.Components.resolveLabels(
       all.filter(col("batch_id") === parts.min),
@@ -116,49 +132,57 @@ object IncrementalDedup {
     * [[resolveLabels]] linear as batches accumulate (without it, each
     * resolution re-reads base + every delta, so per-batch read cost
     * grows with batch count). Rewrites the labeling resolved through
-    * `uptoBatch` as ONE full snapshot at `batch_id=uptoBatch` and
-    * removes the now-redundant older partitions; latest-wins
-    * resolution is unchanged because every node's current row now
-    * carries the highest surviving batch_id. Run it between
-    * [[runOnce]] invocations on whatever cadence read amplification
-    * warrants (the same snapshot+delta+compact shape as
-    * [[graft.sources.Layout.compact]]). Safe against a replay of the
-    * NEXT batch: replays only touch their own partition and read
-    * strictly older ones, and the snapshot is older than any
-    * yet-unprocessed batch.
+    * `uptoBatch` as ONE full snapshot at the fresh negative id
+    * `batch_id=-(uptoBatch+1)` (unique: fold horizons strictly
+    * increase) and retires the folded partitions; latest-wins
+    * resolution is unchanged because the snapshot's id sorts BELOW
+    * every live delta — it becomes [[resolveLabels]]'s base, and
+    * surviving deltas (> uptoBatch) override per node exactly as they
+    * overrode the partitions the snapshot folded. The manifest swap
+    * publishes the new layout atomically, so a concurrent reader
+    * resolves old-or-new, never a mix. Run it between [[runOnce]]
+    * invocations on whatever cadence read amplification warrants.
     *
     * The NEWEST delta may itself still replay (foreachBatch is
     * at-least-once: a crash after the delta write but before the
     * checkpoint commit re-runs the batch). Folding it would be ruinous,
     * not just stale: the replay resolves labels from partitions
-    * strictly OLDER than its own id, so it would miss the snapshot
-    * written AT its id, recompute the delta against an empty labeling,
-    * and overwrite the snapshot with it — losing every folded label.
-    * Hence the same guard as the span store: refuse unless a strictly
-    * newer committed partition proves `uptoBatch` can no longer
-    * replay. */
+    * strictly OLDER than its own id, so it would miss the folded
+    * snapshot, recompute the delta against an empty labeling, and
+    * commit that — losing every folded label. Hence the same guard as
+    * the span store: refuse unless a strictly newer committed
+    * partition proves `uptoBatch` can no longer replay. */
   def compactLabels(spark: SparkSession, labelsDir: String,
                     uptoBatch: Long): Unit = {
     val path = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
-    val ids = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    require(ids.exists(_ > uptoBatch),
+    val managed = graft.sources.StoreManifest.latest(spark, labelsDir)
+    val names = managed.map(_._2).getOrElse(
+      fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).toSeq)
+    def idOf(n: String) = n.stripPrefix("batch_id=").toLong
+    require(names.map(idOf).exists(_ > uptoBatch),
       s"refusing to compact labels through batch $uptoBatch: it is the " +
         "newest batch and may still be replayed — compact only after a " +
         "newer batch has committed")
-    val snapshot = resolveLabels(spark, labelsDir, ltBatch = uptoBatch + 1,
-        idLike = spark.read.parquet(labelsDir).select(col("node")))
-      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
-    snapshot.write.mode("overwrite").parquet(s"$labelsDir/batch_id=$uptoBatch")
-    fs.listStatus(path).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=") &&
-          name.stripPrefix("batch_id=").toLong < uptoBatch)
-        fs.delete(st.getPath, true)
-    }
+    val foldNames = names.filter(n => idOf(n) <= uptoBatch)
+    val idLike = (if (managed.isDefined)
+        graft.sources.StoreManifest.readLive(spark, labelsDir).get
+      else spark.read.parquet(labelsDir)).select(col("node"))
+    val snapName = s"batch_id=-${uptoBatch + 1}"
+    val snap0 = resolveLabels(spark, labelsDir, ltBatch = uptoBatch + 1,
+      idLike = idLike)
+    // fresh target dir — materialize only on the re-compaction edge
+    // where an identical horizon would overwrite its own listed input
+    val snapshot =
+      if (names.contains(snapName)) graft.operators.Materialize.once(snap0)
+      else snap0
+    snapshot.write.mode("overwrite").parquet(s"$labelsDir/$snapName")
+    graft.sources.StoreManifest.replace(spark, labelsDir,
+      foldNames.toSet, Seq(snapName))
+    foldNames.filter(_ != snapName)
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), true))
   }
 
   /** The accumulated store (optionally narrowed to a sub-glob, e.g.
@@ -168,15 +192,24 @@ object IncrementalDedup {
   private[streaming] def readStore(spark: SparkSession, dir: String,
                                    schema: StructType,
                                    glob: String = ""): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nonEmpty = fs.exists(path) &&
-      (glob.isEmpty ||
-        fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id=")))
-    if (nonEmpty)
-      spark.read.schema(schema).parquet(dir + glob)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.sources.StoreManifest.latest(spark, dir) match {
+      case Some((_, dirs)) =>
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else
+          spark.read.schema(schema).parquet(dirs.map(n => s"$dir/$n"): _*)
+      case None =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val nonEmpty = fs.exists(path) &&
+          (glob.isEmpty ||
+            fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id=")))
+        if (nonEmpty)
+          spark.read.schema(schema).parquet(dir + glob)
+        else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** The signature store as of just before `ltBatch` — replay safety:
@@ -186,53 +219,20 @@ object IncrementalDedup {
     * the empty pre-first-batch frame and the column projection. */
   private[streaming] def readStoreBefore(spark: SparkSession, dir: String,
                                          schema: StructType,
-                                         ltBatch: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nonEmpty = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-    if (nonEmpty)
-      spark.read.parquet(dir)   // batch_id is the partition column
-        .filter(col("batch_id") < ltBatch)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+                                         ltBatch: Long): DataFrame =
+    StoreCompaction.readResolved(spark, dir, schema, ltBatch)
 
   /** Signature-store compaction: fold the `batch_id=` pile through
-    * `uptoBatch` into the RESERVED `batch_id=-1` base and drop the
-    * folded partitions — the [[IncrementalSubstringScrub.compactStore]]
-    * shape. Partitions are disjoint by id on a clean history; the
-    * `dropDuplicates` absorbs the crash window where a prior
-    * interrupted compaction left rows in both the base and a folded
-    * partition. The NEWEST batch (the only one structured streaming
-    * can still replay) must never fold. */
+    * `uptoBatch` into a fresh negative-id snapshot and drop the folded
+    * partitions — the [[IncrementalSubstringScrub.compactStore]] shape
+    * ([[StoreCompaction.fold]]). Partitions are disjoint by id on a
+    * clean history; the legacy-path `dropDuplicates` absorbs the crash
+    * window where a prior interrupted compaction left rows in both the
+    * base and a folded partition (impossible through a manifest
+    * resolve). The NEWEST batch (the only one structured streaming can
+    * still replay) must never fold. */
   def compactSigs(spark: SparkSession, sigStoreDir: String,
-                  uptoBatch: Long): Unit = {
-    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
-    val path = new org.apache.hadoop.fs.Path(sigStoreDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
-    val ids = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    require(ids.exists(_ > uptoBatch),
-      s"refusing to compact through batch $uptoBatch: it is the newest " +
-        "batch and may still be replayed — compact only after a newer " +
-        "batch has committed")
-    val all = spark.read.parquet(sigStoreDir)
-      .filter(col("batch_id") <= uptoBatch)
-    val idColName = all.columns.head
-    val snapshot = all.drop("batch_id")
-      .dropDuplicates(idColName)
-      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
-    snapshot.write.mode("overwrite").parquet(s"$sigStoreDir/batch_id=-1")
-    fs.listStatus(path).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=")) {
-        val id = name.stripPrefix("batch_id=").toLong
-        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
-      }
-    }
-  }
+                  uptoBatch: Long): Unit =
+    StoreCompaction.fold(spark, sigStoreDir, uptoBatch,
+      df => df.dropDuplicates(df.columns.head))
 }

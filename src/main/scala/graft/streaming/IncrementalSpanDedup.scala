@@ -50,9 +50,12 @@ object IncrementalSpanDedup {
           Dedup.reassembleSpans(batch, fresh, idCol, textCol, spanTokens)
             .write.mode("overwrite").parquet(s"$cleanOutDir/batch_id=$batchId")
           // append AFTER scrubbing: the batch must not see its own
-          // spans on the store side (everything would scrub to "")
+          // spans on the store side (everything would scrub to "");
+          // the manifest commit makes the new partition visible
+          // atomically (idempotent across replays)
           fresh.select(col("span_md5"))
             .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+          graft.sources.StoreManifest.commitBatch(s, storeDir, s"batch_id=$batchId")
         } finally fresh.unpersist()
         ()
       }
@@ -62,63 +65,29 @@ object IncrementalSpanDedup {
     q.awaitTermination()
   }
 
-  /** Fold the `batch_id=` partition pile through `uptoBatch` into the
-    * RESERVED `batch_id=-1` base and drop the folded partitions — the
+  /** Fold the `batch_id=` partition pile through `uptoBatch` into a
+    * fresh negative-id snapshot and drop the folded partitions — the
     * read-amplification chore ([[readStore]] otherwise opens every
     * batch's files forever). Store partitions are disjoint by
     * construction (each batch appends only hashes the store lacked),
     * so the fold is a plain concatenation with the existing base.
-    *
-    * The base id is reserved, never a live batch id: writing the
-    * snapshot AT `batch_id=uptoBatch` would alias a partition a
-    * structured-streaming replay of that batch still owns — the
-    * replay would overwrite the entire folded history with its own
-    * delta and read an empty store for its scrub (at-least-once
-    * delivery destroys the membership set). For the same reason the
-    * NEWEST batch must never fold (only it can still replay): the
-    * guard refuses unless a strictly newer partition exists. */
+    * Mechanics (snapshot naming, manifest swap, replay guard, legacy
+    * duplicate absorber) are shared — see [[StoreCompaction.fold]]:
+    * the snapshot id is negative so it can never alias a partition a
+    * structured-streaming replay still owns (at-least-once delivery
+    * would otherwise overwrite the folded history and destroy the
+    * membership set). */
   def compactStore(spark: SparkSession, storeDir: String,
-                   uptoBatch: Long): Unit = {
-    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
-    val ids = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    require(ids.exists(_ > uptoBatch),
-      s"refusing to compact through batch $uptoBatch: it is the newest " +
-        "batch and may still be replayed — compact only after a newer " +
-        "batch has committed")
-    // distinct: partitions are disjoint on a clean history, but a crash
-    // between writing this snapshot and deleting the folded partitions
-    // leaves their hashes in BOTH — without the dedup every interrupted
-    // compaction would bake the duplicates into the base forever
-    val snapshot = readStore(spark, storeDir, ltBatch = uptoBatch + 1)
-      .distinct()
-      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
-    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
-    fs.listStatus(path).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=")) {
-        val id = name.stripPrefix("batch_id=").toLong
-        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
-      }
-    }
-  }
+                   uptoBatch: Long): Unit =
+    StoreCompaction.fold(spark, storeDir, uptoBatch, _.distinct())
 
   /** The span-hash membership set as of just before `ltBatch` (replay
-    * safety: a batch's own earlier attempt is excluded). */
+    * safety: a batch's own earlier attempt is excluded). Resolved
+    * through the store manifest when one exists (atomic old-or-new
+    * visibility across compactions); legacy piles root-scan. */
   def readStore(spark: SparkSession, storeDir: String,
-                ltBatch: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType().add("span_md5", StringType))
-    spark.read.parquet(storeDir)   // batch_id is the partition column
-      .filter(col("batch_id") < ltBatch)
+                ltBatch: Long): DataFrame =
+    StoreCompaction.readResolved(spark, storeDir,
+        new StructType().add("span_md5", StringType), ltBatch)
       .select(col("span_md5"))
-  }
 }

@@ -52,6 +52,7 @@ object IncrementalSubstringScrub {
         grams.select(col("gh")).distinct()
           .join(store, Seq("gh"), "left_anti")
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        graft.sources.StoreManifest.commitBatch(s, storeDir, s"batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -60,53 +61,21 @@ object IncrementalSubstringScrub {
     q.awaitTermination()
   }
 
-  /** Fold the `batch_id=` pile through `uptoBatch` into the RESERVED
-    * `batch_id=-1` base and drop the folded partitions — same replay
-    * reasoning as [[IncrementalSpanDedup.compactStore]]: the snapshot
-    * never aliases a live batch id, and the NEWEST batch (the only one
-    * structured streaming can still replay) must never fold. */
+  /** Fold the `batch_id=` pile through `uptoBatch` into a fresh
+    * negative-id snapshot and drop the folded partitions — same replay
+    * reasoning and mechanics as [[IncrementalSpanDedup.compactStore]]
+    * ([[StoreCompaction.fold]]): the snapshot never aliases a live
+    * batch id, and the NEWEST batch (the only one structured streaming
+    * can still replay) must never fold. */
   def compactStore(spark: SparkSession, storeDir: String,
-                   uptoBatch: Long): Unit = {
-    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
-    val ids = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    require(ids.exists(_ > uptoBatch),
-      s"refusing to compact through batch $uptoBatch: it is the newest " +
-        "batch and may still be replayed — compact only after a newer " +
-        "batch has committed")
-    // distinct: partitions are disjoint on a clean history, but a crash
-    // between writing this snapshot and deleting the folded partitions
-    // leaves their hashes in BOTH — without the dedup every interrupted
-    // compaction would bake the duplicates into the base forever
-    val snapshot = readStore(spark, storeDir, ltBatch = uptoBatch + 1)
-      .distinct()
-      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
-    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
-    fs.listStatus(path).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=")) {
-        val id = name.stripPrefix("batch_id=").toLong
-        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
-      }
-    }
-  }
+                   uptoBatch: Long): Unit =
+    StoreCompaction.fold(spark, storeDir, uptoBatch, _.distinct())
 
   /** The gram-hash membership set as of just before `ltBatch` (replay
-    * safety: a batch's own earlier attempt is excluded). */
+    * safety: a batch's own earlier attempt is excluded). Resolved
+    * through the store manifest when one exists. */
   def readStore(spark: SparkSession, storeDir: String,
-                ltBatch: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType().add("gh", LongType))
-    spark.read.parquet(storeDir)   // batch_id is the partition column
-      .filter(col("batch_id") < ltBatch)
-      .select(col("gh"))
-  }
+                ltBatch: Long): DataFrame =
+    StoreCompaction.readResolved(spark, storeDir,
+      new StructType().add("gh", LongType), ltBatch)
 }

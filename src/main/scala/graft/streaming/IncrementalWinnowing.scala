@@ -50,12 +50,16 @@ object IncrementalWinnowing {
         val newFps = Dedup.winnowedFingerprints(batch, idCol, textCol, k, w)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // uniqueFps: a manifest-resolved store read is duplicate-free
+          // by construction, so the df count needs no distinct shield
           Dedup.incrementalWinnowingOverlapFromFps(newFps, store, idCol,
-              minShared, fpDfCap)
+              minShared, fpDfCap,
+              uniqueFps = graft.sources.StoreManifest.isManaged(s, fpStoreDir))
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing (the batch must not meet itself twice)
           newFps.write.mode("overwrite")
             .parquet(s"$fpStoreDir/batch_id=$batchId")
+          graft.sources.StoreManifest.commitBatch(s, fpStoreDir, s"batch_id=$batchId")
         } finally newFps.unpersist()
         ()
       }
@@ -66,57 +70,27 @@ object IncrementalWinnowing {
   }
 
   /** Fingerprint-store compaction: fold the `batch_id=` pile through
-    * `uptoBatch` into the RESERVED `batch_id=-1` base and drop the
-    * folded partitions — the [[IncrementalSubstringScrub.compactStore]]
-    * shape. Partitions are disjoint by id on a clean history; the
-    * `distinct` absorbs the crash window where a prior interrupted
-    * compaction left rows in both the base and a folded partition. The
-    * NEWEST batch (the only one structured streaming can still replay)
-    * must never fold. */
+    * `uptoBatch` into a fresh negative-id snapshot and drop the folded
+    * partitions — the [[IncrementalSubstringScrub.compactStore]] shape
+    * ([[StoreCompaction.fold]]). Partitions are disjoint by id on a
+    * clean history; the legacy-path `distinct` absorbs the crash window
+    * where a prior interrupted compaction left rows in both the base
+    * and a folded partition (impossible through a manifest resolve).
+    * The NEWEST batch (the only one structured streaming can still
+    * replay) must never fold. */
   def compactStore(spark: SparkSession, storeDir: String,
-                   uptoBatch: Long): Unit = {
-    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
-    val ids = fs.listStatus(path).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    require(ids.exists(_ > uptoBatch),
-      s"refusing to compact through batch $uptoBatch: it is the newest " +
-        "batch and may still be replayed — compact only after a newer " +
-        "batch has committed")
-    val snapshot = spark.read.parquet(storeDir)
-      .filter(col("batch_id") <= uptoBatch)
-      .drop("batch_id")
-      .distinct()
-      .localCheckpoint(true) // materialize BEFORE overwriting the inputs
-    snapshot.write.mode("overwrite").parquet(s"$storeDir/batch_id=-1")
-    fs.listStatus(path).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=")) {
-        val id = name.stripPrefix("batch_id=").toLong
-        if (id >= 0 && id <= uptoBatch) fs.delete(st.getPath, true)
-      }
-    }
-  }
+                   uptoBatch: Long): Unit =
+    StoreCompaction.fold(spark, storeDir, uptoBatch, _.distinct())
 
   /** The accumulated (id, fp) fingerprint table as of just before
     * `ltBatch` (replay safety: a batch's own earlier attempt is
     * excluded). `idType` shapes the empty first-batch frame — the
     * operator family is generic over orderable id types, so the store
-    * must not hard-code one. */
+    * must not hard-code one. Resolved through the store manifest when
+    * one exists. */
   def readStore(spark: SparkSession, storeDir: String, idCol: String,
                 idType: org.apache.spark.sql.types.DataType,
-                ltBatch: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType().add(idCol, idType).add("fp", LongType))
-    spark.read.parquet(storeDir)   // batch_id is the partition column
-      .filter(col("batch_id") < ltBatch)
-      .select(col(idCol), col("fp"))
-  }
+                ltBatch: Long): DataFrame =
+    StoreCompaction.readResolved(spark, storeDir,
+      new StructType().add(idCol, idType).add("fp", LongType), ltBatch)
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+import graft.sources.StoreManifest
+
+/** Shared read/fold machinery for the `batch_id=` incremental stores
+  * (sig, span, gram, fingerprint) — one implementation of the
+  * manifest-vs-legacy resolution rules:
+  *
+  *  - READ: a managed store resolves through its newest manifest
+  *    version (atomic old-or-new across compactions, duplicate-free by
+  *    construction); an unmanaged pile root-scans as before.
+  *  - FOLD: the snapshot goes to a FRESH directory
+  *    (`batch_id=-(uptoBatch+1)` — unique because fold horizons
+  *    strictly increase; negative so it sorts before every live batch
+  *    and can never alias a replayable id), the manifest swap publishes
+  *    it atomically, and only then are the folded directories deleted.
+  *    Readers therefore never observe a folded row twice — the
+  *    interrupted-compaction duplicate absorber is needed only on the
+  *    legacy root-scan path.
+  */
+private[streaming] object StoreCompaction {
+
+  private def idOf(name: String): Long = name.stripPrefix("batch_id=").toLong
+
+  /** The resolved store content strictly before `ltBatch`, projected to
+    * `schema`'s columns; a correctly-typed empty frame when the store
+    * resolves to no live data. */
+  def readResolved(spark: SparkSession, storeDir: String,
+                   schema: StructType, ltBatch: Long): DataFrame = {
+    if (StoreManifest.resolvesEmpty(spark, storeDir))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    StoreManifest.readLive(spark, storeDir)
+      .getOrElse(spark.read.parquet(storeDir)) // batch_id partition col
+      .filter(col("batch_id") < ltBatch)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Fold everything with `batch_id <= uptoBatch` (prior snapshots
+    * included — their ids are negative) into one fresh snapshot
+    * directory and retire the folded ones. `legacyDedup` is the
+    * interrupted-compaction duplicate absorber, applied ONLY when the
+    * store is an unmanaged pile whose root-scan can see a snapshot and
+    * its folded partitions together; a manifest-managed resolve cannot.
+    * The newest batch (the only one structured streaming can still
+    * replay) must never fold — same guard as always. */
+  def fold(spark: SparkSession, storeDir: String, uptoBatch: Long,
+           legacyDedup: DataFrame => DataFrame): Unit = {
+    require(uptoBatch >= 0, "uptoBatch must be a real batch id")
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val managed = StoreManifest.latest(spark, storeDir)
+    val names = managed.map(_._2).getOrElse(
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).toSeq)
+    require(names.map(idOf).exists(_ > uptoBatch),
+      s"refusing to compact through batch $uptoBatch: it is the newest " +
+        "batch and may still be replayed — compact only after a newer " +
+        "batch has committed")
+    val foldNames = names.filter(n => idOf(n) <= uptoBatch)
+    val resolved = (managed match {
+      case Some(_) => StoreManifest.readLive(spark, storeDir).get
+      case None => spark.read.parquet(storeDir)
+    }).filter(col("batch_id") <= uptoBatch).drop("batch_id")
+    val snap0 = if (managed.isDefined) resolved else legacyDedup(resolved)
+    val snapName = s"batch_id=-${uptoBatch + 1}"
+    // the snapshot targets a fresh directory, so no pre-write
+    // materialization is needed — EXCEPT the re-compaction edge where
+    // an identical horizon would overwrite its own (listed) input
+    val snapshot =
+      if (names.contains(snapName)) graft.operators.Materialize.once(snap0)
+      else snap0
+    snapshot.write.mode("overwrite").parquet(s"$storeDir/$snapName")
+    StoreManifest.replace(spark, storeDir, foldNames.toSet, Seq(snapName))
+    foldNames.filter(_ != snapName)
+      .foreach(n => fs.delete(new Path(root, n), true))
+  }
+}

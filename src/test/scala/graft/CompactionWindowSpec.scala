@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.streaming.{IncrementalDedup, IncrementalSpanDedup, IncrementalSubstringScrub, IncrementalWinnowing}
 
-/** Store compaction is a snapshot-write THEN partition-delete: between
-  * the two, a reader scanning the store root sees every folded row
-  * twice (once in the reserved `batch_id=-1` base, once in its
-  * original partition). These tests reconstruct both window states
-  * deterministically — (1) snapshot written, nothing deleted; (2)
-  * snapshot written, deletes half done — and assert every reader and
-  * consumer resolves the SAME state as before/after the compaction:
-  * old or new, never a mix. Membership probes (gram/span anti-joins)
-  * are duplicate-blind by construction; the pairing consumers are
-  * duplicate-blind because df caps count DISTINCT docs and
-  * verification dedups by id after the pair semi-join — exactly the
-  * properties these tests pin. */
+/** Store compaction under the manifest layout
+  * ([[graft.sources.StoreManifest]]) is snapshot-write → atomic
+  * manifest swap → partition-delete. A manifest-resolving reader can
+  * therefore observe exactly two states: OLD (manifest not yet
+  * swapped — the fresh snapshot directory exists but is unlisted,
+  * hence invisible) and NEW (manifest swapped — the folded
+  * directories may still exist but are unlisted, hence invisible).
+  * These tests reconstruct both states deterministically and assert
+  * every reader and consumer resolves the SAME result as
+  * before/after the compaction: old or new, never a mix.
+  *
+  * The final test additionally pins the LEGACY (pre-manifest,
+  * root-scanning) tolerance: raw root scans of the mid-window union
+  * still resolve correctly because the operators' default shields
+  * (df caps count DISTINCT docs; verification dedups by id after the
+  * pair semi-join) absorb the doubled rows. */
 class CompactionWindowSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,16 +34,13 @@ class CompactionWindowSpec extends SparkSpec {
     }
   }
 
-  private def deleteDir(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-
-  /** The three filesystem states a compaction folding batch 0 passes
-    * through, reconstructed from `store`: post (the real compaction),
-    * mid1 (snapshot written, nothing deleted), mid2 (snapshot written,
-    * batch 0 deleted — for 3-batch stores this leaves batch 1 still
-    * pending deletion). Returns (post, mid1, mid2) store dirs. */
+  /** The states a compaction folding batch 0 passes through,
+    * reconstructed from `store`: post (the real compaction), mid1
+    * (snapshot directory written, manifest NOT yet swapped — readers
+    * must resolve the OLD view; the unlisted snapshot is invisible),
+    * mid2 (manifest swapped, folded batch 0 not yet deleted — readers
+    * must resolve the NEW view; the unlisted batch dir is invisible).
+    * Returns (post, mid1, mid2) store dirs. */
   private def windowStates(root: Path, store: String,
                            compact: String => Unit): (String, String, String) = {
     val post = root.resolve("post")
@@ -49,8 +50,8 @@ class CompactionWindowSpec extends SparkSpec {
     copyDir(Paths.get(store), mid1)
     copyDir(post.resolve("batch_id=-1"), mid1.resolve("batch_id=-1"))
     val mid2 = root.resolve("mid2")
-    copyDir(mid1, mid2)
-    deleteDir(mid2.resolve("batch_id=0"))
+    copyDir(post, mid2)
+    copyDir(Paths.get(store).resolve("batch_id=0"), mid2.resolve("batch_id=0"))
     (post.toString, mid1.toString, mid2.toString)
   }
 

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.StoreManifest
+
+class StoreManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-manifest").toString
+
+  private def writeBatch(dir: String, id: Long, rows: Seq[Long]): Unit =
+    rows.toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/batch_id=$id")
+
+  test("unmanaged until first commit; commitBatch is idempotent") {
+    val dir = tmp()
+    assert(StoreManifest.latest(spark, dir).isEmpty)
+    assert(StoreManifest.resolvesEmpty(spark, dir))
+    writeBatch(dir, 0, Seq(1L, 2L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=0")
+    val Some((v0, live0)) = StoreManifest.latest(spark, dir)
+    assert(live0 == Seq("batch_id=0"))
+    // a replayed micro-batch re-commits its own dir: no new version
+    StoreManifest.commitBatch(spark, dir, "batch_id=0")
+    assert(StoreManifest.latest(spark, dir).get._1 == v0)
+    writeBatch(dir, 1, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=1")
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=0", "batch_id=1"))
+  }
+
+  test("first contact migrates a legacy pile: manifest lists existing dirs") {
+    val dir = tmp()
+    writeBatch(dir, 0, Seq(1L))
+    writeBatch(dir, 1, Seq(2L))
+    // legacy pile, no manifest — a new batch commit adopts the history
+    writeBatch(dir, 2, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=2")
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=0", "batch_id=1", "batch_id=2"))
+  }
+
+  test("readLive sees exactly the listed dirs; unlisted dirs are invisible") {
+    val dir = tmp()
+    writeBatch(dir, 0, Seq(1L, 2L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=0")
+    // batch 1 lands on disk AFTER the manifest exists and is NOT
+    // committed (a writer mid-crash, or a compactor's fresh snapshot):
+    // invisible until its commit
+    writeBatch(dir, 1, Seq(3L))
+    val live = StoreManifest.readLive(spark, dir).get
+    assert(live.select($"v").as[Long].collect().toSet == Set(1L, 2L))
+    // the batch_id partition column survives the basePath read
+    assert(live.columns.contains("batch_id"))
+  }
+
+  test("replace swaps atomically: snapshot in, folded out") {
+    val dir = tmp()
+    writeBatch(dir, 0, Seq(1L)); StoreManifest.commitBatch(spark, dir, "batch_id=0")
+    writeBatch(dir, 1, Seq(2L)); StoreManifest.commitBatch(spark, dir, "batch_id=1")
+    writeBatch(dir, -1, Seq(1L)) // the folded snapshot
+    StoreManifest.replace(spark, dir, drop = Set("batch_id=0"),
+      add = Seq("batch_id=-1"))
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=-1", "batch_id=1"))
+    // the old version remains readable (KeepVersions window) but
+    // latest() never returns it
+    val vals = StoreManifest.readLive(spark, dir).get
+      .select($"v").as[Long].collect().toSet
+    assert(vals == Set(1L, 2L))
+  }
+
+  test("old manifest versions are GC'd beyond the keep window") {
+    val dir = tmp()
+    (0 to 6).foreach { i =>
+      writeBatch(dir, i.toLong, Seq(i.toLong))
+      StoreManifest.commitBatch(spark, dir, s"batch_id=$i")
+    }
+    val files = new java.io.File(s"$dir/_manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted
+    assert(files.length <= 4, s"expected <= 4 kept versions, got ${files.toSeq}")
+    assert(StoreManifest.latest(spark, dir).get._2.length == 7)
+  }
+}

@@ -325,14 +325,15 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("newest"))
 
-    // compaction folds base+deltas through batch 1 into one snapshot
-    // partition and leaves resolution unchanged — the chore that keeps
-    // resolveLabels linear over a long-running stream; the replayable
-    // batch-2 delta survives untouched
+    // compaction folds base+deltas through batch 1 into one fresh
+    // negative-id snapshot (published by manifest swap) and leaves
+    // resolution unchanged — the chore that keeps resolveLabels linear
+    // over a long-running stream; the replayable batch-2 delta
+    // survives untouched
     IncrementalDedup.compactLabels(spark, labels, uptoBatch = 1)
     val dirs = new java.io.File(labels).listFiles()
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
-    assert(dirs == Set("batch_id=1", "batch_id=2"),
+    assert(dirs == Set("batch_id=-2", "batch_id=2"),
       s"expected snapshot + newest delta, got $dirs")
     assert(resolved(99) == got)
   }
