@@ -16,6 +16,15 @@ import graft.model.Tables
   * the SAME truncated-micros domain (`epoch_ns(ts) // 1000`, floor):
   * an oracle comparing raw nanos would diverge the moment a feed
   * ships sub-microsecond precision.
+  *
+  * One deliberate exemption to the literal `epoch_ns // 1000` form:
+  * w1's hour-bucket oracle uses `epoch_us(date_trunc('hour', ts))`.
+  * That is floor-equivalent, not an escape from the domain — hour
+  * truncation PRECEDES the conversion, and an hour boundary is always
+  * a whole microsecond, so no sub-microsecond residue can exist at
+  * the point `epoch_us` rounds. The invariant therefore holds for all
+  * 13 temporal oracles: every ts enters comparison space as
+  * floor-to-micros.
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -38,15 +38,15 @@ object MatchQueries {
       t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("cand_key"), expr(candSql).as("cand_name")))
 
-  /** j1's match table feeds two declared queries (the join itself and
-    * the A-7 rate counters); memoized + persisted per sfDir so the
-    * 10000×|candidates| scoring pass runs once per session. */
   /** Unpersist and forget the match-table memo (see
     * [[DedupQueries.releaseMemos]] for when and why). */
   def releaseMemos(): Unit = {
     matchMemo.values.foreach(_.unpersist(false)); matchMemo.clear()
   }
 
+  /** j1's match table feeds two declared queries (the join itself and
+    * the A-7 rate counters); memoized + persisted per sfDir so the
+    * 10000×|candidates| scoring pass runs once per session. */
   private val matchMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def matchesDf(s: SparkSession, d: String): DataFrame =
     matchMemo.getOrElseUpdate(s.hashCode + "|" + d,

@@ -74,9 +74,23 @@ object JdbcUpsertSink {
   private val embeddedWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Canonical lock key for an embedded-Derby URL: the database path
+    * alone, attributes stripped and the path resolved absolute. URL
+    * variants of the SAME database (`;create=true` appended, relative
+    * vs absolute path) must map to ONE lock — keyed on the raw URL
+    * string they would take distinct locks and the JVM-level deadlock
+    * the lock exists to prevent would stay reachable. */
+  private[graft] def embeddedLockKey(url: String): String = {
+    val db = url.stripPrefix("jdbc:derby:").takeWhile(_ != ';')
+    if (db.startsWith("memory:")) db
+    else
+      try new java.io.File(db).getCanonicalPath
+      catch { case _: java.io.IOException => new java.io.File(db).getAbsolutePath }
+  }
+
   private def withDialectLock[A](dialect: String, url: String)(body: => A): A =
     if (dialect == "derby") {
-      val lock = embeddedWriteLocks.computeIfAbsent(url, _ => new Object)
+      val lock = embeddedWriteLocks.computeIfAbsent(embeddedLockKey(url), _ => new Object)
       lock.synchronized(body)
     } else body
 

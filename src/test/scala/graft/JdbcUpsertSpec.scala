@@ -98,4 +98,19 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(sql == "INSERT INTO staging_abr (abn, entity_name) VALUES (?, ?) " +
       "ON CONFLICT (abn) DO NOTHING")
   }
+
+  test("embedded-Derby write lock keys canonicalize URL variants of one database") {
+    import graft.sources.JdbcUpsertSink.embeddedLockKey
+    val dir = java.nio.file.Files.createTempDirectory("graft-lockkey")
+    val abs = dir.resolve("db").toString
+    // attribute suffixes and dot-segments of the SAME path → one key
+    assert(embeddedLockKey(s"jdbc:derby:$abs") ==
+      embeddedLockKey(s"jdbc:derby:$abs;create=true"))
+    assert(embeddedLockKey(s"jdbc:derby:$abs") ==
+      embeddedLockKey(s"jdbc:derby:${dir.toString}/./db;create=true"))
+    // distinct databases keep distinct keys (no false serialization)
+    assert(embeddedLockKey(s"jdbc:derby:$abs") !=
+      embeddedLockKey(s"jdbc:derby:${abs}2"))
+    assert(embeddedLockKey("jdbc:derby:memory:g1;create=true") == "memory:g1")
+  }
 }
