@@ -1,0 +1,98 @@
+#!/bin/bash
+# One-command regeneration of the measured scale proof (SCALE.md →
+# bench/scale_${ROUND}_*.json + bench/recall_${ROUND}.json), with the
+# round-9 methodology baked in:
+#
+#   * ONE FRESH JVM PER SCALE LABEL — a long-lived local JVM degrades
+#     10-85x in task CPU on identical plans (BASELINE.md "contention
+#     rule", SCALE.md "harness validity"); per-label JVMs are the only
+#     trustworthy basis for cross-scale ratios.
+#   * Corpora are ScaleGen dialect replicas of sf0.1, generated only
+#     if absent (deterministic — regeneration reproduces them).
+#   * Known disk-killers at x100 are skipped EXPLICITLY (recorded as
+#     "skipped" in the JSON, never silently): the pinned-geometry
+#     c5/d10 cells measured in round 9 at 80 GB shuffle / 47.7 GB
+#     spill; their scale-safe variants (scaled bits — now the declared
+#     d10_pq_neardup_scaled) ARE measured.
+#
+# Usage:  scripts/scale_proof.sh            # full proof, ROUND=r10
+#         ROUND=r11 scripts/scale_proof.sh  # next round's artifacts
+#         SCALES="x1 x10" scripts/scale_proof.sh   # subset
+# Memory-pressure proof (SCALE.md "constrained memory"):
+#         scripts/scale_proof.sh mem8g
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+BASE=${BASE:-/root/testdata/sf0.1}
+ROUND=${ROUND:-r10}
+SCALES=${SCALES:-"x1 x10 x100"}
+mkdir -p bench
+
+# compiled classes must exist (scripts/run_tool.sh runs on them)
+[ -d target/scala-2.13/classes/graft ] || sbt -batch compile
+
+dir_of() {
+  case "$1" in
+    x1) echo "$BASE" ;;
+    *)  echo "target/scaledata/$1" ;;
+  esac
+}
+
+gen_if_absent() {
+  local lbl="$1"
+  [ "$lbl" = x1 ] && return 0
+  local mult="${lbl#x}"
+  if [ ! -d "target/scaledata/$lbl" ]; then
+    echo "[scale_proof] generating $lbl corpus (ScaleGen $mult)"
+    scripts/run_tool.sh graft.tools.ScaleGen "$BASE" "target/scaledata/$lbl" "$mult"
+  fi
+}
+
+if [ "${1:-}" = mem8g ]; then
+  # Constrained-memory discipline proof: the three heaviest non-pinned
+  # x100 capstones in an 8 GiB JVM — the target regime has ~1000x less
+  # executor memory per input byte than this sandbox's 128 GiB. Expect
+  # graceful spill (task-metrics report the bytes), never OOM.
+  gen_if_absent x100
+  MEM=8g SPARK_GRAFT_SCALE_ONLY=c2_dup_clusters,d11_containment,n7_knn_join \
+    scripts/run_tool.sh graft.tools.ScaleRun \
+    "x100=$(dir_of x100)" "bench/scale_${ROUND}_mem8g.json"
+  echo "[scale_proof] wrote bench/scale_${ROUND}_mem8g.json"
+  exit 0
+fi
+
+for lbl in $SCALES; do
+  gen_if_absent "$lbl"
+  skip=""
+  if [ "$lbl" = x100 ]; then
+    # c5/d10 pinned: 80 GB shuffle / 47.7 GB spill measured round 9;
+    # n8 pinned: 1697.7 s / 360.5 GB spill measured round 10 (the
+    # uncapped bits=6 geometry saturates — its scale-safe declared
+    # variant n8_incremental_ann_scaled IS measured below).
+    skip="x100:c5_embedding_clusters,x100:d10_pq_neardup,x100:n8_incremental_ann"
+  fi
+  echo "[scale_proof] === $lbl (fresh JVM) ==="
+  SPARK_GRAFT_SCALE_SKIP="$skip" MEM=${MEM:-48g} \
+    scripts/run_tool.sh graft.tools.ScaleRun \
+    "$lbl=$(dir_of "$lbl")" "bench/scale_${ROUND}_${lbl}.json"
+done
+
+echo "[scale_proof] === recall sweep (fresh JVM) ==="
+pairs=""
+for lbl in $SCALES; do pairs="$pairs,$lbl=$(dir_of "$lbl")"; done
+scripts/run_tool.sh graft.tools.RecallRun "${pairs#,}" "bench/recall_${ROUND}.json"
+
+# merge the per-label runs into one record (the shape scale_table.py
+# and the SCALE.md tables consume)
+python3 - "$ROUND" $SCALES << 'EOF'
+import json, sys
+round_, labels = sys.argv[1], sys.argv[2:]
+scales = []
+for l in labels:
+    d = json.load(open(f"bench/scale_{round_}_{l}.json"))
+    scales.extend(d["scales"])
+out = {"metric": "scale", "fresh_jvm_per_label": True, "scales": scales}
+path = f"bench/scale_{round_}_fresh.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"[scale_proof] merged -> {path}")
+EOF

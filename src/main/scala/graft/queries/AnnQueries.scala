@@ -37,6 +37,23 @@ object AnnQueries {
   private val IncTables = 2
   private val IncMinCos = 0.9
 
+  /** Corpus-sized LSH geometry for n8_scaled — the same
+    * `scaledLshBits` rule d10_scaled declares, here over n8's banded
+    * universe (store ∪ batch). One exact count per corpus per session,
+    * memoized as an Int (nothing to unpersist). The pinned bits=6
+    * geometry has NO bucket cap (candidates are batch-vs-all, bounded
+    * by occupancy alone), so holding occupancy ~16 as N grows is the
+    * entire scale story: at x100 the pin measured 1698 s with 360 GB
+    * of spill (SCALE.md round-10 proof) — the worst cell of the sweep.
+    */
+  private val scaledIncBitsMemo = scala.collection.concurrent.TrieMap[String, Int]()
+  private def scaledIncBits(s: SparkSession, d: String): Int =
+    scaledIncBitsMemo.getOrElseUpdate(s.hashCode + "|" + d, {
+      val emb = t(s, d, "embeddings")
+      val n = emb.count() + emb.filter(col("vec_id") % 7 === 0).count()
+      SimilaritySearch.scaledLshBits(n)
+    })
+
   private def queriesDf(s: SparkSession, d: String) =
     t(s, d, "embeddings").filter(col("vec_id") < 8)
 
@@ -125,6 +142,26 @@ object AnnQueries {
       graft.streaming.IncrementalAnn.incrementalPairs(store, batch,
           "vec_id", "embedding", dim = 64, m = IncM, codewords = IncCodewords,
           lshBits = IncBits, lshTables = IncTables, minCosine = IncMinCos)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // N-8 scaled: the same incremental-ANN batch twin with CORPUS-SIZED
+    // banding — bits = scaledLshBits(|store ∪ batch|) holds per-bucket
+    // occupancy ~16 as the store grows, the configuration a 100 TB
+    // ingest actually runs. n8's pinned bits=6 geometry is uncapped
+    // (the batch side meets EVERY bucket member), so saturated buckets
+    // go quadratic: measured 1698 s / 360 GB spill at x100 where this
+    // geometry runs in seconds (SCALE.md). The oracle re-derives the
+    // identical bits from the identical count with integer-only
+    // arithmetic and bands with the dynamic-bits bucket expression.
+    "n8_incremental_ann_scaled" -> ((s, d) => {
+      val store = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = t(s, d, "embeddings").filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      graft.streaming.IncrementalAnn.incrementalPairs(store, batch,
+          "vec_id", "embedding", dim = 64, m = IncM, codewords = IncCodewords,
+          lshBits = scaledIncBits(s, d), lshTables = IncTables,
+          minCosine = IncMinCos)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -285,21 +322,39 @@ object AnnQueries {
          |SELECT q_id, c_id, CAST(rank0 AS INT) AS rank, cosine FROM r WHERE rank0 <= $KnnK
          |ORDER BY q_id, rank0""".stripMargin
     },
-    "n8_incremental_ann" -> {
+    "n8_incremental_ann" -> n8Sql(
+      (0 until IncTables).map(tb =>
+        s"SELECT c_id, $tb AS tbl, ${Vectors.sql.lshBucket("c_vec", IncBits, tb)} AS bucket FROM allv")
+        .mkString("\nUNION ALL ")),
+    // n8's scale-safe geometry as its own oracle-gated declaration:
+    // bits derived from the banded universe's count with integer-only
+    // arithmetic (same rule and same bin()-length derivation as
+    // d10_pq_neardup_scaled), banding via the dynamic-bits bucket
+    // expression — bitwise-equal to the static expression at equal bits.
+    "n8_incremental_ann_scaled" -> n8Sql(
+      s"""SELECT c_id, tb AS tbl,
+         |  ${Vectors.sql.lshBucketDyn("c_vec", "bits", "tb")} AS bucket
+         |FROM allv CROSS JOIN geo
+         |CROSS JOIN (SELECT unnest([${(0 until IncTables).mkString(", ")}]) AS tb) tbls""".stripMargin,
+      geoCte =
+        "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM allv),\n")
+  )
+
+  /** n8's oracle shape, parameterized over the banding CTE (static
+    * pinned bits vs corpus-derived dynamic bits). Codebook = anchors
+    * from the STORE only (embeddings), exactly pqTrainCodebook's
+    * smallest-hash sample; encode/decode spans store ∪ batch — the
+    * stale-codebook steady state. */
+  private def n8Sql(bandedSql: String, geoCte: String = ""): String = {
       val M = IncM; val K = IncCodewords; val SubDim = 64 / IncM
       val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
         "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
-      val banded = (0 until IncTables).map(tb =>
-        s"SELECT c_id, $tb AS tbl, ${Vectors.sql.lshBucket("c_vec", IncBits, tb)} AS bucket FROM allv")
-        .mkString("\nUNION ALL ")
-      // codebook = anchors from the STORE only (embeddings), exactly
-      // pqTrainCodebook's smallest-hash sample; encode/decode spans
-      // store ∪ batch — the stale-codebook steady state
+      val banded = bandedSql
       s"""WITH newb AS (SELECT vec_id + 100000 AS c_id, embedding AS c_vec
          |              FROM embeddings WHERE vec_id % 7 = 0),
          |allv AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
          |         UNION ALL SELECT c_id, c_vec FROM newb),
-         |anch AS (SELECT ki, av FROM (
+         |${geoCte}anch AS (SELECT ki, av FROM (
          |  SELECT row_number() OVER (ORDER BY
          |      ${graft.functions.Hashing.sql.hash64("CAST(vec_id AS VARCHAR)")} ASC,
          |      vec_id ASC) AS ki,
@@ -330,6 +385,5 @@ object AnnQueries {
          |  FROM cand JOIN dn da ON da.c_id = id_a JOIN dn db ON db.c_id = id_b)
          |SELECT id_a, id_b, approx_cos FROM s WHERE approx_cos >= $IncMinCos
          |ORDER BY id_a, id_b""".stripMargin
-    }
-  )
+  }
 }

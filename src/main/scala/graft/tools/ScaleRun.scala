@@ -16,12 +16,22 @@ import org.apache.spark.sql.SparkSession
   * Usage: ScaleRun <label=dir>[,<label=dir>...] [outJsonPath]
   */
 object ScaleRun {
+  /** Round-10 widening: the incremental-store twins (their SCALE.md
+    * cells carried the pre-`c2527ef` doubled-shield constant — VERDICT
+    * item 4) and the two newly-declared scale-safe variants
+    * (u1_blocked, d10_scaled — VERDICT item 1 wants their cells
+    * re-confirmed under the oracle-gated declarations). */
   private val Capstones = Seq(
-    "c2_dup_clusters", "c5_embedding_clusters",
-    "d10_pq_neardup", "d11_containment",
-    "d14_winnowing_overlap", "d15_substring_scrub",
-    "n7_knn_join",
-    "u1_unified_pipeline", "u3_curation_pipeline", "u5_incremental_ingest")
+    "c2_dup_clusters", "c3_incremental_clusters", "c5_embedding_clusters",
+    "c6_label_resolution",
+    "d7_incremental_neardup", "d8_sig_verified_neardup",
+    "d10_pq_neardup", "d10_pq_neardup_scaled", "d11_containment",
+    "d13_incremental_span_dedup", "d14_winnowing_overlap",
+    "d15_substring_scrub", "d16_incremental_substring_scrub",
+    "d17_incremental_winnowing",
+    "n7_knn_join", "n8_incremental_ann", "n8_incremental_ann_scaled",
+    "u1_unified_pipeline", "u1_blocked_pipeline",
+    "u3_curation_pipeline", "u5_incremental_ingest")
 
   def main(args: Array[String]): Unit = {
     val pairs = args(0).split(",").map { kv =>
@@ -101,7 +111,17 @@ object ScaleRun {
       // configuration that scale actually runs, and IS measured).
       val skip: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
-      val qJsons = Capstones.map { name =>
+      // SPARK_GRAFT_SCALE_ONLY=q1,q2 restricts the run to those
+      // capstones AND suppresses the variant/recall blocks below —
+      // the constrained-memory proof mode (run a few heavy queries in
+      // an 8 GiB JVM without paying the full sweep there).
+      val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      only.foreach { names =>
+        val unknown = names -- Capstones.toSet
+        require(unknown.isEmpty, s"SPARK_GRAFT_SCALE_ONLY not capstones: ${unknown.mkString(",")}")
+      }
+      val qJsons = Capstones.filter(n => only.forall(_.contains(n))).map { name =>
         if (skip.contains(s"$label:$name")) {
           System.err.println(s"[scale] $label $name SKIPPED (SPARK_GRAFT_SCALE_SKIP)")
           s""""$name":{"skipped":true}"""
@@ -114,6 +134,11 @@ object ScaleRun {
           s""""$name":${mJson(sec, m)}"""
         }
       }
+      if (only.isDefined) {
+        // constrained-proof mode: capstone cells only
+        s"""{"label":"$label","dir":"$dir","prebuild":${mJson(preSec, preM)},""" +
+          s""""queries":{${qJsons.mkString(",")}}}"""
+      } else {
       // u5 variant: eager localCheckpoint of the scrub subtree instead
       // of recomputing it into both consumers. The first (recompute)
       // u5 run above pays first-touch costs the variant then rides on,
@@ -172,6 +197,7 @@ object ScaleRun {
         s""""c5_scaled_geometry":${mJson(c5sSec, c5sM)},""" +
         s""""d10_scaled_geometry":${mJson(d10sSec, d10sM)},""" +
         s""""recall_at_5":{${recalls.mkString(",")}}}"""
+      }
     }
     val out = s"""{"metric":"scale","cpus":$cpus,"scales":[${scaleJsons.mkString(",")}]}"""
     println(out)
