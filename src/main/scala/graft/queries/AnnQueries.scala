@@ -36,6 +36,15 @@ object AnnQueries {
   private val IncBits = 6
   private val IncTables = 2
   private val IncMinCos = 0.9
+  // n8_scaled candidate-side bucket cap: 4× scaledLshBits' target
+  // occupancy (16), so buckets at or near their DESIGN occupancy are
+  // untouched and only the skew tail is trimmed. Scaled bits hold the
+  // MEAN at ~16 but candidate volume is Σ occupancy² — a tail statistic
+  // bits cannot bound when corpus structure concentrates sign patterns
+  // (x200 replica corpus: max bucket 5623 at mean 16, Σc² growing 3.4×
+  // for 2× data → 207 s / 80 GB spill uncapped). The oracle replicates
+  // the cap's deterministic smallest-hash selection exactly (sqlCapped).
+  private val IncCap = 64
 
   /** Corpus-sized LSH geometry for n8_scaled — the same
     * `scaledLshBits` rule d10_scaled declares, here over n8's banded
@@ -161,7 +170,7 @@ object AnnQueries {
       graft.streaming.IncrementalAnn.incrementalPairs(store, batch,
           "vec_id", "embedding", dim = 64, m = IncM, codewords = IncCodewords,
           lshBits = scaledIncBits(s, d), lshTables = IncTables,
-          minCosine = IncMinCos)
+          minCosine = IncMinCos, maxBucket = IncCap)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -330,26 +339,39 @@ object AnnQueries {
     // bits derived from the banded universe's count with integer-only
     // arithmetic (same rule and same bin()-length derivation as
     // d10_pq_neardup_scaled), banding via the dynamic-bits bucket
-    // expression — bitwise-equal to the static expression at equal bits.
+    // expression — bitwise-equal to the static expression at equal bits
+    // — plus the candidate-side bucket cap (IncCap), whose
+    // smallest-hash selection the oracle re-derives with sqlCapped.
     "n8_incremental_ann_scaled" -> n8Sql(
       s"""SELECT c_id, tb AS tbl,
          |  ${Vectors.sql.lshBucketDyn("c_vec", "bits", "tb")} AS bucket
          |FROM allv CROSS JOIN geo
          |CROSS JOIN (SELECT unnest([${(0 until IncTables).mkString(", ")}]) AS tb) tbls""".stripMargin,
       geoCte =
-        "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM allv),\n")
+        "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM allv),\n",
+      cap = IncCap)
   )
 
   /** n8's oracle shape, parameterized over the banding CTE (static
-    * pinned bits vs corpus-derived dynamic bits). Codebook = anchors
-    * from the STORE only (embeddings), exactly pqTrainCodebook's
-    * smallest-hash sample; encode/decode spans store ∪ batch — the
-    * stale-codebook steady state. */
-  private def n8Sql(bandedSql: String, geoCte: String = ""): String = {
+    * pinned bits vs corpus-derived dynamic bits) and the candidate-side
+    * bucket cap (Int.MaxValue = uncapped: the candidate side is the
+    * banded universe itself). Codebook = anchors from the STORE only
+    * (embeddings), exactly pqTrainCodebook's smallest-hash sample;
+    * encode/decode spans store ∪ batch — the stale-codebook steady
+    * state. The capped variant mirrors IncrementalAnn.pairsFromCodes:
+    * the PROBE side (batch, c_id >= 100000) is never capped — every
+    * new item must be allowed to look — only the candidate side is. */
+  private def n8Sql(bandedSql: String, geoCte: String = "",
+                    cap: Int = Int.MaxValue): String = {
       val M = IncM; val K = IncCodewords; val SubDim = 64 / IncM
       val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
         "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
       val banded = bandedSql
+      val cappedCte =
+        if (cap == Int.MaxValue) ""
+        else "capped AS (" + graft.operators.BucketCap.sqlCapped(
+          "SELECT * FROM banded", Seq("tbl", "bucket"), "c_id", cap) + "),\n"
+      val candSide = if (cap == Int.MaxValue) "banded" else "capped"
       s"""WITH newb AS (SELECT vec_id + 100000 AS c_id, embedding AS c_vec
          |              FROM embeddings WHERE vec_id % 7 = 0),
          |allv AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
@@ -375,9 +397,9 @@ object AnnQueries {
          |dec AS (SELECT c_id, flatten(list(cw ORDER BY mi)) AS dv
          |        FROM enc JOIN cw USING (mi, ki) GROUP BY c_id),
          |banded AS ($banded),
-         |cand AS (SELECT DISTINCT least(a.c_id, b.c_id) AS id_a,
+         |${cappedCte}cand AS (SELECT DISTINCT least(a.c_id, b.c_id) AS id_a,
          |                greatest(a.c_id, b.c_id) AS id_b
-         |         FROM banded a JOIN banded b USING (tbl, bucket)
+         |         FROM banded a JOIN $candSide b USING (tbl, bucket)
          |         WHERE a.c_id >= 100000 AND a.c_id <> b.c_id),
          |dn AS (SELECT c_id, dv, ${Vectors.sql.norm("dv")} AS nrm FROM dec),
          |s AS (SELECT id_a, id_b,

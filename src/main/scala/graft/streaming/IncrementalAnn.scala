@@ -51,7 +51,8 @@ object IncrementalAnn {
               dim: Int, m: Int = 8, codewords: Int = 16,
               lshBits: Int = 8, lshTables: Int = 4,
               minCosine: Double = 0.9,
-              maxDriftRatio: Double = Double.PositiveInfinity): Unit = {
+              maxDriftRatio: Double = Double.PositiveInfinity,
+              maxBucket: Int = Int.MaxValue): Unit = {
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(vecCol))
     val q = in.writeStream
@@ -83,7 +84,7 @@ object IncrementalAnn {
         try {
           val existing = IncrementalDedup.readStore(
             s, codeStoreDir, newCodes.schema, glob = "/batch_id=*")
-          pairsFromCodes(newCodes, existing, books, minCosine)
+          pairsFromCodes(newCodes, existing, books, minCosine, maxBucket)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing (the batch must not meet itself twice)
           newCodes.write.mode("overwrite")
@@ -109,13 +110,15 @@ object IncrementalAnn {
                        idCol: String, vecCol: String,
                        dim: Int, m: Int = 8, codewords: Int = 16,
                        lshBits: Int = 8, lshTables: Int = 4,
-                       minCosine: Double = 0.9): DataFrame = {
+                       minCosine: Double = 0.9,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val codebook = SimilaritySearch.pqTrainCodebook(
       store, idCol, vecCol, dim, m, codewords)
     def codes(df: DataFrame) = df.select(col(idCol).as("id"), lit(0).as("gen"),
       graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"),
       Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
-    pairsFromCodes(codes(batch), codes(store), Map(0 -> codebook), minCosine)
+    pairsFromCodes(codes(batch), codes(store), Map(0 -> codebook), minCosine,
+      maxBucket)
   }
 
   /** The staleness statistic: mean squared reconstruction error of
@@ -140,13 +143,28 @@ object IncrementalAnn {
     * codebook generation — no float vectors anywhere. */
   private[streaming] def pairsFromCodes(newCodes: DataFrame, existing: DataFrame,
                                         books: Map[Int, Codebook],
-                                        minCosine: Double): DataFrame = {
+                                        minCosine: Double,
+                                        maxBucket: Int = Int.MaxValue): DataFrame = {
     def banded(df: DataFrame) = df.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val newBands = banded(newCodes)
-    val allBands = banded(existing).unionByName(newBands)
+    // Candidate-side bucket cap (same contract as d10/n7's BucketCap):
+    // scaled bits hold the MEAN occupancy at ~16, but candidate volume
+    // is Σ occupancy² — a tail statistic the bit count cannot bound
+    // when corpus structure concentrates sign patterns (measured at
+    // x200: max bucket 5623 at mean 16, Σc² growing 3.4× for 2× data).
+    // The cap bounds each bucket's contribution to |batch∩bucket|×cap,
+    // deterministically (per-bucket smallest hash, so a hot-bucket
+    // eviction in one table is independently kept in another —
+    // OR-amplification compensates). The probe (batch) side is never
+    // capped: every new item must be allowed to look.
+    val candBands =
+      if (maxBucket == Int.MaxValue) banded(existing).unionByName(newBands)
+      else graft.operators.BucketCap.capMembers(
+        banded(existing).unionByName(newBands), Seq("tbl", "bucket"), "id",
+        maxBucket)
     val pairs = newBands.select(col("id").as("nid"), col("tbl"), col("bucket"))
-      .join(allBands, Seq("tbl", "bucket"))
+      .join(candBands, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("id"))
       .select(least(col("nid"), col("id")).as("id_a"),
         greatest(col("nid"), col("id")).as("id_b"))
