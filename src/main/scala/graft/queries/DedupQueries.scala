@@ -410,12 +410,21 @@ object DedupQueries {
     // saturates its buckets at x100: 47.7 GB spill, 378 s; scaled bits
     // measured 109 s with zero spill — SCALE.md). One exact count()
     // derives the geometry; the oracle recomputes the identical bits
-    // from the identical count with integer-only arithmetic.
+    // from the identical count with integer-only arithmetic. The
+    // candidate-side cap is 64 = 4× the bits rule's target occupancy
+    // (buckets at design occupancy untouched, only the skew tail
+    // trimmed): scaled bits bound the MEAN, but candidate volume is
+    // Σ occupancy² — at x200 the ·r-replica corpus concentrates sign
+    // patterns (p99 occupancy 230, max 5623) and cap=256 measured
+    // 398 s warm with 108 GB of spill where cap=64 holds the n8-family
+    // linearity (SCALE.md). The oracle replicates the cap's
+    // smallest-hash selection exactly (sqlCapped), so the geometry AND
+    // the cap are both under the cross-engine hash gate.
     "d10_pq_neardup_scaled" -> ((s, d) =>
       graft.operators.SimilaritySearch.pqNearDupPairs(
           embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
           threshold = 0.9, margin = 0.15, bits = scaledBits(s, d), tables = 4,
-          maxBucket = 256)
+          maxBucket = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
     "d5_embedding_neardup" -> ((s, d) =>
@@ -821,7 +830,10 @@ object DedupQueries {
     // pinned bits=8 saturated at x100 with 47.7 GB of spill). The oracle
     // derives the SAME bits from the SAME corpus count with integer-only
     // arithmetic, then bands with the dynamic-bits bucket expression —
-    // so the geometry rule itself is under the cross-engine hash gate.
+    // so the geometry rule itself is under the cross-engine hash gate —
+    // and replicates the candidate-side cap (64 = 4× target occupancy;
+    // scaled bits bound the mean, the cap bounds the skew tail that
+    // measured 398 s / 108 GB spill at x200 under cap=256).
     "d10_pq_neardup_scaled" -> {
       val NTables = 4
       d10Sql(
@@ -830,7 +842,8 @@ object DedupQueries {
            |FROM u CROSS JOIN geo
            |CROSS JOIN (SELECT unnest([${(0 until NTables).mkString(", ")}]) AS tb) tbls""".stripMargin,
         preCtes =
-          "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM u),\n")
+          "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM u),\n",
+        cap = 64)
     },
     "d5_embedding_neardup" -> d5OracleSql,
     "c5_embedding_clusters" ->
@@ -1106,9 +1119,18 @@ object DedupQueries {
   /** d10's oracle SQL parameterized by the banding CTE body — the PQ
     * chain (anchor-sampled codebook → encode → decode → approx screen →
     * exact verify) is geometry-independent; only `banded` (and for the
-    * scaled variant the corpus-derived `geo.bits` CTE in `preCtes`)
-    * differs between the pinned and scaled declarations. */
-  private def d10Sql(bandedSql: String, preCtes: String = ""): String = {
+    * scaled variant the corpus-derived `geo.bits` CTE in `preCtes` and
+    * the candidate-side bucket cap) differs between the pinned and
+    * scaled declarations. Uncapped (pinned): pairs come from the
+    * symmetric banded self-join — valid because the pinned cap (256)
+    * exceeds the measured max occupancy at declared scale (149), so
+    * capMembers is the identity there. Capped (scaled): the oracle
+    * mirrors pqNearDupPairs' asymmetric join — uncapped probe side ×
+    * sqlCapped candidate side, pair-normalized with least/greatest —
+    * so the cap's deterministic smallest-hash selection is itself
+    * under the cross-engine hash gate. */
+  private def d10Sql(bandedSql: String, preCtes: String = "",
+                     cap: Int = Int.MaxValue): String = {
     val M = 8; val Kcw = 16; val SubDim = 8
     val u = embUniverseSql
     val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
@@ -1135,9 +1157,19 @@ object DedupQueries {
        |dec AS (SELECT vec_id, flatten(list(cw ORDER BY mi)) AS dv
        |        FROM enc JOIN cw USING (mi, ki) GROUP BY vec_id),
        |banded AS ($bandedSql),
-       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
-       |  WHERE a.vec_id < b.vec_id),
+       |${if (cap == Int.MaxValue) "" else "capped AS (" +
+           graft.operators.BucketCap.sqlCapped(
+             "SELECT * FROM banded", Seq("tbl", "bucket"), "vec_id", cap) +
+           "),\n"}pairs AS (${
+         if (cap == Int.MaxValue)
+           """SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+             |  WHERE a.vec_id < b.vec_id""".stripMargin
+         else
+           """SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+             |                greatest(a.vec_id, b.vec_id) AS id_b
+             |  FROM banded a JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
+             |  WHERE a.vec_id <> b.vec_id""".stripMargin}),
        |dn AS (SELECT vec_id, dv, ${Vectors.sql.norm("dv")} AS dnorm FROM dec),
        |scr AS (SELECT id_a, id_b
        |  FROM pairs JOIN dn da ON da.vec_id = id_a JOIN dn db ON db.vec_id = id_b
