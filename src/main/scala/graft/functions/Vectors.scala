@@ -50,6 +50,15 @@ object Vectors {
   def lshBucketsAll(v: Column, bits: Int, tables: Int): Column =
     graft.plans.VecExprs.lshBuckets(v, bits, tables)
 
+  /** [[lshBucketsAll]] over the hyperplane families of absolute table
+    * indexes `tableOffset..tableOffset+tables-1` — EXTENSION signs for
+    * hot-bucket refinement, statistically independent of any base
+    * banding family whose absolute indexes stay below the offset
+    * (element t == [[lshBucket]](v, bits, tableOffset + t)). */
+  def lshBucketsAllOff(v: Column, bits: Int, tables: Int,
+                       tableOffset: Int): Column =
+    graft.plans.VecExprs.lshBucketsOff(v, bits, tables, tableOffset)
+
   /** Sign-LSH bucket id over `bits` hyperplanes; `table` selects an
     * independent hyperplane family for OR-amplified multi-table LSH. */
   def lshBucket(v: Column, bits: Int, table: Int = 0): Column = {

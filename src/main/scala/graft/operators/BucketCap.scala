@@ -46,6 +46,69 @@ import graft.functions.Hashing
   */
 object BucketCap {
 
+  /** Hyperplane-family offset for hot-bucket refinement signs: far
+    * above any base banding family's absolute table index, so the
+    * extension signs are fresh evidence the base bucket has not
+    * already conditioned on. ONE constant shared by every refining
+    * operator AND its DuckDB oracle twin. */
+  val RefineFamilyOffset = 65536
+
+  /** Occupancy-conditional bucket refinement — the step BETWEEN the
+    * geometry rule and the frequency cap.
+    *
+    * A flat cap is lossy exactly where the corpus is densest: a
+    * bucket of m >> cap members keeps cap of them, and a true pair
+    * survives only if one endpoint is kept in SOME shared bucket —
+    * P(lost) ≈ (1−cap/m)^(2·tables), ~1 for the monster buckets
+    * (measured at x100: cap=64 pair recall 0.794, the loss entirely
+    * in the occupancy tail). Refinement instead applies the
+    * scaled-bits idea LOCALLY: members of a bucket OVER the cap are
+    * re-keyed by `xbCol` — extension sign bits from an independent
+    * hyperplane family ([[RefineFamilyOffset]]) computed per table —
+    * so the hot bucket splits into ~2^xbits sub-buckets. A true
+    * near-dup pair agrees on the extension signs with high
+    * probability PER TABLE, and the per-table families are
+    * independent, so OR-amplification across tables recovers what a
+    * single split loses. Buckets at or under the cap keep sub = −1:
+    * refinement touches ONLY the tail the cap would otherwise drop.
+    *
+    * The hot-bucket list is aggregated map-side (count per bucket
+    * key) and BROADCAST: at any scale the over-cap set is the skew
+    * tail — small by construction — so the banded stream itself never
+    * shuffles for the occupancy test. The flat cap stays as the last
+    * resort AFTER refinement (apply [[capMembers]] over
+    * `bucketCols :+ "__sub"`): a bucket that refuses to split —
+    * identical-vector clone mass agreeing on every extension sign —
+    * is exactly the boilerplate case where dropping intra-clique
+    * edges is intended (the asymmetric probe join keeps such cliques
+    * CONNECTED for downstream clustering; DedupSpec pins it).
+    */
+  def splitHot(banded: DataFrame, bucketCols: Seq[String], xbCol: String,
+               cap: Int): DataFrame = {
+    val bcols = bucketCols.map(col)
+    val hot = banded.groupBy(bcols: _*).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > cap)
+      .select(bcols :+ lit(true).as("__hot"): _*)
+    banded.join(broadcast(hot), bucketCols, "left")
+      .withColumn("__sub",
+        when(col("__hot").isNotNull, col(xbCol)).otherwise(lit(-1L)))
+      .drop("__hot", xbCol)
+  }
+
+  /** DuckDB twin of [[splitHot]]: wraps `src` (the banded rows, which
+    * must already carry the extension column `xbCol`) so each row
+    * gains `__sub` = xb inside over-cap buckets, −1 elsewhere. */
+  def sqlSplitHot(src: String, bucketCols: Seq[String], xbCol: String,
+                  cap: Int): String = {
+    val on = bucketCols.map(c => s"s.$c = h.$c").mkString(" AND ")
+    s"""SELECT s.* EXCLUDE ($xbCol),
+       |  CASE WHEN h.__hot IS NOT NULL THEN s.$xbCol ELSE -1 END AS __sub
+       |FROM ($src) s LEFT JOIN (
+       |  SELECT ${bucketCols.mkString(", ")}, TRUE AS __hot
+       |  FROM ($src) GROUP BY ${bucketCols.mkString(", ")}
+       |  HAVING count(*) > $cap) h ON $on""".stripMargin
+  }
+
   /** The deterministic per-bucket ordering key (exposed for oracle
     * construction): hash64 of the ':'-joined bucket columns and id. */
   def orderKey(bucketCols: Seq[Column], id: Column): Column =

@@ -412,7 +412,7 @@ object SimilaritySearch {
                      dim: Int, threshold: Double, margin: Double,
                      bits: Int, tables: Int,
                      m: Int = 8, codewords: Int = 16,
-                     maxBucket: Int = 256): DataFrame = {
+                     maxBucket: Int = 256, refineBits: Int = 0): DataFrame = {
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
     // verification); the float vector is dropped immediately after.
@@ -422,19 +422,34 @@ object SimilaritySearch {
     // call-local frame would pin the CacheManager for the session's
     // life; checkpoint blocks release when the frame goes out of scope
     // (the winnowingOverlap idiom).
-    val u = graft.model.Tables.spread(corpus).select(col(idCol).as("id"),
+    val uCols = Seq(col(idCol).as("id"),
       Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
-      graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"))
+      graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code")) ++
+      (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
+        refineBits, tables, BucketCap.RefineFamilyOffset).as("xbuckets"))
+       else Nil)
+    val u = graft.model.Tables.spread(corpus).select(uCols: _*)
       .localCheckpoint(true)
-    val banded = u.select(col("id"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val banded0 = u.select(
+      Seq(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
+        (if (refineBits > 0) Seq(col("xbuckets")) else Nil): _*)
+    // refineBits > 0: over-cap buckets re-key their members by the
+    // per-table extension signs BEFORE the cap — the cap then only
+    // bites clone masses that refuse to split (BucketCap.splitHot).
+    val (banded, joinKey) =
+      if (refineBits == 0) (banded0, Seq("tbl", "bucket"))
+      else (BucketCap.splitHot(
+              banded0.withColumn("xb", col("xbuckets")(col("tbl")))
+                .drop("xbuckets"),
+              Seq("tbl", "bucket"), "xb", maxBucket),
+            Seq("tbl", "bucket", "__sub"))
     // candidate side frequency-capped (n×cap pair rows per bucket, not
     // n²) — identical to uncapped while maxBucket ≥ occupancy (the
     // oracle-pinned config; see lshNearDupPairs scaladoc)
-    val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "id", maxBucket)
-    val pairs = banded.select(col("id").as("qid"), col("tbl"), col("bucket"))
-      .join(capped.select(col("id").as("cid"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
+    val capped = BucketCap.capMembers(banded, joinKey, "id", maxBucket)
+    val pairs = banded.select(col("id").as("qid") +: joinKey.map(col): _*)
+      .join(capped.select(col("id").as("cid") +: joinKey.map(col): _*),
+        joinKey)
       .filter(col("qid") =!= col("cid"))
       .select(least(col("qid"), col("cid")).as("id_a"),
         greatest(col("qid"), col("cid")).as("id_b"))

@@ -295,7 +295,16 @@ object KernelOps {
     new GenericArrayData(new Array[Long](tables))
 
   /** [[LshBuckets]]: all `tables` sign-LSH bucket ids in one pass. */
-  def lshBuckets(a: ArrayData, isFloat: Boolean, bits: Int, tables: Int): ArrayData = {
+  def lshBuckets(a: ArrayData, isFloat: Boolean, bits: Int, tables: Int): ArrayData =
+    lshBuckets(a, isFloat, bits, tables, 0)
+
+  /** [[LshBuckets]] with a table-family offset: table t uses the
+    * hyperplane family of absolute table index `tableOffset + t`. An
+    * offset family provides EXTENSION bits statistically independent
+    * of any base banding geometry (hot-bucket refinement needs signs
+    * the base bucket has not already conditioned on). */
+  def lshBuckets(a: ArrayData, isFloat: Boolean, bits: Int, tables: Int,
+                 tableOffset: Int): ArrayData = {
     val n = a.numElements()
     val out = new Array[Long](tables)
     var anyNull = n == 0
@@ -307,7 +316,7 @@ object KernelOps {
         var bucket = 0L
         var j = 0
         while (j < bits) {
-          val plane = (t.toLong * bits + j) * 40503L
+          val plane = ((tableOffset + t).toLong * bits + j) * 40503L
           var acc = 0.0
           var k = 0
           while (k < n) {

@@ -55,7 +55,8 @@ case class VecDot(left: Expression, right: Expression)
   * Per (table, bit j): proj_j = Σ_i v_i · comp(table·bits+j, i) folded
   * sequentially in i; bit j set iff proj_j > 0 (a null/length-0 vector
   * contributes no set bits — the declarative null-propagation). */
-case class LshBuckets(child: Expression, bits: Int, tables: Int)
+case class LshBuckets(child: Expression, bits: Int, tables: Int,
+                      tableOffset: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -64,7 +65,8 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int)
     val v = child.eval(input)
     // declarative twin: when(NULL > 0, ...).otherwise(0) → all-zero buckets
     if (v == null) KernelOps.lshBucketsNull(tables)
-    else KernelOps.lshBuckets(v.asInstanceOf[ArrayData], vf, bits, tables)
+    else KernelOps.lshBuckets(v.asInstanceOf[ArrayData], vf, bits, tables,
+      tableOffset)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -72,7 +74,7 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int)
       |${c.code}
       |ArrayData ${ev.value} = ${c.isNull}
       |  ? graft.plans.KernelOps.lshBucketsNull($tables)
-      |  : graft.plans.KernelOps.lshBuckets(${c.value}, $vf, $bits, $tables);
+      |  : graft.plans.KernelOps.lshBuckets(${c.value}, $vf, $bits, $tables, $tableOffset);
     """.stripMargin
     ev.copy(code = resultCode, isNull = FalseLiteral)
   }
@@ -123,6 +125,11 @@ object VecExprs {
   /** array of bucket ids for tables 0..tables-1 */
   def lshBuckets(v: Column, bits: Int, tables: Int): Column =
     ExprBridge.toColumn(LshBuckets(ExprBridge.toExpression(v), bits, tables))
+  /** array of bucket ids for absolute tables offset..offset+tables-1 —
+    * an independent hyperplane family for hot-bucket refinement. */
+  def lshBucketsOff(v: Column, bits: Int, tables: Int, tableOffset: Int): Column =
+    ExprBridge.toColumn(
+      LshBuckets(ExprBridge.toExpression(v), bits, tables, tableOffset))
   def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
     ExprBridge.toColumn(PqEncode(ExprBridge.toExpression(v), codebook))
 }

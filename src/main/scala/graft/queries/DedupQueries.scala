@@ -411,20 +411,31 @@ object DedupQueries {
     // measured 109 s with zero spill — SCALE.md). One exact count()
     // derives the geometry; the oracle recomputes the identical bits
     // from the identical count with integer-only arithmetic. The
-    // candidate-side cap is 64 = 4× the bits rule's target occupancy
-    // (buckets at design occupancy untouched, only the skew tail
-    // trimmed): scaled bits bound the MEAN, but candidate volume is
-    // Σ occupancy² — at x200 the ·r-replica corpus concentrates sign
-    // patterns (p99 occupancy 230, max 5623) and cap=256 measured
-    // 398 s warm with 108 GB of spill where cap=64 holds the n8-family
-    // linearity (SCALE.md). The oracle replicates the cap's
-    // smallest-hash selection exactly (sqlCapped), so the geometry AND
-    // the cap are both under the cross-engine hash gate.
+    // candidate-side treatment of the occupancy TAIL (scaled bits
+    // bound only the MEAN; candidate volume is Σ occupancy², and at
+    // x200 the ·r-replica corpus concentrates sign patterns: p99
+    // occupancy 230, max 5623 — cap=256 alone measured 398 s warm with
+    // 108 GB of spill) is refine-then-cap: members of a bucket over
+    // the cap are re-keyed by 12 extension sign bits from an
+    // independent per-table hyperplane family
+    // (BucketCap.splitHot — the scaled-bits rule applied locally to
+    // the tail: 12 bits re-split any bucket up to 2^12× the cap back
+    // toward target occupancy), and the flat cap=128 (8× target
+    // occupancy — headroom for leaf skew) remains only as the last
+    // resort for clone masses that agree on every extension sign
+    // (where dropping intra-clique edges is intended; connectivity
+    // survives, DedupSpec pins it). Measured x100 pair recall on the
+    // cached uncapped truth: flat cap=64 0.794, refine-then-cap
+    // 0.954 (SCALE.md sweep; cap=256 alone reached 0.927 only by
+    // riding the volume that breaks it at x200). The oracle
+    // replicates banding, refinement AND the cap's smallest-hash
+    // selection (sqlSplitHot + sqlCapped), so all three geometry
+    // stages sit under the cross-engine hash gate.
     "d10_pq_neardup_scaled" -> ((s, d) =>
       graft.operators.SimilaritySearch.pqNearDupPairs(
           embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
           threshold = 0.9, margin = 0.15, bits = scaledBits(s, d), tables = 4,
-          maxBucket = 64)
+          maxBucket = 128, refineBits = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
     "d5_embedding_neardup" -> ((s, d) =>
@@ -831,19 +842,23 @@ object DedupQueries {
     // derives the SAME bits from the SAME corpus count with integer-only
     // arithmetic, then bands with the dynamic-bits bucket expression —
     // so the geometry rule itself is under the cross-engine hash gate —
-    // and replicates the candidate-side cap (64 = 4× target occupancy;
-    // scaled bits bound the mean, the cap bounds the skew tail that
-    // measured 398 s / 108 GB spill at x200 under cap=256).
+    // and replicates the tail treatment: 12 extension sign bits per
+    // table (the independent RefineFamilyOffset hyperplane family,
+    // same dynamic-bits bucket expression) re-key members of over-cap
+    // buckets before the cap=64 last resort — banding, refinement and
+    // cap selection all cross-engine hash-gated.
     "d10_pq_neardup_scaled" -> {
       val NTables = 4
       d10Sql(
         s"""SELECT vec_id, tb AS tbl,
-           |  ${Vectors.sql.lshBucketDyn("vec", "bits", "tb")} AS bucket
+           |  ${Vectors.sql.lshBucketDyn("vec", "bits", "tb")} AS bucket,
+           |  ${Vectors.sql.lshBucketDyn("vec", "12",
+                s"(${graft.operators.BucketCap.RefineFamilyOffset} + tb)")} AS xb
            |FROM u CROSS JOIN geo
            |CROSS JOIN (SELECT unnest([${(0 until NTables).mkString(", ")}]) AS tb) tbls""".stripMargin,
         preCtes =
           "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM u),\n",
-        cap = 64)
+        cap = 128, refine = true)
     },
     "d5_embedding_neardup" -> d5OracleSql,
     "c5_embedding_clusters" ->
@@ -1128,15 +1143,35 @@ object DedupQueries {
     * mirrors pqNearDupPairs' asymmetric join — uncapped probe side ×
     * sqlCapped candidate side, pair-normalized with least/greatest —
     * so the cap's deterministic smallest-hash selection is itself
-    * under the cross-engine hash gate. */
+    * under the cross-engine hash gate. With `refine` additionally set
+    * (the declared scaled config), `bandedSql` must also emit the
+    * per-table extension signs as `xb`, and the oracle inserts the
+    * occupancy-conditional re-key between banding and the cap
+    * (BucketCap.sqlSplitHot, then sqlCapped over the extended key) so
+    * the refinement geometry is ALSO under the hash gate. */
   private def d10Sql(bandedSql: String, preCtes: String = "",
-                     cap: Int = Int.MaxValue): String = {
+                     cap: Int = Int.MaxValue,
+                     refine: Boolean = false): String = {
     val M = 8; val Kcw = 16; val SubDim = 8
     val u = embUniverseSql
     val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
       "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
     val approxCos = Vectors.sql.cosineWithNorms("da.dv", "db.dv", "da.dnorm", "db.dnorm")
     val exactCos = Vectors.sql.cosineWithNorms("ua.vec", "ub.vec", "ua.nrm", "ub.nrm")
+    require(!refine || cap != Int.MaxValue,
+      "refine without a cap has nothing to split on")
+    val (probeSrc, joinCols) =
+      if (refine) ("keyed", Seq("tbl", "bucket", "__sub"))
+      else ("banded", Seq("tbl", "bucket"))
+    val keyedCte =
+      if (!refine) ""
+      else "keyed AS (" + graft.operators.BucketCap.sqlSplitHot(
+        "SELECT * FROM banded", Seq("tbl", "bucket"), "xb", cap) + "),\n"
+    val cappedCte =
+      if (cap == Int.MaxValue) ""
+      else "capped AS (" + graft.operators.BucketCap.sqlCapped(
+        s"SELECT * FROM $probeSrc", joinCols, "vec_id", cap) + "),\n"
+    val onCols = joinCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     s"""WITH u AS ($u),
        |${preCtes}anch AS (SELECT ki, av FROM (
        |  SELECT row_number() OVER (ORDER BY
@@ -1157,18 +1192,15 @@ object DedupQueries {
        |dec AS (SELECT vec_id, flatten(list(cw ORDER BY mi)) AS dv
        |        FROM enc JOIN cw USING (mi, ki) GROUP BY vec_id),
        |banded AS ($bandedSql),
-       |${if (cap == Int.MaxValue) "" else "capped AS (" +
-           graft.operators.BucketCap.sqlCapped(
-             "SELECT * FROM banded", Seq("tbl", "bucket"), "vec_id", cap) +
-           "),\n"}pairs AS (${
+       |${keyedCte}${cappedCte}pairs AS (${
          if (cap == Int.MaxValue)
            """SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
              |  WHERE a.vec_id < b.vec_id""".stripMargin
          else
-           """SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+           s"""SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
              |                greatest(a.vec_id, b.vec_id) AS id_b
-             |  FROM banded a JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
+             |  FROM $probeSrc a JOIN capped b ON $onCols
              |  WHERE a.vec_id <> b.vec_id""".stripMargin}),
        |dn AS (SELECT vec_id, dv, ${Vectors.sql.norm("dv")} AS dnorm FROM dec),
        |scr AS (SELECT id_a, id_b

@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measure the pair-recall cost of d10_scaled's candidate-side bucket
+  * cap at a given corpus scale. Both the capped and uncapped runs
+  * exact-verify every candidate at the same cosine threshold, so the
+  * capped output is a strict subset of the uncapped one and recall is
+  * exactly the row-count ratio — no truth set to materialize.
+  *   scripts/run_tool.sh graft.tools.CapRecall target/scaledata/x100 64,2147483647
+  * (2147483647 = Int.MaxValue = uncapped; run caps ascending so the
+  * expensive uncapped run comes last and a crash still leaves the
+  * capped counts printed.)
+  */
+object CapRecall {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val caps = (if (args.length > 1) args(1) else "64,2147483647")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val u = graft.queries.DedupQueries.embeddingUniverse(spark, d)
+    val bits = graft.operators.SimilaritySearch.scaledLshBits(u.count())
+    println(s"BITS $bits")
+    val counts = caps.map { cap =>
+      val t0 = System.nanoTime()
+      val n = graft.operators.SimilaritySearch.pqNearDupPairs(
+        u, "vec_id", "vec", dim = 64, threshold = 0.9, margin = 0.15,
+        bits = bits, tables = 4, maxBucket = cap).count()
+      println(f"CAP $cap pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f")
+      cap -> n
+    }
+    val full = counts.map(_._2).max
+    counts.foreach { case (cap, n) =>
+      println(f"RECALL cap=$cap ${n.toDouble / math.max(1, full)}%.4f")
+    }
+    spark.stop()
+  }
+}
+
+/** Pairwise recall understates a cap's usefulness for DEDUP: the pair
+  * list feeds connected-components clustering (c-family), where an
+  * intra-clique edge is redundant — losing it changes nothing as long
+  * as the clique stays connected. This variant runs each capped
+  * configuration AND the uncapped truth once, keeps the pair lists,
+  * and reports per cap (a) pairwise recall and (b) CONNECTIVITY
+  * recall: the fraction of true pairs whose endpoints land in the
+  * same connected component of the capped pair graph (driver-side
+  * union-find — the truth pair list is ~1e5-1e6 rows, trivially
+  * collectable).
+  *   scripts/run_tool.sh graft.tools.CapConnectivity target/scaledata/x100 64,256
+  */
+object CapConnectivity {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val caps = (if (args.length > 1) args(1) else "64,r64")
+      .split(",").map(_.trim).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val u = graft.queries.DedupQueries.embeddingUniverse(spark, d)
+    val bits = graft.operators.SimilaritySearch.scaledLshBits(u.count())
+    println(s"BITS $bits")
+    // config "N" = flat cap N; "rN" = cap N with 8-bit hot-bucket
+    // refinement (BucketCap.splitHot) before the cap; "rB:N" = cap N
+    // with B-bit refinement
+    def pairsAt(cfg: String): Array[(Long, Long)] = {
+      val (cap, refine) =
+        if (cfg.startsWith("r") && cfg.contains(":")) {
+          val Array(b, c) = cfg.drop(1).split(":"); (c.toInt, b.toInt)
+        } else if (cfg.startsWith("r")) (cfg.drop(1).toInt, 8)
+        else (cfg.toInt, 0)
+      val t0 = System.nanoTime()
+      val out = graft.operators.SimilaritySearch.pqNearDupPairs(
+        u, "vec_id", "vec", dim = 64, threshold = 0.9, margin = 0.15,
+        bits = bits, tables = 4, maxBucket = cap, refineBits = refine)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      println(f"PAIRS $cfg n=${out.length} wall=${(System.nanoTime() - t0) / 1e9}%.1f")
+      out
+    }
+    // optional arg 3: a parquet path caching the uncapped truth pairs
+    // (the truth run is ~20 min at x100 — compute once, reuse across
+    // config sweeps; the truth is deterministic per corpus)
+    val truth: Array[(Long, Long)] =
+      if (args.length > 2) {
+        val tp = args(2)
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(tp)))
+          spark.read.parquet(tp).select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        else {
+          val t = pairsAt(Int.MaxValue.toString)
+          import spark.implicits._
+          t.toSeq.toDF("id_a", "id_b").coalesce(1)
+            .write.mode("overwrite").parquet(tp)
+          t
+        }
+      } else pairsAt(Int.MaxValue.toString)
+    println(s"TRUTH pairs=${truth.length}")
+    caps.foreach { cap =>
+      val got = pairsAt(cap)
+      // union-find over the capped edges; path-halving find
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x); parent(x) = parent.getOrElse(p, p); x = parent(x)
+        }
+        x
+      }
+      got.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val connected = truth.count { case (a, b) => find(a) == find(b) }
+      println(f"CAP $cap pair_recall=${got.length.toDouble / math.max(1, truth.length)}%.4f " +
+        f"connectivity_recall=${connected.toDouble / math.max(1, truth.length)}%.4f")
+    }
+    spark.stop()
+  }
+}

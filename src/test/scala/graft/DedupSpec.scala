@@ -239,6 +239,76 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"scaled-geometry recall $recall below 0.9")
   }
 
+  test("d10 candidate cap keeps a super-cap clique connected for clustering") {
+    // The cap's dedup contract: pqNearDupPairs' asymmetric join (probe
+    // side uncapped, candidate side capped) means every member of a
+    // hot bucket still probes the bucket's KEPT members — so a clique
+    // larger than the cap loses redundant intra-clique edges but never
+    // its connectivity, which is all the downstream c-family
+    // clustering consumes. Plant a 120-member clique (identical
+    // vectors, one bucket per table), cap at 8, refinement ON (the
+    // declared d10_scaled config): identical vectors agree on every
+    // extension sign, so the hot bucket refuses to split and the flat
+    // cap is the operative last resort — the pair graph must still
+    // span all 120 ids in ONE component at far fewer than n² edges.
+    val n = 120
+    val clique = spark.range(n).select($"id".as("vec_id"),
+      array_repeat(lit(1.0), 16).as("vec"))
+    val pairs = graft.operators.SimilaritySearch.pqNearDupPairs(
+        clique, "vec_id", "vec", dim = 16, threshold = 0.9, margin = 0.15,
+        bits = 4, tables = 2, maxBucket = 8, refineBits = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.length < n.toLong * (n - 1) / 2 / 2,
+      s"cap did not bound the clique's pair volume: ${pairs.length}")
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x); parent(x) = parent.getOrElse(p, p); x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val roots = (0L until n).map(find).toSet
+    assert(roots.size == 1,
+      s"cap disconnected the clique into ${roots.size} components")
+  }
+
+  test("d10 hot-bucket refinement recovers near-dup pairs a flat cap drops") {
+    // A hot bucket of DISTINCT near-dup pairs — the case where the flat
+    // cap loses evidence (measured 0.794 pair recall at x100) and
+    // refinement is the cure: one-hot base vectors chosen on dims whose
+    // plane-0 component is positive all share base bucket 1 at bits=1,
+    // each paired with a +0.05-mutated twin (cosine ~0.9997). With
+    // cap=2 the flat config keeps 2 of the bucket's members, so at most
+    // 2 of the pairs can survive; refinement re-keys the bucket by the
+    // extension signs, which DIFFER across unrelated one-hot vectors
+    // but mostly agree within a mutated pair.
+    val posDims = (1 to 16).filter(i =>
+      ((i.toLong * 2654435761L) % 1997L - 998L) > 0)
+    assert(posDims.size >= 6, s"test precondition: enough positive dims")
+    val rows = posDims.zipWithIndex.flatMap { case (dim, k) =>
+      val base = Array.tabulate(16)(i => if (i + 1 == dim) 1.0 else 0.0)
+      val mut = base.clone(); mut(dim % 16) += 0.05
+      Seq((k.toLong * 2, base.toSeq), (k.toLong * 2 + 1, mut.toSeq))
+    }.toDF("vec_id", "vec")
+    val truth = posDims.indices.map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet
+    def run(refine: Int) = graft.operators.SimilaritySearch.pqNearDupPairs(
+        rows, "vec_id", "vec", dim = 16, threshold = 0.9, margin = 0.15,
+        bits = 1, tables = 1, m = 4, maxBucket = 2, refineBits = refine)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val flat = run(0); val refined = run(8)
+    assert(refined.subsetOf(truth) && flat.subsetOf(truth),
+      "capped outputs must stay subsets of the true pair set")
+    assert(flat.size <= 2, s"flat cap=2 cannot keep >2 pairs, got ${flat.size}")
+    assert(refined.size > flat.size,
+      s"refinement must recover pairs the flat cap drops: ${refined.size} vs ${flat.size}")
+    assert(refined.size >= truth.size - 1,
+      s"refinement recall too low: ${refined.size}/${truth.size}")
+  }
+
   test("ngram jaccard: identical=100, disjoint=0") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("text_a", "text_b")
     val out = Dedup.ngramJaccard(pairs, "text_a", "text_b", 3, 60)
