@@ -36,15 +36,24 @@ object AnnQueries {
   private val IncBits = 6
   private val IncTables = 2
   private val IncMinCos = 0.9
-  // n8_scaled candidate-side bucket cap: 4× scaledLshBits' target
-  // occupancy (16), so buckets at or near their DESIGN occupancy are
-  // untouched and only the skew tail is trimmed. Scaled bits hold the
-  // MEAN at ~16 but candidate volume is Σ occupancy² — a tail statistic
-  // bits cannot bound when corpus structure concentrates sign patterns
-  // (x200 replica corpus: max bucket 5623 at mean 16, Σc² growing 3.4×
-  // for 2× data → 207 s / 80 GB spill uncapped). The oracle replicates
-  // the cap's deterministic smallest-hash selection exactly (sqlCapped).
-  private val IncCap = 64
+  // n8_scaled candidate-side tail treatment — refine-then-cap, the
+  // d10_scaled cure applied to the incremental path. Scaled bits hold
+  // the MEAN occupancy at ~16 but candidate volume is Σ occupancy² — a
+  // tail statistic bits cannot bound when corpus structure concentrates
+  // sign patterns (x200 replica corpus: max bucket 5623 at mean 16,
+  // Σc² growing 3.4× for 2× data → 207 s / 80 GB spill uncapped).
+  // Members of an over-cap bucket are re-keyed by 12 extension sign
+  // bits from the independent RefineFamilyOffset hyperplane family
+  // (BucketCap.splitHot — the scaled-bits rule applied locally to the
+  // tail, so the hot mass splits back toward target occupancy instead
+  // of being dropped: a flat cap=64 pays in evidence exactly where the
+  // corpus is densest, measured 0.794 pair recall on d10's x100 tail),
+  // and the flat cap=128 (8× target occupancy) remains only as the
+  // last resort for clone masses agreeing on every extension sign.
+  // The oracle replicates banding, refinement AND the cap's
+  // smallest-hash selection (sqlSplitHot + sqlCapped).
+  private val IncCap = 128
+  private val IncRefineBits = 12
 
   /** Corpus-sized LSH geometry for n8_scaled — the same
     * `scaledLshBits` rule d10_scaled declares, here over n8's banded
@@ -170,7 +179,8 @@ object AnnQueries {
       graft.streaming.IncrementalAnn.incrementalPairs(store, batch,
           "vec_id", "embedding", dim = 64, m = IncM, codewords = IncCodewords,
           lshBits = scaledIncBits(s, d), lshTables = IncTables,
-          minCosine = IncMinCos, maxBucket = IncCap)
+          minCosine = IncMinCos, maxBucket = IncCap,
+          refineBits = IncRefineBits)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -340,16 +350,21 @@ object AnnQueries {
     // arithmetic (same rule and same bin()-length derivation as
     // d10_pq_neardup_scaled), banding via the dynamic-bits bucket
     // expression — bitwise-equal to the static expression at equal bits
-    // — plus the candidate-side bucket cap (IncCap), whose
-    // smallest-hash selection the oracle re-derives with sqlCapped.
+    // — plus the refine-then-cap tail treatment: 12 extension sign bits
+    // per table (the independent RefineFamilyOffset hyperplane family)
+    // re-key members of over-cap buckets before the cap=IncCap last
+    // resort, whose smallest-hash selection the oracle re-derives —
+    // banding, refinement and cap all under the cross-engine hash gate.
     "n8_incremental_ann_scaled" -> n8Sql(
       s"""SELECT c_id, tb AS tbl,
-         |  ${Vectors.sql.lshBucketDyn("c_vec", "bits", "tb")} AS bucket
+         |  ${Vectors.sql.lshBucketDyn("c_vec", "bits", "tb")} AS bucket,
+         |  ${Vectors.sql.lshBucketDyn("c_vec", IncRefineBits.toString,
+              s"(${graft.operators.BucketCap.RefineFamilyOffset} + tb)")} AS xb
          |FROM allv CROSS JOIN geo
          |CROSS JOIN (SELECT unnest([${(0 until IncTables).mkString(", ")}]) AS tb) tbls""".stripMargin,
       geoCte =
         "geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM allv),\n",
-      cap = IncCap)
+      cap = IncCap, refine = true)
   )
 
   /** n8's oracle shape, parameterized over the banding CTE (static
@@ -360,18 +375,33 @@ object AnnQueries {
     * encode/decode spans store ∪ batch — the stale-codebook steady
     * state. The capped variant mirrors IncrementalAnn.pairsFromCodes:
     * the PROBE side (batch, c_id >= 100000) is never capped — every
-    * new item must be allowed to look — only the candidate side is. */
+    * new item must be allowed to look — only the candidate side is.
+    * With `refine` additionally set, `bandedSql` must also emit the
+    * per-table extension signs as `xb`, and the occupancy-conditional
+    * re-key (BucketCap.sqlSplitHot) runs between banding and the cap;
+    * probe and candidate then join on the extended key. */
   private def n8Sql(bandedSql: String, geoCte: String = "",
-                    cap: Int = Int.MaxValue): String = {
+                    cap: Int = Int.MaxValue,
+                    refine: Boolean = false): String = {
       val M = IncM; val K = IncCodewords; val SubDim = 64 / IncM
       val l2 = s"list_sum(list_transform(generate_series(1, $SubDim), " +
         "j -> (sv[j] - cw[j]) * (sv[j] - cw[j])))"
       val banded = bandedSql
+      require(!refine || cap != Int.MaxValue,
+        "refine without a cap has nothing to split on")
+      val (probeSrc, joinCols) =
+        if (refine) ("keyed", Seq("tbl", "bucket", "__sub"))
+        else ("banded", Seq("tbl", "bucket"))
+      val keyedCte =
+        if (!refine) ""
+        else "keyed AS (" + graft.operators.BucketCap.sqlSplitHot(
+          "SELECT * FROM banded", Seq("tbl", "bucket"), "xb", cap) + "),\n"
       val cappedCte =
         if (cap == Int.MaxValue) ""
         else "capped AS (" + graft.operators.BucketCap.sqlCapped(
-          "SELECT * FROM banded", Seq("tbl", "bucket"), "c_id", cap) + "),\n"
+          s"SELECT * FROM $probeSrc", joinCols, "c_id", cap) + "),\n"
       val candSide = if (cap == Int.MaxValue) "banded" else "capped"
+      val onCols = joinCols.map(c => s"a.$c = b.$c").mkString(" AND ")
       s"""WITH newb AS (SELECT vec_id + 100000 AS c_id, embedding AS c_vec
          |              FROM embeddings WHERE vec_id % 7 = 0),
          |allv AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
@@ -397,9 +427,9 @@ object AnnQueries {
          |dec AS (SELECT c_id, flatten(list(cw ORDER BY mi)) AS dv
          |        FROM enc JOIN cw USING (mi, ki) GROUP BY c_id),
          |banded AS ($banded),
-         |${cappedCte}cand AS (SELECT DISTINCT least(a.c_id, b.c_id) AS id_a,
+         |${keyedCte}${cappedCte}cand AS (SELECT DISTINCT least(a.c_id, b.c_id) AS id_a,
          |                greatest(a.c_id, b.c_id) AS id_b
-         |         FROM banded a JOIN $candSide b USING (tbl, bucket)
+         |         FROM $probeSrc a JOIN $candSide b ON $onCols
          |         WHERE a.c_id >= 100000 AND a.c_id <> b.c_id),
          |dn AS (SELECT c_id, dv, ${Vectors.sql.norm("dv")} AS nrm FROM dec),
          |s AS (SELECT id_a, id_b,

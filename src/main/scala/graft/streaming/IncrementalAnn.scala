@@ -52,7 +52,8 @@ object IncrementalAnn {
               lshBits: Int = 8, lshTables: Int = 4,
               minCosine: Double = 0.9,
               maxDriftRatio: Double = Double.PositiveInfinity,
-              maxBucket: Int = Int.MaxValue): Unit = {
+              maxBucket: Int = Int.MaxValue,
+              refineBits: Int = 0): Unit = {
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(vecCol))
     val q = in.writeStream
@@ -75,16 +76,23 @@ object IncrementalAnn {
             else curGen
           }
         val books = loadCodebooks(s, cbDir).map { case (g, (cb, _)) => g -> cb }
-        // ONE pass computes codes + blocking buckets from the raw
-        // vector; everything downstream reads only these small ints
-        val newCodes = batch.select(col(idCol).as("id"), lit(gen).as("gen"),
+        // ONE pass computes codes + blocking buckets (+ the hot-bucket
+        // refinement signs when armed — the store never re-reads raw
+        // vectors, so extension signs must be persisted alongside the
+        // base buckets; `refineBits` is part of the store's layout
+        // contract and must stay constant for the store's lifetime)
+        // from the raw vector; everything downstream reads small ints
+        val newCodes = batch.select(Seq(col(idCol).as("id"), lit(gen).as("gen"),
             graft.plans.VecExprs.pqEncode(col(vecCol), books(gen)).as("code"),
-            Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
+            Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets")) ++
+            (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
+              refineBits, lshTables, graft.operators.BucketCap.RefineFamilyOffset)
+              .as("xbuckets")) else Nil): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val existing = IncrementalDedup.readStore(
             s, codeStoreDir, newCodes.schema, glob = "/batch_id=*")
-          pairsFromCodes(newCodes, existing, books, minCosine, maxBucket)
+          pairsFromCodes(newCodes, existing, books, minCosine, maxBucket, refineBits)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing (the batch must not meet itself twice)
           newCodes.write.mode("overwrite")
@@ -111,14 +119,18 @@ object IncrementalAnn {
                        dim: Int, m: Int = 8, codewords: Int = 16,
                        lshBits: Int = 8, lshTables: Int = 4,
                        minCosine: Double = 0.9,
-                       maxBucket: Int = Int.MaxValue): DataFrame = {
+                       maxBucket: Int = Int.MaxValue,
+                       refineBits: Int = 0): DataFrame = {
     val codebook = SimilaritySearch.pqTrainCodebook(
       store, idCol, vecCol, dim, m, codewords)
-    def codes(df: DataFrame) = df.select(col(idCol).as("id"), lit(0).as("gen"),
+    def codes(df: DataFrame) = df.select(Seq(col(idCol).as("id"), lit(0).as("gen"),
       graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code"),
-      Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets"))
+      Vectors.lshBucketsAll(col(vecCol), lshBits, lshTables).as("buckets")) ++
+      (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
+        refineBits, lshTables, graft.operators.BucketCap.RefineFamilyOffset)
+        .as("xbuckets")) else Nil): _*)
     pairsFromCodes(codes(batch), codes(store), Map(0 -> codebook), minCosine,
-      maxBucket)
+      maxBucket, refineBits)
   }
 
   /** The staleness statistic: mean squared reconstruction error of
@@ -144,10 +156,18 @@ object IncrementalAnn {
   private[streaming] def pairsFromCodes(newCodes: DataFrame, existing: DataFrame,
                                         books: Map[Int, Codebook],
                                         minCosine: Double,
-                                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    def banded(df: DataFrame) = df.select(col("id"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val newBands = banded(newCodes)
+                                        maxBucket: Int = Int.MaxValue,
+                                        refineBits: Int = 0): DataFrame = {
+    require(refineBits == 0 || maxBucket != Int.MaxValue,
+      "refine without a cap has nothing to split on")
+    def banded(df: DataFrame, isNew: Boolean) = {
+      val b = df.select(Seq(col("id"), lit(isNew).as("is_new"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
+        (if (refineBits > 0) Seq(col("xbuckets")) else Nil): _*)
+      if (refineBits > 0)
+        b.withColumn("xb", col("xbuckets")(col("tbl"))).drop("xbuckets")
+      else b
+    }
     // Candidate-side bucket cap (same contract as d10/n7's BucketCap):
     // scaled bits hold the MEAN occupancy at ~16, but candidate volume
     // is Σ occupancy² — a tail statistic the bit count cannot bound
@@ -157,14 +177,26 @@ object IncrementalAnn {
     // deterministically (per-bucket smallest hash, so a hot-bucket
     // eviction in one table is independently kept in another —
     // OR-amplification compensates). The probe (batch) side is never
-    // capped: every new item must be allowed to look.
+    // capped: every new item must be allowed to look. With
+    // `refineBits` > 0, members of an over-cap bucket are first
+    // re-keyed by the persisted extension signs (BucketCap.splitHot —
+    // the d10_scaled cure: a flat cap pays in evidence exactly where
+    // the corpus is densest), with the flat cap as last resort for
+    // clone masses that refuse to split; the probe side carries the
+    // same refined key, so a probe looks in its own sub-bucket.
+    val allBands = banded(existing, isNew = false)
+      .unionByName(banded(newCodes, isNew = true))
+    val (refined, key) =
+      if (refineBits == 0) (allBands, Seq("tbl", "bucket"))
+      else (graft.operators.BucketCap.splitHot(
+              allBands, Seq("tbl", "bucket"), "xb", maxBucket),
+            Seq("tbl", "bucket", "__sub"))
     val candBands =
-      if (maxBucket == Int.MaxValue) banded(existing).unionByName(newBands)
-      else graft.operators.BucketCap.capMembers(
-        banded(existing).unionByName(newBands), Seq("tbl", "bucket"), "id",
-        maxBucket)
-    val pairs = newBands.select(col("id").as("nid"), col("tbl"), col("bucket"))
-      .join(candBands, Seq("tbl", "bucket"))
+      if (maxBucket == Int.MaxValue) refined
+      else graft.operators.BucketCap.capMembers(refined, key, "id", maxBucket)
+    val pairs = refined.filter(col("is_new"))
+      .select(col("id").as("nid") +: key.map(col): _*)
+      .join(candBands.select(col("id") +: key.map(col): _*), key)
       .filter(col("nid") =!= col("id"))
       .select(least(col("nid"), col("id")).as("id_a"),
         greatest(col("nid"), col("id")).as("id_b"))

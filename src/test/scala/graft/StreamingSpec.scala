@@ -373,6 +373,62 @@ class StreamingSpec extends SparkSpec {
     assert(store.select(size($"code")).as[Int].collect().forall(_ == 4))
   }
 
+  test("incremental ANN hot-bucket refinement recovers pairs a flat cap drops") {
+    // The n8_scaled tail treatment (the d10_scaled cure on the
+    // incremental path): a hot bucket of DISTINCT near-dup pairs is
+    // where a flat candidate cap loses evidence. One-hot store vectors
+    // on dims whose plane-0 component is positive all share base
+    // bucket 1 at bits=1; the batch is a +0.05-mutated twin of each.
+    // With cap=2 the flat config keeps 2 members of the shared bucket,
+    // so at most 2 true (base, twin) pairs can survive; refinement
+    // re-keys the over-cap bucket by extension signs, which DIFFER
+    // across unrelated one-hot vectors but mostly agree within a
+    // mutated pair. PQ verification is lossless here (store smaller
+    // than the codeword budget), so every surviving candidate pair
+    // scores approx_cos 1.0 on the shared base codeword.
+    //
+    // Unlike d10's symmetric self-join (where EITHER endpoint
+    // surviving the cap keeps the pair), the incremental probe is
+    // one-sided — the batch twin must find its STORE base in the
+    // capped sub-bucket — so the test additionally requires the chosen
+    // dims' extension patterns to be pairwise distinct: the linear
+    // hyperplane family gives dims i and i+10 near-identical
+    // components mod 1997, and two colliding one-hot pairs in one
+    // sub-bucket exceed cap=2 on the candidate side with no second
+    // probe direction to recover. Both sign tests below use the same
+    // integer arithmetic as Vectors.hyperplaneComponent.
+    def comp(p: Long, i: Int): Long = (i * 2654435761L + p * 40503L) % 1997L - 998L
+    def xbPattern(dim: Int): Seq[Boolean] =
+      (0 until 8).map(j => comp((graft.operators.BucketCap.RefineFamilyOffset
+        .toLong * 8 + j), dim) > 0)
+    val posDims = (1 to 16).filter(i => comp(0, i) > 0)
+      .foldLeft(Vector.empty[Int]) { (acc, d) =>
+        if (acc.exists(a => xbPattern(a) == xbPattern(d))) acc else acc :+ d
+      }
+    assert(posDims.size >= 4, "test precondition: enough distinct-pattern dims")
+    val rows = posDims.zipWithIndex.map { case (dim, k) =>
+      val base = Array.tabulate(16)(i => if (i + 1 == dim) 1.0f else 0.0f)
+      val mut = base.clone(); mut(dim % 16) += 0.05f
+      (k.toLong * 2, base, k.toLong * 2 + 1, mut)
+    }
+    val store = rows.map(r => (r._1, r._2.toSeq)).toDF("vec_id", "embedding")
+    val batch = rows.map(r => (r._3, r._4.toSeq)).toDF("vec_id", "embedding")
+    val truth = posDims.indices.map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet
+    def run(refine: Int) = IncrementalAnn.incrementalPairs(store, batch,
+        "vec_id", "embedding", dim = 16, m = 4, codewords = 16,
+        lshBits = 1, lshTables = 1, minCosine = 0.9,
+        maxBucket = 2, refineBits = refine)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val flat = run(0); val refined = run(8)
+    assert(refined.subsetOf(truth) && flat.subsetOf(truth),
+      "capped outputs must stay subsets of the true pair set")
+    assert(flat.size <= 2, s"flat cap=2 cannot keep >2 pairs, got ${flat.size}")
+    assert(refined.size > flat.size,
+      s"refinement must recover pairs the flat cap drops: ${refined.size} vs ${flat.size}")
+    assert(refined.size >= truth.size - 1,
+      s"refinement recall too low: ${refined.size}/${truth.size}")
+  }
+
   test("streaming ANN drift policy: stable ingest keeps one codebook, drifted batch retrains; cross-generation pairs verify") {
     val root = Files.createTempDirectory("graft-anndrift")
     val in = root.resolve("in"); Files.createDirectories(in)
