@@ -47,7 +47,10 @@ object AnnQueries {
   // (BucketCap.splitHot — the scaled-bits rule applied locally to the
   // tail, so the hot mass splits back toward target occupancy instead
   // of being dropped: a flat cap=64 pays in evidence exactly where the
-  // corpus is densest, measured 0.794 pair recall on d10's x100 tail),
+  // corpus is densest, measured 0.719 pair recall on THIS query's own
+  // x100 tail by graft.tools.IncCapRecall — worse than d10's 0.794
+  // because the asymmetric probe gives a lost store-side endpoint
+  // fewer chances to resurface; refinement recovers it to 0.969),
   // and the flat cap=128 (8× target occupancy) remains only as the
   // last resort for clone masses agreeing on every extension sign.
   // The oracle replicates banding, refinement AND the cap's

@@ -127,3 +127,59 @@ object CapConnectivity {
     spark.stop()
   }
 }
+
+/** The same audit for n8's INCREMENTAL candidate cap: run
+  * [[graft.streaming.IncrementalAnn.incrementalPairs]] in the declared
+  * n8_scaled corpus shape (store = embeddings, batch = every 7th
+  * vector id-shifted) under each tail treatment and report pair recall
+  * against the uncapped truth. Configs use CapConnectivity's grammar:
+  * "N" = flat store-side cap N, "rB:N" = B-bit hot-bucket refinement
+  * (BucketCap.splitHot) before cap N, "uncapped" = no tail treatment.
+  * Capped outputs are strict subsets of the uncapped one (refinement
+  * only partitions buckets further; the cap selects within them; exact
+  * verification is shared), so recall is the row-count ratio.
+  *   scripts/run_tool.sh graft.tools.IncCapRecall target/scaledata/x100 64,r12:128
+  */
+object IncCapRecall {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cfgs = (if (args.length > 1) args(1) else "64,r12:128")
+      .split(",").map(_.trim).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.col
+    val store = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val batch = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val bits = graft.operators.SimilaritySearch.scaledLshBits(
+      store.count() + batch.count())
+    println(s"BITS $bits")
+    def countAt(cfg: String): Long = {
+      val (cap, refine) =
+        if (cfg == "uncapped") (Int.MaxValue, 0)
+        else if (cfg.startsWith("r")) {
+          val Array(b, c) = cfg.drop(1).split(":"); (c.toInt, b.toInt)
+        } else (cfg.toInt, 0)
+      val t0 = System.nanoTime()
+      val n = graft.streaming.IncrementalAnn.incrementalPairs(
+        store, batch, "vec_id", "embedding", dim = 64,
+        lshBits = bits, lshTables = 2, minCosine = 0.9,
+        maxBucket = cap, refineBits = refine).count()
+      println(f"CFG $cfg pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f")
+      n
+    }
+    val truth = countAt("uncapped")
+    cfgs.foreach { cfg =>
+      val n = countAt(cfg)
+      println(f"RECALL $cfg ${n.toDouble / math.max(1L, truth)}%.4f")
+    }
+    spark.stop()
+  }
+}
