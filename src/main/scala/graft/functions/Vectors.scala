@@ -52,9 +52,13 @@ object Vectors {
 
   /** [[lshBucketsAll]] over the hyperplane families of absolute table
     * indexes `tableOffset..tableOffset+tables-1` — EXTENSION signs for
-    * hot-bucket refinement, statistically independent of any base
-    * banding family whose absolute indexes stay below the offset
-    * (element t == [[lshBucket]](v, bits, tableOffset + t)). */
+    * hot-bucket refinement (element t == [[lshBucket]](v, bits,
+    * tableOffset + t)). Independence from the base family is a
+    * MODULAR property, not an ordering one: [[hyperplaneComponent]]
+    * depends on its plane index only mod 1997, so families recur with
+    * that period — callers must hold the two plane-index sets disjoint
+    * mod 1997 ([[graft.operators.BucketCap.requireIndependentFamilies]]
+    * asserts it at every refine-capable call site). */
   def lshBucketsAllOff(v: Column, bits: Int, tables: Int,
                        tableOffset: Int): Column =
     graft.plans.VecExprs.lshBucketsOff(v, bits, tables, tableOffset)

@@ -50,8 +50,41 @@ object BucketCap {
     * above any base banding family's absolute table index, so the
     * extension signs are fresh evidence the base bucket has not
     * already conditioned on. ONE constant shared by every refining
-    * operator AND its DuckDB oracle twin. */
+    * operator AND its DuckDB oracle twin.
+    *
+    * "Independent" is NOT guaranteed by the offset alone: a
+    * hyperplane's components depend on its plane index ONLY modulo
+    * 1997 ([[graft.functions.Vectors.hyperplaneComponent]] — 1997 is
+    * the component modulus), so the extension planes at indexes
+    * `(RefineFamilyOffset+t)·refineBits + j` recur against base
+    * planes `t·bits + j` with period 1997. Every declared geometry is
+    * far from a collision, but the public API admits configs that are
+    * not (e.g. bits=64 with 26+ tables reaches the extension residue
+    * class) — [[requireIndependentFamilies]] asserts disjointness at
+    * each refine-capable call site instead of trusting the offset. */
   val RefineFamilyOffset = 65536
+
+  /** Assert the base banding family and the refinement extension
+    * family share NO hyperplane (plane indexes disjoint modulo 1997,
+    * the component modulus). A collision would make extension signs a
+    * deterministic function of the base bucket: hot buckets of
+    * non-clone data would refuse to split, and the flat last-resort
+    * cap would silently drop real pairs with no OR-amplification
+    * rescue — the exact failure refinement exists to prevent. Cheap
+    * (a few hundred Set inserts), called once per query build. */
+  def requireIndependentFamilies(baseBits: Int, baseTables: Int,
+                                 refineBits: Int, refineTables: Int): Unit = {
+    val base = (for (t <- 0 until baseTables; j <- 0 until baseBits)
+      yield ((t.toLong * baseBits + j) % 1997L)).toSet
+    val ext = (for (t <- 0 until refineTables; j <- 0 until refineBits)
+      yield (((RefineFamilyOffset.toLong + t) * refineBits + j) % 1997L)).toSet
+    require((base & ext).isEmpty,
+      s"refinement hyperplane family (refineBits=$refineBits, " +
+        s"tables=$refineTables at offset $RefineFamilyOffset) overlaps " +
+        s"the base family (bits=$baseBits, tables=$baseTables) modulo " +
+        "1997 — extension signs would not be independent evidence; " +
+        "change bits/tables or the refinement width")
+  }
 
   /** Occupancy-conditional bucket refinement — the step BETWEEN the
     * geometry rule and the frequency cap.

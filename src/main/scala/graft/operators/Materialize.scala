@@ -14,19 +14,29 @@ import org.apache.spark.storage.StorageLevel
   *    JVM that is also the driver, so "executor loss without driver
   *    loss" cannot happen and non-recomputability costs nothing;
   *    blocks release when the plan's RDD is GC'd.
-  *  - cluster master: `persist(MEMORY_AND_DISK)` + a `count()` to
-  *    force population — blocks are RECOMPUTABLE on executor loss
-  *    (dynamic allocation, preemption) and evictable under memory
-  *    pressure, at the price of keeping the lineage. Callers that
-  *    hold the frame long-term should `unpersist()` after the last
-  *    consumer runs; one-shot query paths can leave eviction to LRU.
+  *  - cluster master: RDD-level `persist(MEMORY_AND_DISK)` + a
+  *    `count()` to force population — blocks are RECOMPUTABLE on
+  *    executor loss (dynamic allocation, preemption), evictable under
+  *    memory pressure, and RELEASED by the ContextCleaner when the
+  *    plan becomes unreachable on the driver. `DataFrame.persist`
+  *    would be wrong here: it registers the plan in the SQL
+  *    CacheManager, which holds a strong reference until an explicit
+  *    `unpersist()` that no lazy-consumer call site can issue — a
+  *    perpetual-ingest driver would pin one cached pair list per
+  *    micro-batch, forever. The RDD round-trip costs a row
+  *    encode/decode, fine for the narrow pair lists this serves.
   */
 object Materialize {
   def once(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(true)
-    else {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    }
+    else clusterMaterialize(df)
+
+  /** The cluster branch of [[once]], callable directly by its spec
+    * (tests run on a local master, where [[once]] would take the
+    * localCheckpoint fast path). */
+  private[graft] def clusterMaterialize(df: DataFrame): DataFrame = {
+    val rows = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
 }

@@ -413,6 +413,8 @@ object SimilaritySearch {
                      bits: Int, tables: Int,
                      m: Int = 8, codewords: Int = 16,
                      maxBucket: Int = 256, refineBits: Int = 0): DataFrame = {
+    if (refineBits > 0)
+      BucketCap.requireIndependentFamilies(bits, tables, refineBits, tables)
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
     // verification); the float vector is dropped immediately after.

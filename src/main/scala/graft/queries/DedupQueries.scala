@@ -845,7 +845,7 @@ object DedupQueries {
     // and replicates the tail treatment: 12 extension sign bits per
     // table (the independent RefineFamilyOffset hyperplane family,
     // same dynamic-bits bucket expression) re-key members of over-cap
-    // buckets before the cap=64 last resort — banding, refinement and
+    // buckets before the cap=128 last resort — banding, refinement and
     // cap selection all cross-engine hash-gated.
     "d10_pq_neardup_scaled" -> {
       val NTables = 4

@@ -75,17 +75,22 @@ object JdbcUpsertSink {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Canonical lock key for an embedded-Derby URL: the database path
-    * alone, attributes stripped and the path resolved absolute. URL
-    * variants of the SAME database (`;create=true` appended, relative
-    * vs absolute path) must map to ONE lock — keyed on the raw URL
-    * string they would take distinct locks and the JVM-level deadlock
-    * the lock exists to prevent would stay reachable. */
+    * alone, attributes stripped, the optional `directory:`
+    * subsubprotocol (Derby's explicit spelling of the default) removed,
+    * and the path resolved absolute. URL variants of the SAME database
+    * (`;create=true` appended, relative vs absolute path,
+    * `jdbc:derby:directory:foo` vs `jdbc:derby:foo`) must map to ONE
+    * lock — keyed on the raw URL string they would take distinct locks
+    * and the JVM-level deadlock the lock exists to prevent would stay
+    * reachable. */
   private[graft] def embeddedLockKey(url: String): String = {
     val db = url.stripPrefix("jdbc:derby:").takeWhile(_ != ';')
     if (db.startsWith("memory:")) db
-    else
-      try new java.io.File(db).getCanonicalPath
-      catch { case _: java.io.IOException => new java.io.File(db).getAbsolutePath }
+    else {
+      val dir = db.stripPrefix("directory:")
+      try new java.io.File(dir).getCanonicalPath
+      catch { case _: java.io.IOException => new java.io.File(dir).getAbsolutePath }
+    }
   }
 
   private def withDialectLock[A](dialect: String, url: String)(body: => A): A =

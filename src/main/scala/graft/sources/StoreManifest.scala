@@ -93,12 +93,41 @@ object StoreManifest {
     v
   }
 
+  private def idOf(name: String): Long = name.stripPrefix("batch_id=").toLong
+
   /** The names a legacy (pre-manifest) pile holds — its `batch_id=`
-    * children — for first-contact migration. */
-  private def legacyDirs(fs: FileSystem, root: Path): Seq[String] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName)
+    * children — for first-contact migration, with the interrupted-
+    * legacy-compaction states resolved rather than baked in:
+    *
+    *  - a COMPLETE snapshot (negative id, `_SUCCESS` present) at
+    *    `-(u+1)` supersedes every dir with id <= u — those are the
+    *    folded inputs a crash between snapshot-write and delete left
+    *    behind. Listing both would make the manifest itself carry each
+    *    folded row twice, permanently, while `isManaged` simultaneously
+    *    tells consumers to drop their duplicate shields.
+    *  - an INCOMPLETE snapshot (no `_SUCCESS`) is the crashed write
+    *    itself: never readable as truth, excluded; its folded inputs
+    *    (still intact) carry the data.
+    *
+    * Positive-id dirs are listed regardless of `_SUCCESS`: a crashed
+    * batch write is replayed and overwritten by the at-least-once
+    * stream, which is the healing path the layout already relies on. */
+  private def legacyDirs(fs: FileSystem, root: Path): Seq[String] = {
+    if (!fs.exists(root)) return Seq.empty
+    val all = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch_id=")).toSeq
+    val kept = all.filter(n => idOf(n) >= 0 ||
+      fs.exists(new Path(new Path(root, n), "_SUCCESS")))
+    val snapIds = kept.map(idOf).filter(_ < 0)
+    if (snapIds.isEmpty) kept
+    else {
+      // deepest fold horizon wins: the most negative snapshot folded
+      // everything at or below its horizon, shallower snapshots included
+      val deepest = snapIds.min
+      val horizon = -deepest - 1
+      kept.filter(n => idOf(n) == deepest || idOf(n) > horizon)
+    }
+  }
 
   /** Idempotently add one batch directory to the live set, migrating a
     * legacy pile (manifest = all existing `batch_id=` dirs) on first
@@ -119,8 +148,13 @@ object StoreManifest {
               drop: Set[String], add: Seq[String]): Unit = {
     val (fs, root) = fsOf(spark, storeDir)
     val live = latest(spark, storeDir).map(_._2).getOrElse(legacyDirs(fs, root))
-    publish(spark, storeDir,
-      live.filterNot(drop.contains) ++ add.filterNot(live.contains))
+    // dedupe `add` against the POST-drop set, not the pre-drop one: a
+    // name in both `drop` and `add` (a compaction retried at a horizon
+    // whose snapshot is already listed) must stay listed — filtering
+    // against `live` would drop it and never re-add it, unlisting the
+    // entire folded history
+    val kept = live.filterNot(drop.contains)
+    publish(spark, storeDir, kept ++ add.filterNot(kept.contains))
     ()
   }
 
@@ -131,18 +165,35 @@ object StoreManifest {
     * already construct the correctly-typed empty frame. */
   def readLive(spark: SparkSession, storeDir: String): Option[DataFrame] =
     latest(spark, storeDir).collect {
-      case (_, dirs) if dirs.nonEmpty =>
-        spark.read.option("basePath", storeDir)
-          .parquet(dirs.map(n => s"$storeDir/$n"): _*)
+      case (_, dirs) if dirs.nonEmpty => readDirs(spark, storeDir, dirs)
     }
+
+  /** Read an already-resolved live set (one [[latest]] call's `dirs`)
+    * — lets a caller that resolved the manifest for its own logic read
+    * the same version without a second manifest round-trip (each
+    * [[latest]] is a listStatus + open on `_manifest`: driver-side
+    * metadata I/O on the hot per-batch path of an object-store
+    * deployment). */
+  def readDirs(spark: SparkSession, storeDir: String,
+               dirs: Seq[String]): DataFrame =
+    spark.read.option("basePath", storeDir)
+      .parquet(dirs.map(n => s"$storeDir/$n"): _*)
 
   /** True when the store resolves to NO live data: unmanaged and no
     * legacy dirs, or managed with an empty live set. */
   def resolvesEmpty(spark: SparkSession, storeDir: String): Boolean = {
-    val (fs, root) = fsOf(spark, storeDir)
     latest(spark, storeDir) match {
       case Some((_, dirs)) => dirs.isEmpty
-      case None => legacyDirs(fs, root).isEmpty
+      case None => legacyNames(spark, storeDir).isEmpty
     }
+  }
+
+  /** The resolved names of an UNMANAGED pile (the manifest-migration
+    * view: interrupted-compaction leftovers excluded) — for callers
+    * that already know `latest` returned None and must not pay a
+    * second manifest resolve. */
+  def legacyNames(spark: SparkSession, storeDir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, storeDir)
+    legacyDirs(fs, root)
   }
 }

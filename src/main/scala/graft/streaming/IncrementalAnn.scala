@@ -54,6 +54,10 @@ object IncrementalAnn {
               maxDriftRatio: Double = Double.PositiveInfinity,
               maxBucket: Int = Int.MaxValue,
               refineBits: Int = 0): Unit = {
+    if (refineBits > 0)
+      graft.operators.BucketCap.requireIndependentFamilies(
+        lshBits, lshTables, refineBits, lshTables)
+    requireStoreLayout(spark, codeStoreDir, refineBits)
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(vecCol))
     val q = in.writeStream
@@ -121,6 +125,9 @@ object IncrementalAnn {
                        minCosine: Double = 0.9,
                        maxBucket: Int = Int.MaxValue,
                        refineBits: Int = 0): DataFrame = {
+    if (refineBits > 0)
+      graft.operators.BucketCap.requireIndependentFamilies(
+        lshBits, lshTables, refineBits, lshTables)
     val codebook = SimilaritySearch.pqTrainCodebook(
       store, idCol, vecCol, dim, m, codewords)
     def codes(df: DataFrame) = df.select(Seq(col(idCol).as("id"), lit(0).as("gen"),
@@ -131,6 +138,47 @@ object IncrementalAnn {
         .as("xbuckets")) else Nil): _*)
     pairsFromCodes(codes(batch), codes(store), Map(0 -> codebook), minCosine,
       maxBucket, refineBits)
+  }
+
+  /** Enforce the store's layout contract before a run touches it:
+    * `refineBits` decides whether `xbuckets` (the persisted hot-bucket
+    * extension signs) exists, and it must stay constant for the
+    * store's lifetime — the signs cannot be recomputed without the raw
+    * vectors. Without this guard, arming refinement against a store
+    * written without `xbuckets` would not error: forcing the new
+    * schema onto the old files null-fills the column, the
+    * (tbl, bucket, __sub) equi-join never matches the null sub-keys,
+    * and every store-side member of a hot bucket silently vanishes
+    * from candidates — exactly the dense region refinement exists to
+    * keep (recall collapses BELOW the flat cap it was meant to fix).
+    * Disarming against a refined store is rejected symmetrically: the
+    * narrowed read would silently discard persisted evidence and
+    * change the declared recall behavior. One footer read per
+    * [[runOnce]] call; within a run the single writer keeps the
+    * layout constant by construction. */
+  private[graft] def requireStoreLayout(spark: SparkSession,
+                                        codeStoreDir: String,
+                                        refineBits: Int): Unit = {
+    val paths = graft.sources.StoreManifest.latest(spark, codeStoreDir) match {
+      case Some((_, dirs)) => dirs.map(n => s"$codeStoreDir/$n")
+      case None =>
+        val path = new org.apache.hadoop.fs.Path(codeStoreDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(path)) Seq.empty
+        else fs.listStatus(path).map(_.getPath.getName)
+          .filter(_.startsWith("batch_id=")).toSeq
+          .map(n => s"$codeStoreDir/$n")
+    }
+    if (paths.nonEmpty) {
+      val stored = spark.read.parquet(paths: _*).schema.fieldNames
+        .contains("xbuckets")
+      require(stored == (refineBits > 0),
+        s"code store $codeStoreDir was written with refineBits " +
+          s"${if (stored) "> 0" else "= 0"} but this run sets " +
+          s"refineBits=$refineBits — refineBits is part of the store's " +
+          "layout contract (extension signs are persisted, not " +
+          "recomputable) and must stay constant for the store's lifetime")
+    }
   }
 
   /** The staleness statistic: mean squared reconstruction error of

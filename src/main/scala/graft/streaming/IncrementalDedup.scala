@@ -52,9 +52,14 @@ object IncrementalDedup {
         try {
           val existing = readStoreBefore(s, sigStoreDir, newSigs.schema,
             ltBatch = batchId)
-          // uniqueIds: a manifest-resolved store read is duplicate-free
-          // by construction — the verify-side dropDuplicates shield
-          // (an extra exchange of wide sig/sh rows) is skipped
+          // uniqueIds: a manifest-resolved store read lists each batch
+          // DIRECTORY exactly once (incl. across interrupted-compaction
+          // migration — StoreManifest.legacyDirs resolves those states),
+          // and replays overwrite their own batch dir — so an id appears
+          // once UNLESS the upstream source itself emits the same id in
+          // two distinct batches (an input-data contract, same as the
+          // batch API's). The verify-side dropDuplicates shield (an
+          // extra exchange of wide sig/sh rows) is skipped on that basis
           val unique = graft.sources.StoreManifest.isManaged(s, sigStoreDir)
           val pairs =
             if (verifyBySig)
@@ -132,9 +137,10 @@ object IncrementalDedup {
     * [[resolveLabels]] linear as batches accumulate (without it, each
     * resolution re-reads base + every delta, so per-batch read cost
     * grows with batch count). Rewrites the labeling resolved through
-    * `uptoBatch` as ONE full snapshot at the fresh negative id
-    * `batch_id=-(uptoBatch+1)` (unique: fold horizons strictly
-    * increase) and retires the folded partitions; latest-wins
+    * `uptoBatch` as ONE full snapshot at a fresh negative id
+    * (`min(-(uptoBatch+1), min(resolved ids)-1)` — fresh even when a
+    * fold is retried at an already-folded horizon) and retires the
+    * folded partitions; latest-wins
     * resolution is unchanged because the snapshot's id sorts BELOW
     * every live delta — it becomes [[resolveLabels]]'s base, and
     * surviving deltas (> uptoBatch) override per node exactly as they
@@ -167,22 +173,24 @@ object IncrementalDedup {
         "newest batch and may still be replayed — compact only after a " +
         "newer batch has committed")
     val foldNames = names.filter(n => idOf(n) <= uptoBatch)
-    val idLike = (if (managed.isDefined)
-        graft.sources.StoreManifest.readLive(spark, labelsDir).get
-      else spark.read.parquet(labelsDir)).select(col("node"))
-    val snapName = s"batch_id=-${uptoBatch + 1}"
-    val snap0 = resolveLabels(spark, labelsDir, ltBatch = uptoBatch + 1,
+    if (foldNames.isEmpty) return // nothing below the horizon: no-op
+    val idLike = (managed match {
+      case Some((_, dirs)) =>
+        graft.sources.StoreManifest.readDirs(spark, labelsDir, dirs)
+      case None => spark.read.parquet(labelsDir)
+    }).select(col("node"))
+    val snapshot = resolveLabels(spark, labelsDir, ltBatch = uptoBatch + 1,
       idLike = idLike)
-    // fresh target dir — materialize only on the re-compaction edge
-    // where an identical horizon would overwrite its own listed input
-    val snapshot =
-      if (names.contains(snapName)) graft.operators.Materialize.once(snap0)
-      else snap0
+    // fresh against EVERY resolved name, not just increasing horizons:
+    // a retried fold at an already-folded horizon must never target its
+    // own listed input (see [[StoreCompaction.fold]] — same rule)
+    val snapId = math.min(-(uptoBatch + 1), names.map(idOf).min - 1)
+    val snapName = s"batch_id=$snapId"
     snapshot.write.mode("overwrite").parquet(s"$labelsDir/$snapName")
     graft.sources.StoreManifest.replace(spark, labelsDir,
       foldNames.toSet, Seq(snapName))
-    foldNames.filter(_ != snapName)
-      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), true))
+    foldNames.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, n), true))
   }
 
   /** The accumulated store (optionally narrowed to a sub-glob, e.g.

@@ -14,9 +14,10 @@ import graft.sources.StoreManifest
   *    version (atomic old-or-new across compactions, duplicate-free by
   *    construction); an unmanaged pile root-scans as before.
   *  - FOLD: the snapshot goes to a FRESH directory
-  *    (`batch_id=-(uptoBatch+1)` — unique because fold horizons
-  *    strictly increase; negative so it sorts before every live batch
-  *    and can never alias a replayable id), the manifest swap publishes
+  *    (`batch_id=min(-(uptoBatch+1), min(resolved ids)-1)` — fresh by
+  *    construction even when a fold is RETRIED at an already-folded
+  *    horizon; negative so it sorts before every live batch and can
+  *    never alias a replayable id), the manifest swap publishes
   *    it atomically, and only then are the folded directories deleted.
   *    Readers therefore never observe a folded row twice — the
   *    interrupted-compaction duplicate absorber is needed only on the
@@ -31,11 +32,21 @@ private[streaming] object StoreCompaction {
     * resolves to no live data. */
   def readResolved(spark: SparkSession, storeDir: String,
                    schema: StructType, ltBatch: Long): DataFrame = {
-    if (StoreManifest.resolvesEmpty(spark, storeDir))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    StoreManifest.readLive(spark, storeDir)
-      .getOrElse(spark.read.parquet(storeDir)) // batch_id partition col
+    // ONE manifest resolve per read: latest() is a listStatus + open on
+    // `_manifest`, and this runs on every micro-batch — resolving once
+    // and branching beats the resolvesEmpty/readLive pair (2-3 round
+    // trips of driver-side metadata I/O on an object store)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val resolved = StoreManifest.latest(spark, storeDir) match {
+      case Some((_, dirs)) =>
+        if (dirs.isEmpty) return empty
+        StoreManifest.readDirs(spark, storeDir, dirs)
+      case None =>
+        if (StoreManifest.legacyNames(spark, storeDir).isEmpty) return empty
+        spark.read.parquet(storeDir) // batch_id partition col
+    }
+    resolved
       .filter(col("batch_id") < ltBatch)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -63,21 +74,24 @@ private[streaming] object StoreCompaction {
         "batch and may still be replayed — compact only after a newer " +
         "batch has committed")
     val foldNames = names.filter(n => idOf(n) <= uptoBatch)
+    if (foldNames.isEmpty) return // nothing below the horizon: no-op
     val resolved = (managed match {
-      case Some(_) => StoreManifest.readLive(spark, storeDir).get
+      case Some((_, dirs)) => StoreManifest.readDirs(spark, storeDir, dirs)
       case None => spark.read.parquet(storeDir)
     }).filter(col("batch_id") <= uptoBatch).drop("batch_id")
-    val snap0 = if (managed.isDefined) resolved else legacyDedup(resolved)
-    val snapName = s"batch_id=-${uptoBatch + 1}"
-    // the snapshot targets a fresh directory, so no pre-write
-    // materialization is needed — EXCEPT the re-compaction edge where
-    // an identical horizon would overwrite its own (listed) input
-    val snapshot =
-      if (names.contains(snapName)) graft.operators.Materialize.once(snap0)
-      else snap0
+    val snapshot = if (managed.isDefined) resolved else legacyDedup(resolved)
+    // the snapshot id must be fresh against EVERY resolved name, not
+    // just "fold horizons strictly increase": a retried fold at an
+    // already-folded horizon would otherwise target its own listed
+    // input — an overwrite whose lazy write plan reads the directory it
+    // is destroying (recomputable lineage on a cluster re-reads the
+    // half-clobbered files on executor loss). min(existing)-1 keeps the
+    // first-fold name at -(uptoBatch+1) and gives every retry a fresh,
+    // still-negative, never-replayable id below all prior snapshots.
+    val snapId = math.min(-(uptoBatch + 1), names.map(idOf).min - 1)
+    val snapName = s"batch_id=$snapId"
     snapshot.write.mode("overwrite").parquet(s"$storeDir/$snapName")
     StoreManifest.replace(spark, storeDir, foldNames.toSet, Seq(snapName))
-    foldNames.filter(_ != snapName)
-      .foreach(n => fs.delete(new Path(root, n), true))
+    foldNames.foreach(n => fs.delete(new Path(root, n), true))
   }
 }

@@ -219,5 +219,19 @@ class CompactionWindowSpec extends SparkSpec {
       IncrementalDedup.compactSigs(spark, store, uptoBatch = 1)
     }
     assert(e.getMessage.contains("newest"))
+
+    // a RETRIED fold at the already-folded horizon (idempotent
+    // maintenance job re-run after a crash between manifest swap and
+    // delete): the snapshot id must be fresh — a fold targeting its
+    // own listed input would overwrite the directory its lazy write
+    // plan is reading — and the resolved store must be unchanged
+    IncrementalDedup.compactSigs(spark, post, uptoBatch = 0)
+    val listed = graft.sources.StoreManifest.latest(spark, post).get._2
+    assert(listed.exists(_.stripPrefix("batch_id=").toLong < -1),
+      s"retry must target a fresh id below all prior snapshots: $listed")
+    assert(storeDf(post).collect().map(_.toString).sorted.toSeq == wantRows,
+      "retried fold changed the resolved signature rows")
+    assert(probePairs(post) == wantPairs,
+      "retried fold changed verification output")
   }
 }

@@ -112,5 +112,10 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(embeddedLockKey(s"jdbc:derby:$abs") !=
       embeddedLockKey(s"jdbc:derby:${abs}2"))
     assert(embeddedLockKey("jdbc:derby:memory:g1;create=true") == "memory:g1")
+    // Derby's explicit 'directory:' subsubprotocol names the same
+    // database as the bare form — one key, or the deadlock the lock
+    // map prevents stays reachable through the variant pair
+    assert(embeddedLockKey(s"jdbc:derby:directory:$abs") ==
+      embeddedLockKey(s"jdbc:derby:$abs"))
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Materialize
+
+/** The cluster branch of [[graft.operators.Materialize.once]] — tests
+  * run on a local master where `once` takes the localCheckpoint fast
+  * path, so the spec drives [[Materialize.clusterMaterialize]]
+  * directly. The property under test is the review finding it fixed:
+  * materialization must NOT register the plan in the SQL CacheManager
+  * (whose strong reference outlives any lazy-consumer call site — a
+  * perpetual-ingest driver would pin one cached frame per micro-batch,
+  * forever); RDD-level persistence is ContextCleaner-released when the
+  * plan becomes unreachable. */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterMaterialize preserves rows/schema and registers no SQL cache entry") {
+    val df = spark.range(100)
+      .select($"id", (col("id") % 7).as("k"), concat(lit("v"), $"id").as("s"))
+    val before = spark.sharedState.cacheManager.isEmpty
+    val out = Materialize.clusterMaterialize(df)
+    assert(out.schema == df.schema)
+    assert(out.collect().sortBy(_.getLong(0)).toSeq ==
+      df.collect().sortBy(_.getLong(0)).toSeq)
+    assert(spark.sharedState.cacheManager.isEmpty == before,
+      "clusterMaterialize must not create a CacheManager entry — that " +
+        "reference can only be dropped by an explicit unpersist() no " +
+        "lazy-consumer call site can issue")
+    // the backing RDD IS persisted (that is the materialization), and
+    // it is tracked by the context, i.e. cleaner-collectable
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+  }
+}

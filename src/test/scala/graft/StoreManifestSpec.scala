@@ -71,6 +71,69 @@ class StoreManifestSpec extends SparkSpec {
     assert(vals == Set(1L, 2L))
   }
 
+  test("replace keeps a name listed in both drop and add (retried fold)") {
+    val dir = tmp()
+    writeBatch(dir, 0, Seq(1L)); StoreManifest.commitBatch(spark, dir, "batch_id=0")
+    writeBatch(dir, 1, Seq(2L)); StoreManifest.commitBatch(spark, dir, "batch_id=1")
+    writeBatch(dir, -1, Seq(1L))
+    StoreManifest.replace(spark, dir, drop = Set("batch_id=0"),
+      add = Seq("batch_id=-1"))
+    // a compaction retried at the same horizon passes its own listed
+    // snapshot in BOTH drop and add — it must stay listed, not be
+    // dropped-then-refused-re-add (which would unlist the entire
+    // folded history)
+    StoreManifest.replace(spark, dir, drop = Set("batch_id=-1"),
+      add = Seq("batch_id=-1"))
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=-1", "batch_id=1"))
+  }
+
+  test("legacy migration resolves an interrupted old-style compaction") {
+    // crash window of the PRE-manifest layout: snapshot written and
+    // committed, folded partitions not yet deleted — listing both
+    // would bake every folded row into the manifest twice, forever,
+    // while isManaged simultaneously disables consumers' dup shields
+    val dir = tmp()
+    writeBatch(dir, 0, Seq(1L))
+    writeBatch(dir, 1, Seq(2L))
+    writeBatch(dir, -1, Seq(1L)) // snapshot folding batch 0 (complete)
+    writeBatch(dir, 2, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=2")
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=-1", "batch_id=1", "batch_id=2"),
+      "complete snapshot supersedes its folded inputs")
+    val vals = StoreManifest.readLive(spark, dir).get
+      .select($"v").as[Long].collect().toSeq.sorted
+    assert(vals == Seq(1L, 2L, 3L), s"each row exactly once: $vals")
+  }
+
+  test("legacy migration ignores an incomplete snapshot; positive dirs need no _SUCCESS") {
+    val dir = tmp()
+    writeBatch(dir, 0, Seq(1L))
+    writeBatch(dir, 1, Seq(2L))
+    writeBatch(dir, -1, Seq(1L)) // the crashed snapshot write itself
+    Files.delete(java.nio.file.Paths.get(dir, "batch_id=-1", "_SUCCESS"))
+    // a crashed POSITIVE batch write is replayed/overwritten by the
+    // at-least-once stream — it stays listed
+    Files.delete(java.nio.file.Paths.get(dir, "batch_id=1", "_SUCCESS"))
+    writeBatch(dir, 2, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=2")
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=0", "batch_id=1", "batch_id=2"),
+      "incomplete snapshot excluded; its intact folded inputs carry the data")
+  }
+
+  test("legacy migration: the deepest fold horizon wins") {
+    val dir = tmp()
+    writeBatch(dir, -1, Seq(1L)) // shallow snapshot (folded batch 0)
+    writeBatch(dir, -2, Seq(1L, 2L)) // deeper snapshot (folded 0 and 1, incl. -1)
+    writeBatch(dir, 2, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=2")
+    assert(StoreManifest.latest(spark, dir).get._2.toSet ==
+      Set("batch_id=-2", "batch_id=2"),
+      "the most negative complete snapshot folded everything at or below its horizon")
+  }
+
   test("old manifest versions are GC'd beyond the keep window") {
     val dir = tmp()
     (0 to 6).foreach { i =>

@@ -429,6 +429,37 @@ class StreamingSpec extends SparkSpec {
       s"refinement recall too low: ${refined.size}/${truth.size}")
   }
 
+  test("ANN code store enforces its refineBits layout contract") {
+    // extension signs are PERSISTED (the store never re-reads raw
+    // vectors), so refineBits is part of the store's layout and must
+    // stay constant for its lifetime. Arming refinement against a
+    // store written without xbuckets must fail loudly — silently
+    // schema-filling null xbuckets would make the (tbl,bucket,__sub)
+    // join drop every store-side member of a hot bucket, exactly the
+    // dense region refinement exists to keep.
+    val root = Files.createTempDirectory("graft-annlayout")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes").toString
+    val pairs = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    Seq((1L, Seq(1f, 0f, 1f, 0f)), (2L, Seq(0f, 1f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    def run(refine: Int, ck: String): Unit =
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codes, pairs, ck, dim = 4, m = 2, codewords = 4,
+        maxBucket = if (refine > 0) 2 else Int.MaxValue, refineBits = refine)
+    run(0, ckpt) // store now carries the refineBits=0 layout
+    val e = intercept[IllegalArgumentException] {
+      run(8, root.resolve("ckpt2").toString)
+    }
+    assert(e.getMessage.contains("layout contract"))
+    // before any store exists, either layout is acceptable
+    IncrementalAnn.requireStoreLayout(spark,
+      root.resolve("fresh").toString, refineBits = 8)
+  }
+
   test("streaming ANN drift policy: stable ingest keeps one codebook, drifted batch retrains; cross-generation pairs verify") {
     val root = Files.createTempDirectory("graft-anndrift")
     val in = root.resolve("in"); Files.createDirectories(in)

@@ -291,6 +291,25 @@ class VectorsSpec extends SparkSpec {
     assert(counts.forall(_ == 3))
   }
 
+  test("refinement family independence is asserted, not assumed from the offset") {
+    import graft.operators.BucketCap.requireIndependentFamilies
+    // hyperplane components depend on the plane index only mod 1997,
+    // so "extension planes start at offset 65536" does NOT by itself
+    // keep the families disjoint — every declared geometry is checked
+    // to be, and a config whose base planes reach the extension
+    // residue class must be rejected loudly (a collision makes
+    // extension signs a function of the base bucket: hot buckets of
+    // non-clone data refuse to split and the flat cap silently drops
+    // real pairs)
+    requireIndependentFamilies(8, 4, 12, 4)   // d10_scaled / n8 declared
+    requireIndependentFamilies(20, 4, 12, 4)  // scaled-bits upper range
+    requireIndependentFamilies(1, 1, 8, 1)    // StreamingSpec's refinement shape
+    val e = intercept[IllegalArgumentException] {
+      requireIndependentFamilies(64, 26, 12, 26)
+    }
+    assert(e.getMessage.contains("1997"))
+  }
+
   test("bucket cap selection is deterministic under repartitioning") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter($"vec_id" < 200).select($"vec_id", $"embedding")
