@@ -45,7 +45,11 @@ object Components {
       .localCheckpoint(true)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    // try/finally: a job failure mid-round must not leave the
+    // corpus-sized cached edge set pinned for the session's life (the
+    // labels frames are eager localCheckpoints, so unpersisting sym
+    // after the loop never invalidates the returned frame)
+    try while (!converged && it < maxIter) {
       // min label among each node's neighbors this round
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(sym("u").as("node2"))
@@ -66,8 +70,7 @@ object Components {
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       it += 1
-    }
-    sym.unpersist()
+    } finally sym.unpersist()
     // a silent non-converged return would emit WRONG labels (a cluster
     // split in two) — fail loudly instead; callers with adversarially
     // deep graphs raise maxIter or switch to large-star/small-star

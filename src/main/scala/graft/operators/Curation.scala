@@ -119,20 +119,27 @@ object Curation {
     * are in-plan aggregates joined back via broadcast (a handful of
     * rows), so the corpus itself is touched in one linear pass.
     *
+    * A NULL source is a legal group: the null-safe join keeps its rows
+    * in the mix (a plain using-join would count them toward the global
+    * minimum and then silently DROP them — the worst of both), and
+    * like any smallest source it participates in the min. Callers with
+    * unattributed rows that should not set the budget must coalesce a
+    * fallback source first (the [[hashSplit]] advice).
+    *
     * @param weight per-row token count (any positive integral column)
     * @return input rows that survive, plus `src_total` and `target`
     */
   def balanceSources(df: DataFrame, srcCol: String, idCol: String,
                      weight: Column): DataFrame = {
     val weighted = df.withColumn("__w", weight.cast("long"))
-    val totals = weighted.groupBy(col(srcCol))
+    val totals = weighted.groupBy(col(srcCol).as("__src"))
       .agg(sum(col("__w")).as("src_total"))
     val target = totals.agg(min(col("src_total")).as("target"))
     weighted
-      .join(broadcast(totals.crossJoin(target)), srcCol)
+      .join(broadcast(totals.crossJoin(target)), col(srcCol) <=> col("__src"))
       .filter(Hashing.hash64(col(idCol).cast("string")) % col("src_total")
         < col("target"))
-      .drop("__w")
+      .drop("__w", "__src")
   }
 
   /** Per-group EXACT discrete percentile via the histogram two-stage:
@@ -173,9 +180,16 @@ object Curation {
     * pages, runaway boilerplate). The per-group thresholds are a tiny
     * broadcast table; the corpus is touched in one linear pass. */
   def lengthOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                     pct: Int): DataFrame =
-    df.join(broadcast(percentileDisc(df, groupCol, valueCol, pct)), groupCol)
+                     pct: Int): DataFrame = {
+    // null-safe join: percentileDisc emits a threshold row for a NULL
+    // group, and the rows of that group must receive their flag — a
+    // plain using-join would drop them unexamined
+    val th = percentileDisc(df, groupCol, valueCol, pct)
+      .withColumnRenamed(groupCol, "__g")
+    df.join(broadcast(th), col(groupCol) <=> col("__g"))
       .withColumn("is_outlier", col(valueCol).cast("long") > col("threshold"))
+      .drop("__g")
+  }
 
   /** Deterministic stratified sample: k rows per stratum, chosen by
     * md5-hash order (a fixed uniform permutation), tie-broken on the
@@ -218,7 +232,11 @@ object Curation {
     val cond = stratumCols.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__s$i") }.reduce(_ && _)
     bucketed.join(broadcast(keyed), cond)
-      .filter(col("__b") <= col("__edge"))
+      // null hashes (NULL keyCol) sort FIRST in the rank window, so
+      // those rows can hold ranks <= k — the bucket prefilter must
+      // keep them (their __b is null, which a bare <= would drop,
+      // silently diverging from the plain-window oracle)
+      .filter(col("__b").isNull || col("__b") <= col("__edge"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(df.columns.map(col) :+ col("rk"): _*)
   }
@@ -301,6 +319,8 @@ object Curation {
     */
   def packSequential(df: DataFrame, partCol: String, orderCol: String,
                      tokensCol: String, budget: Long): DataFrame = {
+    // DIV 0 would yield NULL bins silently in non-ANSI mode
+    require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_before",
@@ -331,15 +351,21 @@ object Curation {
   def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
                      scale: Int = 1000000): DataFrame = {
     require(scale > 0, "scale must be positive")
-    val totals = df.groupBy(col(srcCol)).agg(count(lit(1)).as("src_n"))
+    // null-safe join: a NULL source is a legal group and keeps its rows
+    // (kept whole, as the smallest source) — a plain using-join would
+    // let it set min_n and then silently drop its rows (see
+    // balanceSources; coalesce a fallback source upstream if
+    // unattributed rows should not set the budget)
+    val totals = df.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("src_n"))
     val minN = totals.agg(min(col("src_n")).as("min_n"))
-    df.join(broadcast(totals.crossJoin(minN)), srcCol)
+    df.join(broadcast(totals.crossJoin(minN)), col(srcCol) <=> col("__src"))
       .withColumn("keep_threshold",
         floor(lit(scale.toLong).cast("double") *
           sqrt(col("min_n").cast("double") / col("src_n").cast("double")))
           .cast("long"))
       .filter(Hashing.hash64(col(idCol).cast("string")) % scale
         < col("keep_threshold"))
+      .drop("__src")
   }
 
   /** Sliding-window chunking of documents into fixed-size training
@@ -355,6 +381,11 @@ object Curation {
     * and there is NO exchange anywhere: a 100 TB corpus chunks at scan
     * speed and writes back partition-local.
     *
+    * A NULL text yields NO chunks (the isNotNull filter below) —
+    * without it, the s=0 start survives the monotone predicate and a
+    * phantom (chunk_idx=0, NULL tokens, NULL text) row reaches the
+    * training loader.
+    *
     * @return (idCol, chunk_idx, n_chunk_tokens, chunk_text)
     */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
@@ -362,6 +393,7 @@ object Curation {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
     df.withColumn("__toks", Hashing.tokens(col(textCol)))
+      .filter(col("__toks").isNotNull)
       .withColumn("__n", size(col("__toks")))
       .withColumn("__s", explode(filter(
         sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)),

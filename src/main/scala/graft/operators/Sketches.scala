@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Hashing
 
 /** Deterministic, cross-engine-reproducible approximate aggregates.
   *
@@ -33,9 +34,12 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** 60-bit md5-derived hash of a key column (same value in DuckDB —
-    * first 7.5 digest bytes, always positive, < 2^60). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    * first 7.5 digest bytes, always positive, < 2^60). ONE recipe:
+    * delegates to [[Hashing.hash64]] after the string cast, so a
+    * change to the digest slicing happens in exactly one place on
+    * each engine (the oracle builders below use
+    * [[Hashing.sql.hash64]] the same way). */
+  def hash60(c: Column): Column = Hashing.hash64(c.cast("string"))
 
   private val TWO_POW_60 = 1152921504606846976.0 // exact in double
 
@@ -43,7 +47,10 @@ object Sketches {
     * `keyCol` with sketch size k. Duplicates collapse before the top-k
     * (same key → same hash), so the multiset input is handled exactly
     * as the estimator requires. */
-  def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame =
+  def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    // k = 1 would make the (k-1)·2^60/hk numerator zero — a confidently
+    // wrong estimate of 0.0 for any non-empty input, not an error
+    require(k >= 2, "KMV sketch size k must be >= 2")
     df.select(hash60(col(keyCol)).as("h"))
       // COUNT(DISTINCT x) semantics: null keys don't count — and a null
       // hash would sort FIRST in Spark but LAST in DuckDB, silently
@@ -60,6 +67,7 @@ object Sketches {
       // rounding needed for bitwise parity.
       .select(when(col("c") < k, col("c").cast("double"))
         .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as("est"))
+  }
 
   /** Per-GROUP KMV distinct-count estimates: one `(group, est)` row per
     * group. Same estimator as [[kmvDistinctEstimate]]; the bottom-k per
@@ -72,6 +80,7 @@ object Sketches {
     * per-source / per-day cardinality dashboard needs at corpus scale. */
   def kmvGroupedDistinctEstimate(df: DataFrame, groupCol: String,
                                  keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV sketch size k must be >= 2") // see kmvDistinctEstimate
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
     df.select(col(groupCol), hash60(col(keyCol)).as("h"))
@@ -93,7 +102,7 @@ object Sketches {
        |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / hk END AS est FROM (
        |  SELECT $groupCol, max(h) AS hk, count(*) AS cnt FROM (
        |    SELECT $groupCol, h, row_number() OVER (PARTITION BY $groupCol ORDER BY h ASC) AS rk FROM (
-       |      SELECT DISTINCT $groupCol, ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
+       |      SELECT DISTINCT $groupCol, ${Hashing.sql.hash64(s"CAST($keyCol AS VARCHAR)")} AS h
        |      FROM $table WHERE $keyCol IS NOT NULL))
        |  WHERE rk <= $k GROUP BY $groupCol)""".stripMargin
 
@@ -117,6 +126,7 @@ object Sketches {
     */
   def kmvOverlapEstimate(a: DataFrame, b: DataFrame, keyCol: String,
                          k: Int): DataFrame = {
+    require(k >= 2, "KMV sketch size k must be >= 2") // see kmvDistinctEstimate
     def sketch(df: DataFrame): DataFrame =
       df.select(hash60(col(keyCol)).as("h"))
         .filter(col("h").isNotNull) // see kmvDistinctEstimate
@@ -150,7 +160,7 @@ object Sketches {
     * yielding one `key` column. */
   def kmvOverlapOracleSql(aSql: String, bSql: String, k: Int): String = {
     def h(src: String) =
-      s"SELECT DISTINCT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h FROM ($src) WHERE key IS NOT NULL"
+      s"SELECT DISTINCT ${Hashing.sql.hash64("CAST(key AS VARCHAR)")} AS h FROM ($src) WHERE key IS NOT NULL"
     def est(sk: String, name: String) =
       s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
          |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS $name FROM $sk""".stripMargin
@@ -173,7 +183,7 @@ object Sketches {
     s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
        |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS est FROM (
        |  SELECT h FROM (
-       |    SELECT DISTINCT ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    SELECT DISTINCT ${Hashing.sql.hash64(s"CAST($keyCol AS VARCHAR)")} AS h
        |    FROM $table WHERE $keyCol IS NOT NULL)
        |  ORDER BY h LIMIT $k)""".stripMargin
 }

@@ -54,6 +54,78 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._1.contains("g0")) == 5 && out.count(_._1.contains("g1")) == 5)
   }
 
+  test("stratifiedSample: NULL keys rank first and survive the bucket prefilter") {
+    // null hashes sort first in the rank window, so null-key rows can
+    // hold ranks <= k — the bucket prefilter must keep them (their
+    // bucket is null; a bare __b <= edge comparison would drop them,
+    // silently diverging from the plain-window form)
+    val df = ((1 to 3).map(i => (Option.empty[String], "g", 1000 + i)) ++
+      (1 to 10).map(i => (Option(s"k$i"), "g", i))).toDF("k", "g", "payload")
+    val out = Curation.stratifiedSample(df, Seq("g"), "k", 5)
+      .select($"payload").as[Int].collect().toSet
+    // plain-window truth: rank by (hash asc NULLS FIRST, key asc)
+    val plain = df.withColumn("__h",
+        graft.functions.Hashing.hash64($"k".cast("string")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")
+          .orderBy($"__h".asc, $"k".asc)))
+      .filter($"rk" <= 5).select($"payload").as[Int].collect().toSet
+    assert(out == plain, s"prefiltered $out != plain-window $plain")
+    assert(Set(1001, 1002, 1003).subsetOf(out),
+      "all null-key rows rank before any hashed key")
+  }
+
+  test("balanceSources: a NULL source is a real group, never silently dropped") {
+    // the null group is the SMALLEST source: it sets the target AND
+    // must survive whole — the old using-join let it set the min and
+    // then dropped its rows (the worst of both)
+    val rows = (1 to 3).map(i => (s"n$i", Option.empty[String], 10L)) ++
+      (1 to 100).map(i => (s"b$i", Option("big"), 10L))
+    val df = rows.toDF("doc_id", "source", "tok")
+    val kept = Curation.balanceSources(df, "source", "doc_id", $"tok")
+      .select($"doc_id", $"source", $"target").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+    assert(kept.count(_._2.isEmpty) == 3,
+      s"null-source rows must survive whole: $kept")
+    assert(kept.forall(_._3 == 30L))
+  }
+
+  test("temperatureMix: a NULL source is a real group, never silently dropped") {
+    val df = ((1 to 3).map(i => (s"n$i", Option.empty[String])) ++
+      (1 to 100).map(i => (s"b$i", Option("big")))).toDF("id", "src")
+    val out = Curation.temperatureMix(df, "src", "id")
+      .select($"id", $"src").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(out.count(_._2.isEmpty) == 3,
+      "null-source group is the smallest: threshold = scale, kept whole")
+  }
+
+  test("lengthOutliers examines NULL-group rows instead of dropping them") {
+    val df = Seq((Option("a"), 10), (Option("a"), 100), (None, 5), (None, 50))
+      .toDF("src", "len")
+    val out = Curation.lengthOutliers(df, "src", "len", 50)
+    assert(out.count() == 4, "every input row gets a flag")
+    val nulls = out.filter($"src".isNull)
+      .select($"len", $"is_outlier").as[(Int, Boolean)].collect().toSet
+    // null group's 50th percentile (inclusive-rank) of {5, 50} is 5
+    assert(nulls == Set((5, false), (50, true)))
+  }
+
+  test("chunkDocuments: NULL text yields no chunks, not a phantom row") {
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", 6, 4)
+    assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("packSequential rejects a non-positive budget") {
+    val df = Seq(("s", 1L, 10)).toDF("part", "ord", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequential(df, "part", "ord", "tok", budget = 0L)
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("weightedSample keeps rows with probability weight/denom, deterministically") {
     val df = spark.range(5000).select($"id".cast("string").as("k"),
       (($"id" % 100) + 1).cast("int").as("w"))

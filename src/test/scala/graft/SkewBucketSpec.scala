@@ -90,6 +90,22 @@ class SkewBucketSpec extends SparkSpec {
       s"HLL orders $hll vs exact $exactOrders")
   }
 
+  test("KMV estimators reject k < 2 (k = 1 estimates 0.0 for any input)") {
+    val df = spark.range(10).select($"id".as("key"))
+    for (bad <- Seq(0, 1)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Sketches.kmvDistinctEstimate(df, "key", bad)
+      }
+      assert(e.getMessage.contains("k must be >= 2"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.kmvGroupedDistinctEstimate(df, "key", "key", 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.kmvOverlapEstimate(df, df, "key", 1)
+    }
+  }
+
   test("grouped KMV estimates land within tolerance of exact per-group counts") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exact = li.groupBy($"l_returnflag")
