@@ -70,6 +70,14 @@ object AsOfJoin {
     val clash = leftCols.toSet.intersect(payload.toSet + asofTsAs)
     require(clash.isEmpty,
       s"left/right column collision would make the output ambiguous: $clash")
+    // the marker name must also be fresh on the RIGHT side: a payload
+    // column named asofTsAs would give the fill struct two fields of
+    // one name (ambiguous __filled.<name> resolution), and asofTsAs
+    // equal to tsCol or a key duplicates an output column name
+    require(!payload.contains(asofTsAs) && asofTsAs != tsCol &&
+        !keys.contains(asofTsAs),
+      s"asofTsAs '$asofTsAs' collides with a right payload, key, or the " +
+        "ts column — pass a fresh marker name")
     // SQL join semantics: a null key or null timestamp on the right can
     // never satisfy `l.key = r.key AND l.ts >= r.ts` — window
     // partitioning would otherwise group nulls together and "match" them

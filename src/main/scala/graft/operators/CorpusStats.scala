@@ -16,14 +16,26 @@ import graft.functions.Hashing
   */
 object CorpusStats {
 
-  /** Per-document top-k keywords by TF-IDF rank. The score is kept in
-    * exact integer arithmetic — `tf * scale * nDocs DIV docFreq` — which
-    * is order-equivalent to tf·(N/df) but bitwise-reproducible across
-    * engines (no `ln` whose last ulp differs between libm and the JVM).
-    * Ties break on the token for a total order.
+  /** Per-document top-k keywords by TF-IDF rank. The score is
+    * `tf·scale·nDocs / docFreq` computed in IEEE-754 doubles with a
+    * FIXED operation order — each multiply/divide is correctly rounded
+    * and therefore bit-identical across engines (the temperatureMix
+    * precedent; no `ln` whose last ulp differs between libm and the
+    * JVM). Doubles, not the integer DIV this used to be: at the 100 TB
+    * design point (nDocs ~1e9, a garbage doc with tf ~1e4) the integer
+    * product tf·scale·nDocs exceeds 2^63 — both engines fail the whole
+    * query on one garbage document (Spark 4 ANSI overflow error; DuckDB
+    * likewise). Doubles lose exactness past 2^53 but stay
+    * correctly-rounded-identical on both engines at any magnitude, and
+    * ranking needs order, not exact integers. Ties break on the token
+    * for a total order.
     *
-    * nDocs and the doc-frequency table are computed in-plan (aggregate +
-    * broadcast), so nothing round-trips through the driver.
+    * nDocs and the doc-frequency table are computed in-plan; the
+    * scoring join is left unhinted so AQE broadcasts a small
+    * vocabulary and falls back to shuffle-hash when the vocabulary is
+    * corpus-sized (URLs/ids/typos dominate distinct tokens at 100 TB —
+    * see [[heavyHitters]] — and a forced broadcast would collect all
+    * of it to the driver).
     *
     * @return (idCol, token, tf, doc_freq, score, rk) for rk <= k
     */
@@ -45,9 +57,9 @@ object CorpusStats {
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(docFreq.crossJoin(nDocs)), "token")
+      .join(docFreq.crossJoin(nDocs), "token")
       .withColumn("score",
-        expr(s"(tf * ${scale}L * n_docs) DIV doc_freq"))
+        expr(s"CAST(tf AS DOUBLE) * ${scale}L * n_docs / doc_freq"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token").asc)
     scored
@@ -276,8 +288,15 @@ object CorpusStats {
   def oovScrub(df: DataFrame, idCol: String, textCol: String,
                num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "need a fraction 0 < num/den <= 1")
+    // three consumers read the tokenized corpus (docFreq's explode,
+    // oovPos's explode, the final rewrite join) — materialize the
+    // token arrays once or the corpus tokenizes three times. Eager
+    // checkpoint, not persist: a df.persist entry on this call-local
+    // frame would pin the CacheManager for the session's life (the
+    // tfidfTopK/heavyHitters idiom).
     val toks = df.withColumn("__toks",
       Hashing.tokens(coalesce(col(textCol), lit(""))))
+      .localCheckpoint(true)
     val pos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("pos", "tok")))
     val docFreq = pos.select(col(idCol), col("tok")).distinct()

@@ -30,8 +30,13 @@ object GapFill {
   def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String, step: Long): DataFrame = {
     require(step > 0, "step must be positive")
+    // FLOOR division, not DIV's truncation-toward-zero: a pre-1970
+    // timestamp (ts < 0) must land in the bucket below zero, matching
+    // the DuckDB oracle's `//` and the repo's time-bucketing idiom
+    // (Tables.epochMicros, RangeJoin.withFloorDiv) — bare DIV would
+    // make the zero bucket double-width across the epoch boundary
     val ev = df.select(col(keyCol),
-      expr(s"$tsCol DIV ${step}L").as("bucket"),
+      expr(s"($tsCol - pmod($tsCol, ${step}L)) DIV ${step}L").as("bucket"),
       col(tsCol).as("__ts"), col(valueCol).as("__v"))
     val obs = ev.groupBy(col(keyCol), col("bucket"))
       .agg(max(struct(col("__ts"), col("__v"))).getField("__v").as("obs_value"))

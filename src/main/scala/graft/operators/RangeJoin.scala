@@ -45,6 +45,13 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       width: Long, maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    // both sides keep all their columns through the bucket join
+    // (unlike bandJoin/intervalOverlap, which suffix the right side) —
+    // a shared name would make the exact re-check predicate ambiguous
+    // at runtime, or silently emit duplicate output columns
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points/intervals share column names $shared — rename one side")
     // [lo, hi) covers buckets floor(lo/W) .. floor((hi-1)/W); empty
     // intervals (hi <= lo) match nothing and are dropped up front
     val bounded = withFloorDiv(withFloorDiv(

@@ -293,10 +293,12 @@ object TextQueries {
         |dfq AS (SELECT token, count(*) AS doc_freq FROM tfc GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT doc_id, token, tf, doc_freq, score, rk FROM (
+        |  -- same fixed double op order as the Scala side:
+        |  -- ((tf*1e6)*n_docs)/doc_freq, each step correctly rounded
         |  SELECT t.doc_id, t.token, t.tf, f.doc_freq,
-        |    (t.tf * 1000000 * n.n_docs) // f.doc_freq AS score,
+        |    CAST(t.tf AS DOUBLE) * 1000000 * n.n_docs / f.doc_freq AS score,
         |    CAST(row_number() OVER (PARTITION BY t.doc_id
-        |      ORDER BY (t.tf * 1000000 * n.n_docs) // f.doc_freq DESC, t.token ASC)
+        |      ORDER BY CAST(t.tf AS DOUBLE) * 1000000 * n.n_docs / f.doc_freq DESC, t.token ASC)
         |      AS INT) AS rk
         |  FROM tfc t JOIN dfq f USING (token), n)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,

@@ -112,6 +112,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("state"))
   }
 
+  test("a marker name colliding with a right payload, key, or ts is rejected") {
+    val l = Seq((1L, 1L, "x")).toDF("user_id", "ts", "lv")
+    // right payload already has an asof_ts column: the fill struct
+    // would carry two fields of one name
+    val r = Seq((1L, 1L, 9L)).toDF("user_id", "ts", "asof_ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("user_id"), "ts")
+    }
+    assert(e.getMessage.contains("asof_ts"))
+    val r2 = Seq((1L, 1L, "y")).toDF("user_id", "ts", "rv")
+    intercept[IllegalArgumentException] { // marker = ts column
+      AsOfJoin.backward(l, r2, Seq("user_id"), "ts", asofTsAs = "ts")
+    }
+    intercept[IllegalArgumentException] { // marker = a key
+      AsOfJoin.backward(l, r2, Seq("user_id"), "ts", asofTsAs = "user_id")
+    }
+  }
+
   test("matches a per-key scan of the timeline on random data") {
     val rnd = new scala.util.Random(7)
     val rs = (1 to 60).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))

@@ -23,15 +23,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out((3L, 1)) == "gamma")
   }
 
-  test("tfidfTopK score is the exact integer tf*scale*N DIV df") {
+  test("tfidfTopK score is tf*scale*N/df in fixed-order IEEE doubles") {
+    // doubles, not integer DIV: at the 100 TB design point the integer
+    // product tf*scale*nDocs exceeds 2^63 and ANSI kills the query on
+    // one garbage doc; the fixed-order double chain is bit-identical
+    // cross-engine at any magnitude (each op correctly rounded)
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val rows = CorpusStats.tfidfTopK(docs, "doc_id", "text", k = 3, scale = 10L)
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     // N=2 docs; a: tf=2 df=1 → 2*10*2/1=40; b in doc1: tf=1 df=2 → 10
-    assert(rows((1L, "a")) == ((2L, 1L, 40L)))
-    assert(rows((1L, "b")) == ((1L, 2L, 10L)))
-    assert(rows((2L, "c")) == ((1L, 1L, 20L)))
+    assert(rows((1L, "a")) == ((2L, 1L, 40.0)))
+    assert(rows((1L, "b")) == ((1L, 2L, 10.0)))
+    assert(rows((2L, "c")) == ((1L, 1L, 20.0)))
   }
 
   test("boilerplateRatio counts grams shared by >= minDf docs") {

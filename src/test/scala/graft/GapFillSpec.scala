@@ -22,6 +22,19 @@ class GapFillSpec extends SparkSpec {
       (2L, 9L) -> (9.0, false)))
   }
 
+  test("negative timestamps bucket by FLOOR division (DuckDB // parity)") {
+    // ts=-1 with step=10 must land in bucket -1 (floor), not bucket 0
+    // (DIV's truncation toward zero) — otherwise the zero bucket is
+    // double-width across the epoch boundary and the grid span, fill
+    // order, and the w5 oracle's `//` all diverge
+    val df = Seq((1L, -1L, 1.0), (1L, 12L, 2.0)).toDF("k", "ts", "v")
+    val out = GapFill.forwardFill(df, "k", "ts", "v", step = 10L)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out == Map(
+      -1L -> (1.0, false), 0L -> (1.0, true), 1L -> (2.0, false)))
+  }
+
   test("within a bucket the latest observation wins, ties on value") {
     val df = Seq((1L, 3L, 5.0), (1L, 7L, 8.0), // same bucket, t=7 wins
       (1L, 7L, 6.0)) // exact ts tie → greater value deterministically

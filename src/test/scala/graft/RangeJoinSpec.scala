@@ -33,6 +33,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((-10L, "n"), (-1L, "n")))
   }
 
+  test("pointInInterval rejects shared column names up front") {
+    // both sides keep all columns through the bucket join; a shared
+    // name would make the exact re-check predicate ambiguous
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        Seq(1L).toDF("p"), "p",
+        Seq(("a", 0L, 10L)).toDF("p", "lo", "hi"), "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("p"))
+  }
+
   test("empty and degenerate intervals match nothing") {
     assert(run(Seq(5L), Seq(("e", 5L, 5L), ("r", 6L, 4L)), width = 2L).isEmpty)
   }
