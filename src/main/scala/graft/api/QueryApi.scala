@@ -16,8 +16,9 @@ object QueryApi {
   def byKey(unified: DataFrame, abn: String): DataFrame =
     unified.filter(col("abn") === lit(abn))
 
-  /** GET /companies/search?q= — case-insensitive substring over entity
-    * and matched company names (F-10). */
+  /** GET /companies/search?name= — case-insensitive substring over
+    * entity and matched company names (F-10; the HTTP param is `name`,
+    * matching the reference route and QueryHttpServer). */
   def search(unified: DataFrame, q: String): DataFrame =
     unified.filter(
       lower(col("entity_name")).contains(q.toLowerCase) ||

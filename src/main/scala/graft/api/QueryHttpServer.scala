@@ -63,7 +63,11 @@ class QueryHttpServer(unified: DataFrame, port: Int = 0, maxRows: Int = 100) {
           case _ => (400, """{"error": "missing required query param: state"}""")
         }
       case s if s.length > 1 && s.startsWith("/") && !s.substring(1).contains("/") =>
-        val body = jsonArray(QueryApi.byKey(unified, s.substring(1)))
+        // limit(1): the route's contract is ONE object — with duplicate
+        // keys in the table, stripping the array brackets from a
+        // multi-row body would emit malformed JSON ('{...},{...}')
+        // under status 200
+        val body = jsonArray(QueryApi.byKey(unified, s.substring(1)).limit(1))
         if (body == "[]") (404, """{"error": "Company not found"}""")
         else (200, body.substring(1, body.length - 1)) // single object, reference shape
       case _ => (404, """{"error": "no such route"}""")
@@ -84,7 +88,19 @@ class QueryHttpServer(unified: DataFrame, port: Int = 0, maxRows: Int = 100) {
       try {
         val (status, body) =
           if (ex.getRequestMethod != "GET") (405, """{"error": "GET only"}""")
-          else route(ex.getRequestURI.getPath, parseQuery(ex.getRequestURI.getRawQuery))
+          else {
+            // malformed percent-encoding is the CLIENT's error: decode
+            // failures must answer 400, not fall into the catch-all 500
+            // (which is the gateway's backend-health signal)
+            val parsed =
+              try Right(parseQuery(ex.getRequestURI.getRawQuery))
+              catch { case _: IllegalArgumentException => Left(()) }
+            parsed match {
+              case Right(q) => route(ex.getRequestURI.getPath, q)
+              case Left(_) =>
+                (400, """{"error": "malformed percent-encoding in query"}""")
+            }
+          }
         val bytes = body.getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(status, bytes.length)

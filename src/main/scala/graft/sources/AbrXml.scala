@@ -57,8 +57,22 @@ object AbrXml {
       opt("AddressDetails.State"), opt("State"))
     val post = coalesce(opt("MainEntity.BusinessAddress.AddressDetails.Postcode"),
       opt("AddressDetails.Postcode"), opt("Postcode"))
+    // ABN fallback: an extract whose <ABN> elements carry no attributes
+    // anywhere infers the field as a plain string leaf, not a struct —
+    // without this branch, opt("ABN._VALUE") resolves absent, abn is
+    // null for every row, and the non-empty filter silently empties the
+    // corpus ("ingest succeeded, 0 records" — the failure mode the
+    // read() require exists to prevent, bypassed because real fields DO
+    // exist). Guarded on the leaf TYPE: when ABN is the attribute
+    // struct, casting it to string would stringify the struct.
+    val abn =
+      if (hasPath(raw, "ABN._VALUE")) opt("ABN._VALUE")
+      else if (raw.schema.fieldNames.contains("ABN") &&
+          raw.schema("ABN").dataType ==
+            org.apache.spark.sql.types.StringType) col("ABN").cast("string")
+      else lit(null).cast("string")
     raw.select(
-      trim(opt("ABN._VALUE")).as("abn"),
+      trim(abn).as("abn"),
       coalesce(opt("MainEntity.NonIndividualName.NonIndividualNameText"),
         opt("NonIndividualNameText")).as("entity_name"),
       coalesce(opt("EntityType.EntityTypeText"), opt("EntityTypeText")).as("entity_type"),

@@ -77,12 +77,22 @@ object AbrZip {
         fs.mkdirs(zipDir)
         val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
         try {
+          // the ZIP format permits two entries with ONE name (appended/
+          // rebuilt archives) — they must land in distinct targets or
+          // the second member's bytes are silently dropped while the
+          // manifest still reports them written. Stream order is
+          // deterministic, so the occurrence suffix is identical across
+          // speculative attempts and the publish-once rename still holds.
+          val occurrences = scala.collection.mutable.HashMap.empty[String, Int]
           Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
             .filterNot(_.isDirectory)
             .map { entry =>
               val raw = entry.getName
+              val occ = occurrences.getOrElse(raw, 0)
+              occurrences.update(raw, occ + 1)
               val safeName =
-                s"m${md5Prefix(raw)}_${raw.replaceAll("[/\\\\]", "_")}"
+                s"m${md5Prefix(raw)}_${if (occ == 0) "" else s"dup${occ}_"}" +
+                  raw.replaceAll("[/\\\\]", "_")
               // write to an attempt-unique temp name, then rename into
               // the deterministic target: with speculative execution
               // two attempts can run CONCURRENTLY, and interleaved

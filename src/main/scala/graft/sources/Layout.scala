@@ -67,6 +67,10 @@ object Layout {
 
   /** ANSI-SQL twin of [[zValue]] (DuckDB oracle). */
   def sqlZValue(x: String, y: String, bits: Int): String = {
+    // same domain as the Column twin: bits=0 would emit the invalid SQL
+    // "()" and bits>31 would silently diverge from the function this
+    // exists to oracle
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val m = (1L << bits) - 1
     (0 until bits).map { b =>
       s"((((($x)::BIGINT & $m) >> $b) & 1) * ${1L << (2 * b)} + " +
@@ -115,6 +119,12 @@ object Layout {
       .withColumn("shard", expr(s"ordinal DIV $shardSize"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("ordinal"))
+      // the artifact carries the data plus its ordinal, nothing else:
+      // shuffle_key is ordering machinery, and at 100 TB an extra
+      // 8-byte internal column per row in a long-lived training
+      // artifact is real bloat (it re-derives from (key, epoch) when
+      // needed — SkewBucketSpec does exactly that)
+      .drop("shuffle_key")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }
 
@@ -139,9 +149,46 @@ object Layout {
     val totalBytes = fs.getContentSummary(path).getLength
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     require(n <= Int.MaxValue, s"$n output files exceeds Int.MaxValue — raise targetBytes")
-    spark.read.parquet(inDir)
-      .coalesce(n.toInt)
-      .write.mode("overwrite").parquet(outDir)
+    // a PARTITIONED input (the writePartitioned layout this module
+    // provides — and the file-per-micro-batch-per-partition case the
+    // doc above motivates with) must compact back into the SAME
+    // layout: a flat rewrite would demote partition columns to data
+    // columns and silently destroy directory pruning for every
+    // downstream reader. Co-locating each partition value costs one
+    // hash exchange — the price of per-directory output files; the
+    // flat case keeps the shuffle-free coalesce.
+    val parts = partitionColumnsOf(fs, path)
+    val df = spark.read.parquet(inDir)
+    if (parts.isEmpty)
+      df.coalesce(n.toInt).write.mode("overwrite").parquet(outDir)
+    else
+      df.repartition(n.toInt, parts.map(col): _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(outDir)
     n
+  }
+
+  /** The `k=v` partition-column chain of a parquet directory, outermost
+    * first — empty for a flat layout. Mirrors Spark's own partition
+    * discovery on the directory names alone (one listStatus per level;
+    * underscore/dot-prefixed entries like _SUCCESS are ignored, as
+    * Spark ignores them). */
+  private def partitionColumnsOf(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    var cur = root
+    var done = false
+    while (!done) {
+      val kids = fs.listStatus(cur).filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val dirs = kids.filter(_.isDirectory).map(_.getPath.getName)
+      val colNames = dirs.filter(_.contains("=")).map(_.split("=", 2)(0)).distinct
+      if (colNames.length == 1 && dirs.forall(_.contains("="))) {
+        cols += colNames.head
+        cur = kids.filter(_.isDirectory).head.getPath
+      } else done = true
+    }
+    cols.result()
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader}
+import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 

@@ -58,6 +58,38 @@ class QueryHttpSpec extends SparkSpec {
       // missing params are 400s, not silent empties
       assert(get(port, "/companies/search")._1 == 400)
       assert(get(port, "/companies/by_state")._1 == 400)
+
+      // malformed percent-encoding is the CLIENT's error: it must
+      // answer 400, never a 500 that poisons the gateway's
+      // backend-health signal. The JDK HttpServer pre-validates the
+      // URI (its own 400) — the handler's decode guard is the second
+      // line for any malformed form that slips through. Java's
+      // HttpClient also validates client-side, so speak raw HTTP.
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /companies/search?name=%zz HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nConnection: close\r\n\r\n").getBytes("UTF-8"))
+        out.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        assert(resp.startsWith("HTTP/1.1 400"), s"raw response: $resp")
+      } finally sock.close()
+    } finally srv.stop()
+  }
+
+  test("point lookup answers ONE well-formed object even over duplicate keys") {
+    // duplicate abn rows reach the edge unchecked; stripping the array
+    // brackets from a multi-row body would emit '{...},{...}' — parse
+    // the response to prove it is a single valid JSON object
+    val dup = unified.unionByName(unified.limit(1))
+    val srv = new QueryHttpServer(dup)
+    val port = srv.start()
+    try {
+      val (s, b) = get(port, "/companies/51824753556")
+      assert(s == 200)
+      assert(b.startsWith("{") && b.endsWith("}") &&
+        !b.drop(1).dropRight(1).contains("{"),
+        s"body must be one flat JSON object: $b")
     } finally srv.stop()
   }
 }

@@ -69,6 +69,30 @@ class SkewBucketSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compaction preserves a partitioned layout (pruning survives)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compactp")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    // the motivating case from compact's own doc: a file per
+    // micro-batch per partition
+    spark.range(300).selectExpr("id", "CAST(id % 3 AS STRING) AS state")
+      .repartition(10).write.partitionBy("state").parquet(in)
+    graft.sources.Layout.compact(spark, in, out, targetBytes = 1L << 20)
+    // the partition directories survive the rewrite...
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("state=0", "state=1", "state=2"),
+      s"flat rewrite destroyed the partition layout: $dirs")
+    // ...so a filter still prunes at the directory level
+    val plan = spark.read.parquet(out).filter($"state" === "1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(state"),
+      s"partition pruning lost after compaction:\n$plan")
+    // rows and values intact
+    assert(spark.read.parquet(out).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 300L).toSeq)
+  }
+
   test("approx aggregates land within tolerance of exact values") {
     // x3's KMV estimates: k=256 → std err ~1/16, so 15% ≈ 2.4σ bound;
     // when n_distinct < k the sketch degrades to the exact count.
@@ -304,20 +328,27 @@ class SkewBucketSpec extends SparkSpec {
     graft.sources.Layout.writeEpochShards(docs, dir, "doc_id",
       epoch = 2, shardSize = 64)
     val out = spark.read.parquet(dir)
-      .select($"doc_id", $"shuffle_key", $"ordinal", $"shard".cast("long"))
-      .as[(Long, Long, Long, Long)].collect()
+      .select($"doc_id", $"ordinal", $"shard".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    // the artifact carries the data plus its ordinal, nothing else —
+    // no internal ordering machinery leaks into the persisted shards
+    assert(spark.read.parquet(dir).columns.toSet ==
+      Set("doc_id", "ordinal", "shard"))
     // complete and disjoint: ordinals are exactly 0..n-1, rows preserved
-    assert(out.map(_._3).sorted.toSeq == (0L until 337L).toSeq)
+    assert(out.map(_._2).sorted.toSeq == (0L until 337L).toSeq)
     assert(out.map(_._1).sorted.toSeq == (1L to 337L).toSeq)
     // every shard holds shardSize rows (last one short), membership =
     // ordinal DIV shardSize
-    assert(out.forall { case (_, _, ord, sh) => sh == ord / 64 })
-    val sizes = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(out.forall { case (_, ord, sh) => sh == ord / 64 })
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
     assert((0L to 4L).forall(sizes(_) == 64) && sizes(5L) == 17)
     // the order is the epoch-2 permutation: re-deriving it from the
-    // keys alone matches the written ordinals (reproducible resume)
-    val want = out.map(r => (r._2, r._1)).sorted.zipWithIndex
+    // KEYS ALONE (not from anything stored in the artifact) matches
+    // the written ordinals — the reproducible-resume contract
+    val keyed = graft.operators.Curation.epochShuffle(docs, "doc_id", 2)
+      .select($"doc_id", $"shuffle_key").as[(Long, Long)].collect()
+    val want = keyed.map(r => (r._2, r._1)).sorted.zipWithIndex
       .map { case ((_, id), i) => id -> i.toLong }.toMap
-    assert(out.forall { case (id, _, ord, _) => want(id) == ord })
+    assert(out.forall { case (id, ord, _) => want(id) == ord })
   }
 }

@@ -246,6 +246,70 @@ class SourcesSpec extends SparkSpec {
     assert(viaLifecycle.count() == 4)
   }
 
+  test("ABR XML: an extract whose ABN carries no attributes still ingests") {
+    // with no _status/_ABNStatusFromDate attributes anywhere, the ABN
+    // field infers as a plain string leaf — ABN._VALUE resolves absent
+    // and without the leaf fallback every abn would be null and the
+    // non-empty filter would silently empty the corpus
+    val xml =
+      """<Transfer>
+        |<ABR>
+        |  <ABN>51824753556</ABN>
+        |  <MainEntity><NonIndividualName><NonIndividualNameText>PLAIN CO</NonIndividualNameText></NonIndividualName></MainEntity>
+        |  <GST status="ACT" GSTStatusFromDate="20010301"/>
+        |</ABR>
+        |</Transfer>""".stripMargin
+    val dir = tmpDir()
+    Files.writeString(dir.resolve("plain.xml"), xml)
+    val rows = AbrXml.read(spark, dir.toString + "/plain.xml").collect()
+    assert(rows.length == 1, "leaf-ABN extract must not silently empty")
+    assert(rows(0).getString(0) == "51824753556")
+    assert(rows(0).getString(1) == "PLAIN CO")
+    assert(rows(0).isNullAt(3)) // status attribute genuinely absent
+    assert(rows(0).getDate(7).toString == "2001-03-01") // GST fallback
+  }
+
+  test("ZIP expand stages BOTH members when one archive repeats an entry name") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // the ZIP format permits two entries with one name (appended/
+    // rebuilt archives); ZipOutputStream refuses to write them, so
+    // build a legal dup by byte-patching a same-length sibling name —
+    // ZipInputStream reads local headers sequentially and sees two
+    // entries both named members/a1.xml with DIFFERENT contents
+    def abrXml(abn: String, name: String) =
+      s"""<Transfer><ABR><ABN status="ACT" ABNStatusFromDate="20150701">$abn</ABN>
+         |<MainEntity><NonIndividualName><NonIndividualNameText>$name</NonIndividualNameText></NonIndividualName></MainEntity>
+         |</ABR></Transfer>""".stripMargin
+    val dir = tmpDir()
+    val zipPath = dir.resolve("dup.zip")
+    val zout = new ZipOutputStream(Files.newOutputStream(zipPath))
+    for ((m, abn, nm) <- Seq(("members/a1.xml", "51824753556", "FIRST CO"),
+      ("members/a2.xml", "61824753558", "SECOND CO"))) {
+      zout.putNextEntry(new ZipEntry(m))
+      zout.write(abrXml(abn, nm).getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+    val bytes = Files.readAllBytes(zipPath)
+    val from = "members/a2.xml".getBytes("UTF-8")
+    val to = "members/a1.xml".getBytes("UTF-8")
+    for (i <- 0 to bytes.length - from.length)
+      if (from.indices.forall(j => bytes(i + j) == from(j)))
+        to.indices.foreach(j => bytes(i + j) = to(j))
+    Files.write(zipPath, bytes)
+    val staging = dir.resolve("staging").toString
+    val manifest = graft.sources.AbrZip.expand(spark, zipPath.toString, staging)
+      .collect()
+    assert(manifest.length == 2 &&
+      manifest.forall(_.getString(1) == "members/a1.xml"))
+    // BOTH contents staged — the second member must not be silently
+    // dropped as a "concurrent attempt" of the first
+    val abns = graft.sources.AbrXml.read(spark, s"$staging/*/*")
+      .orderBy($"abn").collect().map(_.getString(0)).toSeq
+    assert(abns == Seq("51824753556", "61824753558"),
+      s"duplicate-named member's content lost: $abns")
+  }
+
   test("ZIP expand refuses to silently drop a member when publish fails with no winner") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = tmpDir()
