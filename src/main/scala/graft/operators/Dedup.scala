@@ -30,6 +30,14 @@ object Dedup {
     * band_0..band_{bands-1}. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    // same guard as simhashNearDup's bits % bands: bands > numHashes
+    // would give rows = 0 — every band key becomes md5 of an empty
+    // slice, identical for EVERY document, and the banded self-join
+    // degenerates into the full N² cross product the banding exists to
+    // prevent; a non-divisible split would silently ignore trailing
+    // signature entries
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     val withSig = graft.model.Tables.spread(docs)
       // native expressions — value-identical to the declarative
@@ -50,10 +58,12 @@ object Dedup {
                    shingleK: Int, numHashes: Int, bands: Int,
                    minJaccard100: Int): DataFrame = {
     // The signature table feeds three plan subtrees (band explode + both
-    // sides of the shingle re-join); without a persist Spark recomputes
-    // the md5 minhash chain 3× — the dominant cost.
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides of the shingle re-join); without materializing, Spark
+    // recomputes the md5 minhash chain 3× — the dominant cost.
+    // Materialize.once, not df.persist: a persist on this call-local
+    // frame pins a CacheManager entry no call site can unpersist.
+    val sigs = graft.operators.Materialize.once(
+      minhashSignatures(docs, idCol, textCol, shingleK, numHashes, bands))
     pairsFromSigs(sigs, idCol, bands, minJaccard100)
   }
 
@@ -119,16 +129,17 @@ object Dedup {
                               shingleK: Int, numHashes: Int, bands: Int,
                               minJaccard100: Int,
                               uniqueIds: Boolean = false): DataFrame = {
-    val newSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSigs = graft.operators.Materialize.once( // see minhashPairs
+      minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, bands))
     incrementalPairsFromSigs(newSigs, existingSigs, idCol, bands, minJaccard100,
       uniqueIds)
   }
 
   /** [[incrementalMinhashPairs]] with the batch signatures already
     * computed — the streaming driver uses this so one signature pass
-    * feeds both the pair join and the store append. */
-  /** `uniqueIds = true` asserts the caller's store guarantees at most
+    * feeds both the pair join and the store append.
+    *
+    * `uniqueIds = true` asserts the caller's store guarantees at most
     * one row per id (a manifest-managed store — [[graft.sources
     * .StoreManifest]] — or a write-once bucketed artifact): the
     * mid-compaction duplicate SHIELD (`dropDuplicates` on the verify
@@ -272,7 +283,10 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(
           graft.plans.ShingleHashes64.column60(col(textCol), shingleK))).as("gh"))
-      .persist()
+      // Materialize.once, not df.persist: four subtrees read the gram
+      // table, and a persist entry on a call-local frame outlives every
+      // consumer (see Materialize)
+      .transform(graft.operators.Materialize.once)
     val gdf = grams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
     // rarest gram per doc as a partial-aggregating argmin — min(struct)
     // compares (gdf, gh) lexicographically, the same winner a
@@ -327,11 +341,12 @@ object Dedup {
     require(bits < 63 && bits % bands == 0)
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    // persist: both sides of the band self-join read the fingerprints —
-    // without it the tokenize+digest pass over the corpus runs twice.
-    // One long per doc; negligible storage at any scale.
-    val sims = simhashes(docs, idCol, textCol, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize: both sides of the band self-join read the
+    // fingerprints — without it the tokenize+digest pass over the
+    // corpus runs twice. One long per doc; negligible storage at any
+    // scale. Materialize.once, not df.persist (call-local frame).
+    val sims = graft.operators.Materialize.once(
+      simhashes(docs, idCol, textCol, bits))
     val banded0 = sims.select(col(idCol).as("id"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -513,11 +528,15 @@ object Dedup {
     */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
-    val grams = substringGrams(df, idCol, textCol, k)
+    // null text coalesces to "" (the spanDedup convention): without it
+    // the output row carries NULL n_tokens/n_kept/cleaned instead of
+    // the documented counts, silently breaking downstream sums
+    val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val grams = substringGrams(safe, idCol, textCol, k)
     val covered = laterOccurrences(grams, idCol)
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-    CorpusStats.scrubCovered(df, idCol, textCol, covered)
+    CorpusStats.scrubCovered(safe, idCol, textCol, covered)
   }
 
   /** Occurrences of duplicated grams EXCEPT each gram's global first by
@@ -544,11 +563,11 @@ object Dedup {
     * it bucketed on `gh` so each ingest batch probes co-located buckets
     * instead of shuffling the store; append
     * `substringGramStore(scrubbed batch)` after each ingest. */
-  def substringGramStore(df: DataFrame, idCol: String, textCol: String,
+  def substringGramStore(df: DataFrame, textCol: String,
                          k: Int): DataFrame =
-    df.select(posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
-        .as(Seq("pos", "gh")))
-      .select(col("gh")).distinct()
+    df.select(explode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+        .as("gh"))
+      .distinct()
 
   /** Incremental [[dedupSubstrings]]: scrub an ingest BATCH against the
     * gram store of all prior ingests — only the batch is ever tokenized

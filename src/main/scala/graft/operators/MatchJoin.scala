@@ -79,11 +79,16 @@ object MatchJoin {
     * row per left key per partition before the only shuffle. A window
     * formulation would shuffle and sort every scored pair. */
   private def argmaxAccept(scored: DataFrame, cutoff: Int): DataFrame = {
-    val packed = struct(col("score"), (-col("right_key")).as("neg_rk"),
-      col("right_key"), col("right_name"), col("left_name"))
+    // min over (-score, right_key, ...): the negation sits on the SCORE
+    // (always a kernel int in [0, 100]), never on the right key — a
+    // negated key would restrict the operator to numeric keys (ANSI
+    // casts a string key to double and throws at runtime; pre-ANSI it
+    // silently nulled and INVERTED the documented ascending tie-break)
+    val packed = struct((-col("score")).as("neg_score"), col("right_key"),
+      col("right_name"), col("left_name"), col("score"))
     scored.filter(col("score") >= cutoff)
       .groupBy(col("left_key"))
-      .agg(max(packed).as("m"))
+      .agg(min(packed).as("m"))
       .select(col("left_key"), col("m.left_name").as("left_name"),
         col("m.right_key").as("right_key"), col("m.right_name").as("right_name"),
         col("m.score").as("merged_confidence"))

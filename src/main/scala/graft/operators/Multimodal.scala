@@ -210,11 +210,20 @@ object Multimodal {
     * slices standing in for video frame extraction — pure column ops,
     * no decode needed for the slicing itself. */
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int, stride: Int,
-                   maxFrames: Int): DataFrame =
+                   maxFrames: Int): DataFrame = {
+    // loud argument errors, not downstream surprises (the
+    // pqTrainCodebook convention): maxFrames = 0 would make
+    // sequence(0, -1) auto-DESCEND to [0, -1], and the -1 frame's
+    // negative substring start reads a garbage slice from the END of
+    // the payload
+    require(frameSize >= 1 && stride >= 1 && maxFrames >= 1,
+      s"need frameSize >= 1, stride >= 1, maxFrames >= 1 " +
+        s"(got $frameSize, $stride, $maxFrames)")
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(maxFrames - 1))))
       .withColumn("frame",
         expr(s"substring($binCol, frame_idx * $stride + 1, $frameSize)"))
       .filter(length(col("frame")) > 0)
+  }
 
   /** Resize: REAL nearest-neighbor downscale for PPM payloads and
     * frame decimation for PCM-16 WAV — both emit a VALID smaller file
@@ -222,6 +231,8 @@ object Multimodal {
     * Narrow per-partition map over the binary column: no shuffle, no
     * driver materialization. */
   def resize(df: DataFrame, idCol: String, binCol: String, factor: Int): DataFrame = {
+    // factor = 0 would surface as a raw '/ by zero' mid-partition
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))

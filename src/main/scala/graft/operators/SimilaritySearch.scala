@@ -54,21 +54,26 @@ object SimilaritySearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, bits: Int,
               tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, p: String): DataFrame = {
-      val withBuckets = df.withColumn("buckets",
+    def banded(df: DataFrame, p: String): DataFrame =
+      df.select(col(s"${p}_id"), posexplode(
         Vectors.lshBucketsAll(col(s"${p}_vec"), bits, tables))
-      withBuckets.select(col("*"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-        .drop("buckets")
-    }
-    val q = bucketed(prep(queries, idCol, vecCol, "q"), "q")
-    val c = bucketed(prep(corpus, idCol, vecCol, "c"), "c")
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+        .as(Seq("tbl", "bucket")))
+    val qp = prep(queries, idCol, vecCol, "q")
+    val cp = prep(corpus, idCol, vecCol, "c")
+    // slim-first: the multi-table collision dedup runs over a
+    // (q_id, c_id) pair list — two longs per candidate through the
+    // dropDuplicates exchange — and the embedding payloads join back
+    // only for surviving pairs (the knnJoin/lshNearDupPairs idiom; a
+    // dedup over rows still carrying both vectors ships candidate ×
+    // vector-width data through the shuffle once per extra-table
+    // collision)
+    val cand = banded(cp, "c").join(broadcast(banded(qp, "q")), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("c_id"), col("c_vec"), col("c_norm"))
+      .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
-    val scored = cand.withColumn("cosine", Vectors.cosineWithNorms(
-      col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val scored = cand.join(broadcast(qp), "q_id").join(cp, "c_id")
+      .withColumn("cosine", Vectors.cosineWithNorms(
+        col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
     rankTopK(scored, k)
   }
 
@@ -107,12 +112,19 @@ object SimilaritySearch {
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, bits: Int, tables: Int = 2,
               maxBucket: Int = 256): DataFrame = {
-    val c = prep(corpus, idCol, vecCol, "c")
+    // materialize the prepared corpus AND the banded frame: c feeds
+    // three subtrees (banded, the query-role payload, the final join)
+    // and banded feeds two (the cap and the join's left side) — without
+    // this the corpus scan + norm runs 3× and the hyperplane projection
+    // pass (bits × tables dot products per vector, the dominant per-row
+    // cost) runs twice. Materialize.once, not df.persist (call-local
+    // frames; see Materialize) — the pqNearDupPairs idiom.
+    val c = Materialize.once(prep(corpus, idCol, vecCol, "c"))
     // slim banded frame: ids and bucket keys only — the self-join never
     // moves an embedding payload
-    val banded = c.select(col("c_id"),
+    val banded = Materialize.once(c.select(col("c_id"),
       posexplode(Vectors.lshBucketsAll(col("c_vec"), bits, tables))
-        .as(Seq("tbl", "bucket")))
+        .as(Seq("tbl", "bucket"))))
     val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "c_id", maxBucket)
     val pairs = banded.select(col("c_id").as("q_id"), col("tbl"), col("bucket"))
       .join(capped, Seq("tbl", "bucket"))
@@ -493,8 +505,11 @@ object SimilaritySearch {
     * the scale path (no bitwise oracle). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, clusterCol: String,
-              k: Int, nProbe: Int): DataFrame = {
-    val dim = 64
+              k: Int, nProbe: Int, dim: Int = 64): DataFrame = {
+    // dim is a parameter (signature parity with ivfMedianTopK): a
+    // hardcoded 64 would ANSI-error on narrower embeddings and
+    // silently truncate centroids — wrong probe routing — on wider ones
+    require(dim >= 1, "dim must be positive")
     val centroids = corpus.groupBy(col(clusterCol).as("cluster"))
       .agg(array((0 until dim).map(i => avg(element_at(col(vecCol), i + 1))): _*).as("centroid"))
     val q = prep(queries, idCol, vecCol, "q")

@@ -551,7 +551,7 @@ object DedupQueries {
           concat(array_join(slice(Hashing.tokens(col("text")), 11, 25), " "),
             lit(" qq"), col("doc_id").cast("string")).as("text"))
       val copies = frags.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val store = Dedup.substringGramStore(docs, "doc_id", "text", 8)
+      val store = Dedup.substringGramStore(docs, "text", 8)
       Dedup.incrementalSubstringScrub(frags.unionByName(copies), store,
           "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))

@@ -544,7 +544,7 @@ class DedupSpec extends SparkSpec {
     val batch = (101L to 125L).map(_ -> randDoc())
     val corpusDf = corpus.toDF("doc_id", "text")
     val batchDf = batch.toDF("doc_id", "text")
-    val store = Dedup.substringGramStore(corpusDf, "doc_id", "text", k)
+    val store = Dedup.substringGramStore(corpusDf, "text", k)
     val got = Dedup.incrementalSubstringScrub(batchDf, store, "doc_id", "text", k)
       .as[(Long, Int, Int, String)].collect().toSet
     val want = Dedup.dedupSubstrings(

@@ -36,7 +36,7 @@ class EmptyInputSpec extends SparkSpec {
       Seq((1L, "a b")).toDF("doc_id", "text"), store0, "doc_id", "text", 16).count() == 1)
     // substring-scrub family: empty corpus, empty batch, empty stores
     assert(Dedup.dedupSubstrings(docs0, "doc_id", "text", 3).count() == 0)
-    val gstore0 = Dedup.substringGramStore(docs0, "doc_id", "text", 3)
+    val gstore0 = Dedup.substringGramStore(docs0, "text", 3)
     assert(Dedup.incrementalSubstringScrub(docs0, gstore0, "doc_id", "text", 3).count() == 0)
     assert(Dedup.incrementalSubstringScrub(
       Seq((1L, "a b")).toDF("doc_id", "text"), gstore0, "doc_id", "text", 3).count() == 1)

@@ -57,7 +57,7 @@ class ForcedShuffleSpec extends SparkSpec {
       graft.operators.Dedup.incrementalSubstringScrub(
         docs.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 500000).as("doc_id"), col("text")),
-        graft.operators.Dedup.substringGramStore(docs, "doc_id", "text", 8),
+        graft.operators.Dedup.substringGramStore(docs, "text", 8),
         "doc_id", "text", 8)),
     "incr_winnowing(fresh)" -> (() =>
       graft.operators.Dedup.incrementalWinnowingOverlap(
