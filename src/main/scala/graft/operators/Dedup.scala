@@ -606,22 +606,48 @@ object Dedup {
           .as(Seq("pos", "gh")))
       .localCheckpoint(true)
 
+  /** The batch gram stream restricted to hashes the store lacks — the
+    * ONE corpus-sized store join of an incremental scrub batch,
+    * materialized so the scrub AND the store delta
+    * (`fresh.select("gh").distinct()`) both read it without a second
+    * full-store join per micro-batch (the [[freshSpanWinners]] shape;
+    * the store is the corpus-sized side, so each redundant join is the
+    * dominant per-batch I/O once ingest has run for a while). */
+  def freshSubstringGrams(grams: DataFrame, store: DataFrame): DataFrame =
+    graft.operators.Materialize.once(
+      grams.join(store.select(col("gh")), Seq("gh"), "left_anti"))
+
   /** [[incrementalSubstringScrub]] over an already-computed gram
     * stream. */
   def incrementalSubstringScrubFromGrams(incoming: DataFrame, grams: DataFrame,
                                          store: DataFrame,
                                          idCol: String, textCol: String,
+                                         k: Int): DataFrame =
+    incrementalSubstringScrubWithFresh(incoming, grams,
+      freshSubstringGrams(grams, store), idCol, textCol, k)
+
+  /** [[incrementalSubstringScrubFromGrams]] with the fresh (not-in-
+    * store) grams already computed — the streaming driver shares ONE
+    * [[freshSubstringGrams]] anti-join between this scrub and its
+    * store delta. */
+  def incrementalSubstringScrubWithFresh(incoming: DataFrame, grams: DataFrame,
+                                         fresh: DataFrame,
+                                         idCol: String, textCol: String,
                                          k: Int): DataFrame = {
-    val storeGh = store.select(col("gh"))
-    // store hits scrub unconditionally; fresh grams replay the
-    // batch-local first-occurrence rule
-    val coveredByStore = grams.join(storeGh, Seq("gh"), "left_semi")
-    val fresh = grams.join(storeGh, Seq("gh"), "left_anti")
+    // null text coalesces to "" (the dedupSubstrings/spanDedup
+    // convention): the scrub output must carry counts, never NULLs
+    val safe = incoming.withColumn(textCol, coalesce(col(textCol), lit("")))
+    // covered-by-store = grams MINUS fresh, by (id, pos) — a
+    // batch-vs-batch anti-join, so the corpus-sized store is joined
+    // exactly once (inside freshSubstringGrams), not twice; fresh
+    // grams replay the batch-local first-occurrence rule
+    val coveredByStore = grams.join(fresh.select(col(idCol), col("pos")),
+      Seq(idCol, "pos"), "left_anti")
     val covered = coveredByStore.select(col(idCol), col("pos"))
       .unionByName(laterOccurrences(fresh, idCol))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-    CorpusStats.scrubCovered(incoming, idCol, textCol, covered)
+    CorpusStats.scrubCovered(safe, idCol, textCol, covered)
   }
 
   /** Partial-overlap pairs by shared winnowing fingerprints: documents

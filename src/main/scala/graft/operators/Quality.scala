@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   /** A-1: labeled row counts for a set of tables. */
-  def rowCounts(tables: Seq[(String, DataFrame)]): DataFrame =
+  def rowCounts(tables: Seq[(String, DataFrame)]): DataFrame = {
+    // an empty reduce throws an opaque UnsupportedOperationException —
+    // callers assembling the list dynamically deserve a named error
+    require(tables.nonEmpty, "rowCounts needs at least one table")
     tables.map { case (name, df) =>
       df.agg(count(lit(1)).as("n")).select(lit(name).as("tbl"), col("n"))
     }.reduce(_ unionByName _)
+  }
 
   /** A-3: NULL count per critical column, one pass. */
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =

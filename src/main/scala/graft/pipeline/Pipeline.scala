@@ -16,7 +16,7 @@ object Pipeline {
   /** t3' stage 1: candidate cleaning (reference scripts/
     * entity_matching.py:323-358): non-empty-name predicate (F-4), title
     * extraction (F-8), validity filter (F-5), normalization gate (F-6). */
-  def cleanCandidates(cc: DataFrame, idCol: String): DataFrame =
+  def cleanCandidates(cc: DataFrame): DataFrame =
     cc.filter(col("company_name").isNotNull &&
         length(trim(col("company_name"))) >= 3)
       .withColumn("extracted_name", Names.extractFromTitle(col("company_name")))
@@ -50,7 +50,7 @@ object Pipeline {
     // the cleaning stage is a narrow map of compact expressions —
     // recomputing it is cheaper than a persist stage (measured both
     // ways; the candidate side is the small side by construction).
-    val cand = cleanCandidates(cc, ccId)
+    val cand = cleanCandidates(cc)
     val abrSide = abr.select(col("abn"), col("entity_name"))
     val candSide = cand.select(col(ccId), col("extracted_name"))
     val matches = (blockTokenFreq match {
@@ -62,15 +62,29 @@ object Pipeline {
         col("merged_confidence"))
     val ccCols = cand.select(col(ccId).as("cand_id"), col("website_url"),
       col("extracted_name").as("company_name"), col("industry"))
+    // assembly joins UNHINTED (the pairsFromSigs convention): AQE
+    // broadcasts the cleaned candidate table while it is small and
+    // falls back to shuffle-hash when it is not — a forced broadcast
+    // would fail exactly at the scale the blockTokenFreq path exists
+    // for (the candidate side past its broadcastability envelope)
     val full = matches
       .join(abr, col("m_abn") === col("abn"))
-      .join(broadcast(ccCols), col("m_cand") === col("cand_id"))
+      .join(ccCols, col("m_cand") === col("cand_id"))
       .select(col("abn"), col("entity_name"), col("entity_type"), col("entity_status"),
         col("address"), col("postcode"), col("state"), col("start_date"),
         col("website_url"), col("company_name"), col("industry"),
         col("merged_confidence"))
-    // S-2/J-5: ON CONFLICT (abn) DO NOTHING — keep-first per abn
-    Dedup.keepFirst(full, "abn", "abn")
+    // S-2/J-5: ON CONFLICT (abn) DO NOTHING — keep-first per abn. The
+    // survivor among duplicate-abn rows is DETERMINISTIC: highest
+    // confidence first, full payload as tie-break (ordering by the
+    // partition key itself would make the kept row an accident of
+    // shuffle order, and two identical runs would disagree)
+    Dedup.keepFirst(
+        full.withColumn("__first_ord", struct(
+          (-col("merged_confidence")).as("neg_conf"), col("entity_name"),
+          col("company_name"), col("website_url"), col("industry"))),
+        "abn", "__first_ord")
+      .drop("__first_ord")
   }
 
   /** t4': quality report over the unified table (reference

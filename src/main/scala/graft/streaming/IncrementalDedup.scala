@@ -50,8 +50,11 @@ object IncrementalDedup {
                        else fullSigs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val existing = readStoreBefore(s, sigStoreDir, newSigs.schema,
-            ltBatch = batchId)
+          // ONE manifest resolve serves both the store read and the
+          // uniqueIds decision (a separate isManaged call would re-pay
+          // the driver-side metadata round-trip every micro-batch)
+          val (existing, unique) = StoreCompaction.readResolvedManaged(
+            s, sigStoreDir, newSigs.schema, ltBatch = batchId)
           // uniqueIds: a manifest-resolved store read lists each batch
           // DIRECTORY exactly once (incl. across interrupted-compaction
           // migration — StoreManifest.legacyDirs resolves those states),
@@ -60,7 +63,6 @@ object IncrementalDedup {
           // two distinct batches (an input-data contract, same as the
           // batch API's). The verify-side dropDuplicates shield (an
           // extra exchange of wide sig/sh rows) is skipped on that basis
-          val unique = graft.sources.StoreManifest.isManaged(s, sigStoreDir)
           val pairs =
             if (verifyBySig)
               Dedup.incrementalPairsBySig(

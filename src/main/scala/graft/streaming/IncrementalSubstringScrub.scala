@@ -41,16 +41,19 @@ object IncrementalSubstringScrub {
         val s = batch.sparkSession
         val store = readStore(s, storeDir, ltBatch = batchId)
         // ONE tokenization pass (checkpointed) feeds both the scrub
-        // and the store delta
+        // and the store delta, and ONE store anti-join
+        // (freshSubstringGrams) feeds both consumers — the store is
+        // the corpus-sized side, so a second full-store join per batch
+        // would be the dominant per-batch I/O at steady state
         val grams = Dedup.substringGrams(batch, idCol, textCol, k)
-        Dedup.incrementalSubstringScrubFromGrams(batch, grams, store,
+        val fresh = Dedup.freshSubstringGrams(grams, store)
+        Dedup.incrementalSubstringScrubWithFresh(batch, grams, fresh,
             idCol, textCol, k)
           .write.mode("overwrite").parquet(s"$cleanOutDir/batch_id=$batchId")
         // append AFTER scrubbing: the batch must not see its own grams
         // on the store side (everything would scrub to ""); fresh-only
         // keeps partitions disjoint for the compaction fold
-        grams.select(col("gh")).distinct()
-          .join(store, Seq("gh"), "left_anti")
+        fresh.select(col("gh")).distinct()
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
         graft.sources.StoreManifest.commitBatch(s, storeDir, s"batch_id=$batchId")
         ()

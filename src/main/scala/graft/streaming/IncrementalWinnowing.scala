@@ -43,8 +43,12 @@ object IncrementalWinnowing {
     val q = in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val store = readStore(s, fpStoreDir, idCol,
-          schema(idCol).dataType, ltBatch = batchId)
+        // ONE manifest resolve serves both the store read and the
+        // uniqueFps decision (a separate isManaged call would re-pay
+        // the driver-side metadata round-trip every micro-batch)
+        val (store, managed) = StoreCompaction.readResolvedManaged(
+          s, fpStoreDir, new StructType().add(idCol, schema(idCol).dataType)
+            .add("fp", LongType), ltBatch = batchId)
         // ONE winnowing pass (checkpointed inside the operator) feeds
         // both the pairing and the store delta
         val newFps = Dedup.winnowedFingerprints(batch, idCol, textCol, k, w)
@@ -53,8 +57,7 @@ object IncrementalWinnowing {
           // uniqueFps: a manifest-resolved store read is duplicate-free
           // by construction, so the df count needs no distinct shield
           Dedup.incrementalWinnowingOverlapFromFps(newFps, store, idCol,
-              minShared, fpDfCap,
-              uniqueFps = graft.sources.StoreManifest.isManaged(s, fpStoreDir))
+              minShared, fpDfCap, uniqueFps = managed)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch_id=$batchId")
           // append AFTER pairing (the batch must not meet itself twice)
           newFps.write.mode("overwrite")

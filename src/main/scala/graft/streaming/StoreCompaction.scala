@@ -31,24 +31,34 @@ private[streaming] object StoreCompaction {
     * `schema`'s columns; a correctly-typed empty frame when the store
     * resolves to no live data. */
   def readResolved(spark: SparkSession, storeDir: String,
-                   schema: StructType, ltBatch: Long): DataFrame = {
-    // ONE manifest resolve per read: latest() is a listStatus + open on
-    // `_manifest`, and this runs on every micro-batch — resolving once
-    // and branching beats the resolvesEmpty/readLive pair (2-3 round
-    // trips of driver-side metadata I/O on an object store)
+                   schema: StructType, ltBatch: Long): DataFrame =
+    readResolvedManaged(spark, storeDir, schema, ltBatch)._1
+
+  /** [[readResolved]] plus whether the store is manifest-MANAGED — the
+    * streaming drivers need both (the managed flag decides the
+    * uniqueIds/uniqueFps dedup-shield opt-out), and a separate
+    * `isManaged` call would re-pay the manifest resolve on the hot
+    * per-batch path. ONE resolve per read: latest() is a listStatus +
+    * open on `_manifest`, and this runs on every micro-batch —
+    * resolving once and branching beats the resolvesEmpty/readLive
+    * pair (2-3 round trips of driver-side metadata I/O on an object
+    * store). */
+  def readResolvedManaged(spark: SparkSession, storeDir: String,
+                          schema: StructType,
+                          ltBatch: Long): (DataFrame, Boolean) = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val resolved = StoreManifest.latest(spark, storeDir) match {
-      case Some((_, dirs)) =>
-        if (dirs.isEmpty) return empty
-        StoreManifest.readDirs(spark, storeDir, dirs)
-      case None =>
-        if (StoreManifest.legacyNames(spark, storeDir).isEmpty) return empty
-        spark.read.parquet(storeDir) // batch_id partition col
-    }
-    resolved
+    def project(df: DataFrame) = df
       .filter(col("batch_id") < ltBatch)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    StoreManifest.latest(spark, storeDir) match {
+      case Some((_, dirs)) =>
+        (if (dirs.isEmpty) empty
+         else project(StoreManifest.readDirs(spark, storeDir, dirs)), true)
+      case None =>
+        (if (StoreManifest.legacyNames(spark, storeDir).isEmpty) empty
+         else project(spark.read.parquet(storeDir)), false) // batch_id partition col
+    }
   }
 
   /** Fold everything with `batch_id <= uptoBatch` (prior snapshots

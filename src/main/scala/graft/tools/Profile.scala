@@ -43,7 +43,7 @@ object Profile {
       "'' AS address", "'' AS postcode", "'' AS state", "CAST(NULL AS DATE) AS start_date")
       .orderBy(col("abn")).limit(10000))
     time("u1 cleanCandidates") {
-      graft.pipeline.Pipeline.cleanCandidates(cc, "cc_id").count()
+      graft.pipeline.Pipeline.cleanCandidates(cc).count()
     }
     time("u1 buildUnified full") {
       graft.pipeline.Pipeline.buildUnified(abr, cc, "cc_id", 80).count()

@@ -57,7 +57,7 @@ object U1Prof {
       // the configuration under test; extra caps via args(2..).
       val caps = if (args.length > 2) args.drop(2).map(_.toLong).toSeq
                  else Seq(1000L)
-      val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue), "cc_id")
+      val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue))
         .select(col("cc_id"), col("extracted_name"))
       def ck(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         df.select(col("left_key"), col("right_key"), col("merged_confidence"))
@@ -80,7 +80,7 @@ object U1Prof {
     for (round <- 1 to 2) {
       // full candidate side (x-scale sized broadcast)
       time(s"r$round broadcastJoin full cand") {
-        val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue), "cc_id")
+        val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue))
         graft.operators.MatchJoin.broadcastJoin(
           abr, "abn", "entity_name",
           cand.select(col("cc_id"), col("extracted_name")), "cc_id", "extracted_name",
@@ -88,7 +88,7 @@ object U1Prof {
       }
       // replica-0-only candidate side (x1-sized broadcast, same left)
       time(s"r$round broadcastJoin cand<200k") {
-        val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(200000L), "cc_id")
+        val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(200000L))
         graft.operators.MatchJoin.broadcastJoin(
           abr, "abn", "entity_name",
           cand.select(col("cc_id"), col("extracted_name")), "cc_id", "extracted_name",
@@ -96,7 +96,7 @@ object U1Prof {
       }
       // blockedJoin scale path, full candidate side
       time(s"r$round blockedJoin full cand") {
-        val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue), "cc_id")
+        val cand = graft.pipeline.Pipeline.cleanCandidates(ccAt(Long.MaxValue))
         graft.operators.MatchJoin.blockedJoin(
           abr, "abn", "entity_name",
           cand.select(col("cc_id"), col("extracted_name")), "cc_id", "extracted_name",

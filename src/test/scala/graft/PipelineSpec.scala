@@ -41,7 +41,7 @@ class PipelineSpec extends SparkSpec {
   test("cleaning drops RSS-prefixed and blank candidates") {
     val cleaned = Pipeline.cleanCandidates(
       Seq(("RSS Feed Co", "u1"), ("  ", "u2"), ("Acme Pty Ltd", "u3"))
-        .toDF("company_name", "website_url"), "website_url")
+        .toDF("company_name", "website_url"))
     assert(cleaned.select($"company_name").as[String].collect().toSeq == Seq("Acme Pty Ltd"))
   }
 
