@@ -41,8 +41,16 @@ object Dedup {
     val rows = numHashes / bands
     val withSig = graft.model.Tables.spread(docs)
       // native expressions — value-identical to the declarative
-      // shingles→shingleHashes→minhashFromHashes chain (DedupSpec twins)
-      .withColumn("sh", graft.plans.ShingleHashes64.column(col(textCol), shingleK))
+      // shingles→shingleHashes→minhashFromHashes chain (DedupSpec twins).
+      // sh is persisted SORTED-DISTINCT: every downstream consumer is
+      // set-semantic (the minhash min and the Jaccard verify), sorting
+      // costs one pass per DOCUMENT here, and the verify kernel's
+      // sorted fast path then skips an O(n log n) sort per CANDIDATE
+      // PAIR per side — a doc in a duplicate cluster of size c is
+      // otherwise re-sorted O(c) times; distinct also shrinks the
+      // shuffled arrays exactly on the duplicate-heavy documents.
+      .withColumn("sh", array_sort(array_distinct(
+        graft.plans.ShingleHashes64.column(col(textCol), shingleK))))
       .withColumn("sig", graft.plans.MinHashSig.column(col("sh"), numHashes))
     (0 until bands).foldLeft(withSig) { (df, b) =>
       df.withColumn(s"band_$b", Hashing.bandKey(col("sig"), b, rows))

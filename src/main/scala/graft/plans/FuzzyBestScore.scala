@@ -46,6 +46,17 @@ case class FuzzyBestScore(children: Seq[Expression], floorScore: Int, kwFloor: I
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (children.length != 8)
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_fuzzy_score takes 8 scoring inputs, got ${children.length}")
+    val names = Seq("left_sorted", "right_sorted", "left_norm", "right_norm")
+    val arrs = Seq("left_set", "right_set", "left_kw", "right_kw")
+    TypeChecks.expect("graft_fuzzy_score",
+      names.zip(children.take(4)).map { case (n, e) => TypeChecks.string(n, e.dataType) } ++
+        arrs.zip(children.drop(4)).map { case (n, e) => TypeChecks.stringArray(n, e.dataType) })
+  }
+
   @transient private lazy val c = children.toArray
 
   override def eval(input: InternalRow): Any = {
@@ -99,9 +110,12 @@ object FuzzyBestScore {
   /** floor(100*(1-maxD/ml)) feasibility gate: can ANY pair with lengths
     * (la, lb) reach `floorScore`? Edits >= |la-lb|, so the band bound
     * decides from lengths alone. */
-  @inline private def lengthGate(la: Int, lb: Int, floorScore: Int): Boolean = {
+  @inline private[plans] def lengthGate(la: Int, lb: Int, floorScore: Int): Boolean = {
     val ml = math.max(math.max(la, lb), 1)
-    math.abs(la - lb) <= ml * (100 - floorScore) / 100
+    // Long product: ml * (100 - floor) overflows Int past ~21 MB of
+    // text, flipping maxD negative — identical strings would then gate
+    // to score 0 instead of 100
+    math.abs(la - lb) <= (ml.toLong * (100 - floorScore) / 100).toInt
   }
 
   /** Zero-copy variant over UTF8String: gates on numBytes before
@@ -116,7 +130,8 @@ object FuzzyBestScore {
   def ratioAtLeast(a: Array[Byte], b: Array[Byte], floorScore: Int): Int = {
     val la = a.length; val lb = b.length
     val ml = math.max(math.max(la, lb), 1)
-    val maxD = ml * (100 - floorScore) / 100 // floor of allowed edits
+    // Long product against the ~21 MB Int-overflow cliff (see lengthGate)
+    val maxD = (ml.toLong * (100 - floorScore) / 100).toInt // floor of allowed edits
     if (math.abs(la - lb) > maxD) return -1
     val d = boundedLevenshtein(a, b, maxD)
     if (d < 0) -1

@@ -26,9 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intLit(e: Expression, what: String): Int = e.eval(null) match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  private def intLit(e: Expression, what: String): Int = {
+    // foldable-check FIRST: eval(null) on a non-foldable expression (a
+    // column reference) throws an opaque Unresolved/Unsupported
+    // exception instead of the message this function exists to give
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an int literal, got the non-literal expression $e")
+    e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
   }
 
   private[plans] val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

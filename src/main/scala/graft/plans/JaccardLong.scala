@@ -15,6 +15,11 @@ import org.apache.spark.sql.types._
   * instead of four interpreted array traversals with boxing. */
 case class JaccardLong100(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_jaccard_long", Seq(
+      TypeChecks.longArray("left", left.dataType),
+      TypeChecks.longArray("right", right.dataType)))
+
   override def dataType: DataType = IntegerType
 
   override protected def nullSafeEval(l: Any, r: Any): Any =

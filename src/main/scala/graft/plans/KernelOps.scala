@@ -134,6 +134,16 @@ object KernelOps {
     * base hashes. */
   def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
     val n = hashes.numElements()
+    // the declarative twin (array_min over an empty transform) yields
+    // NULL signature elements here, which this kernel's
+    // containsNull=false element type cannot represent — an all-zero
+    // signature would instead band-collide every empty document
+    // silently. Unreachable through the shipped operators (a shingle
+    // stream always emits >= 1 gram, even for empty text); fail loudly
+    // if a future caller breaks that contract.
+    if (n == 0) throw new IllegalArgumentException(
+      "minhash of an empty base-hash array is undefined — upstream " +
+        "shingle streams always emit at least one gram")
     val sig = new Array[Long](numHashes)
     val M = M31
     var j = 0
@@ -147,7 +157,7 @@ object KernelOps {
         if (x < min) min = x
         i += 1
       }
-      sig(j) = if (n == 0) 0L else min
+      sig(j) = min
       j += 1
     }
     new GenericArrayData(sig)
@@ -173,6 +183,18 @@ object KernelOps {
   private def sortedDistinct(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val a = arr.toLongArray()
+    // fast path: already sorted-distinct. minhashSignatures presorts
+    // the persisted sh arrays for exactly this reason — the verify
+    // stage calls jaccardLong100 once per CANDIDATE PAIR, and a doc in
+    // a duplicate cluster of size c participates in O(c) pairs, paying
+    // the O(n log n) sort per pair per side without the check.
+    var sorted = true
+    var i0 = 1
+    while (sorted && i0 < n) {
+      if (a(i0) <= a(i0 - 1)) sorted = false
+      i0 += 1
+    }
+    if (sorted) return a
     java.util.Arrays.sort(a)
     var w = 0
     var i = 0

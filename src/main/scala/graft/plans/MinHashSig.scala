@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
+  // a negative count would surface as a NegativeArraySizeException
+  // mid-query instead of a constructor-time message
+  require(numHashes >= 1, s"need numHashes >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_minhash", Seq(TypeChecks.longArray("base_hashes", child.dataType)))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

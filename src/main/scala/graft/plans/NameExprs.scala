@@ -99,6 +99,8 @@ private[graft] object NameRegex {
 /** F-6 normalize_name; null/blank → "". */
 case class NormalizeName(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_normalize_name", Seq(TypeChecks.string("name", child.dataType)))
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
@@ -123,6 +125,8 @@ case class NormalizeName(child: Expression)
   * normalized name. */
 case class KeywordsArr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_keywords", Seq(TypeChecks.string("name", child.dataType)))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
@@ -148,6 +152,8 @@ case class KeywordsArr(child: Expression)
   * the original title (null → null). */
 case class ExtractFromTitle(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_extract_title", Seq(TypeChecks.string("name", child.dataType)))
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
   override protected def nullSafeEval(v: Any): Any =
@@ -162,6 +168,8 @@ case class ExtractFromTitle(child: Expression)
   * pattern text itself; evaluated with find() == Spark rlike). */
 case class IsValidCompanyName(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_valid_name", Seq(TypeChecks.string("name", child.dataType)))
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {

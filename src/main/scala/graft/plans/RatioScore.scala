@@ -16,6 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * floor. */
 case class RatioScore(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_ratio", Seq(
+      TypeChecks.string("left", left.dataType),
+      TypeChecks.string("right", right.dataType)))
+
   override def dataType: DataType = IntegerType
 
   override protected def nullSafeEval(l: Any, r: Any): Any =

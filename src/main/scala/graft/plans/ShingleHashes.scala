@@ -31,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShingleHashes64(child: Expression, k: Int, modM31: Boolean = true)
     extends UnaryExpression {
+  // k = 0 would hash the empty string at EVERY position — every
+  // document's shingle set identical, the whole corpus mutually
+  // duplicate with jaccard100 = 100 and no error anywhere
+  require(k > 0, "need shingle size k > 0")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_shingle_hashes", Seq(TypeChecks.string("text", child.dataType)))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -52,6 +59,12 @@ case class ShingleHashes64(child: Expression, k: Int, modM31: Boolean = true)
   * interpreted array traversals. Codegen: static [[KernelOps]] call. */
 case class SimHash64(child: Expression, bits: Int)
     extends UnaryExpression {
+  // bits > 64: JVM shift amounts wrap mod 64, double-counting bit 0's
+  // vote — a silently corrupt signature, not an error
+  require(bits >= 1 && bits <= 64, s"need 1 <= bits <= 64, got $bits")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_simhash", Seq(TypeChecks.longArray("hashes", child.dataType)))
 
   override def dataType: DataType = LongType
 
@@ -87,6 +100,9 @@ case class WinnowFingerprints64(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   require(k > 0, "need gram size k > 0")
   require(w > 0, "need window w > 0")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_winnow", Seq(TypeChecks.string("text", child.dataType)))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -58,6 +58,8 @@ case class VecDot(left: Expression, right: Expression)
 case class LshBuckets(child: Expression, bits: Int, tables: Int,
                       tableOffset: Int = 0)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_lsh_buckets", Seq(TypeChecks.vecArray("vec", child.dataType)))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   @transient private lazy val vf = VecUtil.isFloatArr(child)
