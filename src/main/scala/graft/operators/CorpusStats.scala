@@ -42,17 +42,15 @@ object CorpusStats {
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
                 scale: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df
+    // both the doc-frequency aggregate and the scoring join consume
+    // tf — without materializing, the corpus tokenize+count runs
+    // twice. Materialize.once, not df.persist: a persist entry on this
+    // call-local frame would pin the CacheManager for the session's
+    // life; and on a cluster the blocks stay recomputable + evictable
+    val tf = Materialize.once(df
       .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      // both the doc-frequency aggregate and the scoring join consume
-      // tf — without materializing, the corpus tokenize+count runs
-      // twice. Eager checkpoint, not persist: a df.persist entry on
-      // this call-local frame would pin the CacheManager for the
-      // session's life; checkpoint blocks release when the frame goes
-      // out of scope (the winnowingOverlap idiom)
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf")))
     // tf is already distinct per (doc, token): df = plain count per token
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
@@ -114,13 +112,13 @@ object CorpusStats {
     // 31-bit bucket collision (certain at corpus vocabulary scale)
     // would scrub non-boilerplate text — same reasoning as
     // containmentPairs' set-identity hashes
-    val grams = df
+    // Materialize.once, not df.persist — call-local frame, two consumer
+    // subtrees; persist would leak a CacheManager entry per call, and
+    // cluster blocks must stay recomputable + evictable
+    val grams = Materialize.once(df
       .select(col(idCol),
         posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
-          .as(Seq("pos", "gh")))
-      // eager checkpoint, not persist — call-local frame, two consumer
-      // subtrees; persist would leak a CacheManager entry per call
-      .localCheckpoint(true)
+          .as(Seq("pos", "gh"))))
     val shared = sharedGramSet(grams.select(col(idCol), col("gh")).distinct(), minDf)
     val covered = grams.join(broadcast(shared), "gh")
       .select(col(idCol),
@@ -204,10 +202,10 @@ object CorpusStats {
       }
       Iterator.single((null: String, pn)) ++ counters.keysIterator.map((_, 0L))
     }.toDF("token", "pn")
-      // eager checkpoint, not persist — call-local frame read by both
-      // the candidate set and the total; persist would leak a
+      // Materialize.once, not df.persist — call-local frame read by
+      // both the candidate set and the total; persist would leak a
       // CacheManager entry per call
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val candidates = sketch.filter(col("token").isNotNull).select(col("token")).distinct()
     val total = sketch.filter(col("token").isNull).agg(sum(col("pn")).as("total"))
     // pass 2: exact recount of candidates only + the integer cutoff
@@ -222,13 +220,12 @@ object CorpusStats {
                        k: Int, minDf: Long): DataFrame = {
     // 60-bit hashes for the same collision reasoning as
     // removeSharedSpans (a 31-bit collision would inflate the ratio)
-    val grams = df
+    // Materialize.once, not df.persist — call-local frame, three
+    // consumer subtrees; persist would leak a CacheManager entry
+    val grams = Materialize.once(df
       .select(col(idCol),
         explode(graft.plans.ShingleHashes64.column60(col(textCol), k)).as("gh"))
-      .distinct()
-      // eager checkpoint, not persist — call-local frame, three
-      // consumer subtrees; persist would leak a CacheManager entry
-      .localCheckpoint(true)
+      .distinct())
     val shared = sharedGramSet(grams, minDf)
     val nShared = grams.join(broadcast(shared), "gh")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
@@ -258,11 +255,10 @@ object CorpusStats {
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // the bigram stream feeds both the count aggregate and the join
     // probe side; without materialization the dominant tokenize+explode
-    // pass runs (and shuffles) twice. Eager checkpoint over df.persist
+    // pass runs (and shuffles) twice. Materialize.once over df.persist
     // for the same call-local-lifetime reasoning as winnowingOverlap.
-    val bigrams = df.select(col(idCol),
-      explode(Hashing.shingles(coalesce(col(textCol), lit("")), 2)).as("bg"))
-      .localCheckpoint(true)
+    val bigrams = Materialize.once(df.select(col(idCol),
+      explode(Hashing.shingles(coalesce(col(textCol), lit("")), 2)).as("bg")))
     val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     bigrams.join(counts, Seq("bg"))
       .groupBy(col(idCol))
@@ -290,13 +286,15 @@ object CorpusStats {
     require(num > 0 && den > 0 && num <= den, "need a fraction 0 < num/den <= 1")
     // three consumers read the tokenized corpus (docFreq's explode,
     // oovPos's explode, the final rewrite join) — materialize the
-    // token arrays once or the corpus tokenizes three times. Eager
-    // checkpoint, not persist: a df.persist entry on this call-local
-    // frame would pin the CacheManager for the session's life (the
-    // tfidfTopK/heavyHitters idiom).
-    val toks = df.withColumn("__toks",
-      Hashing.tokens(coalesce(col(textCol), lit(""))))
-      .localCheckpoint(true)
+    // token arrays once or the corpus tokenizes three times.
+    // Materialize.once, not a raw localCheckpoint: on a cluster the
+    // blocks must stay RECOMPUTABLE (executor loss under dynamic
+    // allocation would otherwise fail the query) and EVICTABLE (this
+    // frame is corpus-sized — under pressure it degrades to re-
+    // tokenizing, never to OOM); and not df.persist, whose CacheManager
+    // entry no call site here could ever unpersist.
+    val toks = Materialize.once(df.withColumn("__toks",
+      Hashing.tokens(coalesce(col(textCol), lit("")))))
     val pos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("pos", "tok")))
     val docFreq = pos.select(col(idCol), col("tok")).distinct()

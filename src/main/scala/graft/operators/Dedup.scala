@@ -609,10 +609,9 @@ object Dedup {
     * scrub and the store delta without pinning a cache entry. */
   def substringGrams(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame =
-    df.select(col(idCol),
-        posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
-          .as(Seq("pos", "gh")))
-      .localCheckpoint(true)
+    Materialize.once(df.select(col(idCol),
+      posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+        .as(Seq("pos", "gh"))))
 
   /** The batch gram stream restricted to hashes the store lacks — the
     * ONE corpus-sized store join of an incremental scrub batch,
@@ -669,13 +668,13 @@ object Dedup {
   def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int, minShared: Long,
                        fpDfCap: Long = 1000L): DataFrame = {
-    // eager checkpoint, not persist: the fingerprint table feeds three
-    // subtrees (df count + both join sides), but a df.persist entry
-    // would pin the CacheManager for the session's life on every call
-    // of this call-local frame; checkpoint blocks release when the
-    // frame goes out of scope (the contractedMerge reasoning)
-    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
-      .localCheckpoint(true)
+    // Materialize.once, not df.persist: the fingerprint table feeds
+    // three subtrees (df count + both join sides), but a df.persist
+    // entry would pin the CacheManager for the session's life on every
+    // call of this call-local frame; cluster blocks stay recomputable
+    // + evictable (the contractedMerge reasoning)
+    val fps = Materialize.once(
+      winnowedFingerprints(df, idCol, textCol, k, w))
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= fpDfCap).select(col("fp"))
     val capped = fps.join(keep, Seq("fp"))
@@ -711,7 +710,7 @@ object Dedup {
                                   fpDfCap: Long = 1000L,
                                   uniqueFps: Boolean = false): DataFrame =
     incrementalWinnowingOverlapFromFps(
-      winnowedFingerprints(incoming, idCol, textCol, k, w).localCheckpoint(true),
+      Materialize.once(winnowedFingerprints(incoming, idCol, textCol, k, w)),
       storeFps, idCol, minShared, fpDfCap, uniqueFps)
 
   /** [[incrementalWinnowingOverlap]] over an already-computed (and

@@ -195,16 +195,15 @@ object SimilaritySearch {
   def ivfLloydTopK(queries: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, seedCol: String,
                    dim: Int, k: Int, nProbe: Int): DataFrame = {
-    // eager localCheckpoint rather than persist: the prepared corpus
+    // Materialize.once rather than persist: the prepared corpus
     // feeds four subtrees (seed medians, reassignment, re-medians,
     // scoring), but a session-lifetime cache pin per invocation would
-    // compete with the deliberately-memoized tables; checkpoint blocks
-    // release once the query's frames go out of scope
-    val c = graft.model.Tables.spread(
+    // compete with the deliberately-memoized tables; cluster blocks
+    // stay recomputable + evictable
+    val c = Materialize.once(graft.model.Tables.spread(
         corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
           col(seedCol).as("seed")))
-      .withColumn("c_norm", Vectors.norm(col("c_vec")))
-      .localCheckpoint(true)
+      .withColumn("c_norm", Vectors.norm(col("c_vec"))))
     def withNorm(cent: DataFrame): DataFrame =
       cent.withColumn("cnorm", Vectors.norm(col("centroid")))
     def medians(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
@@ -432,9 +431,9 @@ object SimilaritySearch {
     // verification); the float vector is dropped immediately after.
     // Materialized because it feeds two subtrees (banding + the code
     // lookup) — without it the hash+encode pass runs once per subtree.
-    // Eager checkpoint, not persist: a df.persist entry on this
+    // Materialize.once, not df.persist: a persist entry on this
     // call-local frame would pin the CacheManager for the session's
-    // life; checkpoint blocks release when the frame goes out of scope
+    // life; cluster blocks stay recomputable + evictable
     // (the winnowingOverlap idiom).
     val uCols = Seq(col(idCol).as("id"),
       Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
@@ -442,8 +441,8 @@ object SimilaritySearch {
       (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
         refineBits, tables, BucketCap.RefineFamilyOffset).as("xbuckets"))
        else Nil)
-    val u = graft.model.Tables.spread(corpus).select(uCols: _*)
-      .localCheckpoint(true)
+    val u = Materialize.once(
+      graft.model.Tables.spread(corpus).select(uCols: _*))
     val banded0 = u.select(
       Seq(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
         (if (refineBits > 0) Seq(col("xbuckets")) else Nil): _*)

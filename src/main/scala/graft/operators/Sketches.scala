@@ -136,14 +136,14 @@ object Sketches {
       sk.agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
         .select(when(col("c") < k, col("c").cast("double"))
           .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as(name))
-    // eager checkpoint, not persist: each sketch feeds multiple
+    // Materialize.once, not persist: each sketch feeds multiple
     // subtrees (estimate + semi-joins + union), but a df.persist entry
     // on these call-local frames would pin the CacheManager for the
-    // session's life; checkpoint blocks release when the frames go out
-    // of scope (the winnowingOverlap idiom). Each is ≤ k rows.
-    val sa = sketch(a).localCheckpoint(true)
-    val sb = sketch(b).localCheckpoint(true)
-    val su = sa.union(sb).distinct().orderBy(col("h")).limit(k).localCheckpoint(true)
+    // session's life (the winnowingOverlap idiom). Each is ≤ k rows.
+    val sa = Materialize.once(sketch(a))
+    val sb = Materialize.once(sketch(b))
+    val su = Materialize.once(
+      sa.union(sb).distinct().orderBy(col("h")).limit(k))
     val inBoth = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
       .agg(count(lit(1)).as("n_both"))
     val uCnt = su.agg(count(lit(1)).as("n_union"))

@@ -154,17 +154,46 @@ object Layout {
     // doc above motivates with) must compact back into the SAME
     // layout: a flat rewrite would demote partition columns to data
     // columns and silently destroy directory pruning for every
-    // downstream reader. Co-locating each partition value costs one
-    // hash exchange — the price of per-directory output files; the
+    // downstream reader. The exchange must NOT key on the partition
+    // columns alone — that funnels every row of one partition value
+    // through a single task, so a 3-value source= layout would emit 3
+    // ~totalBytes/3 files from 3 straggler tasks no matter what
+    // targetBytes asked for. Instead each value gets a proportional
+    // file budget (row share × global bytes/row, both from metadata-
+    // only scans) and a salt spreads its rows across exactly that many
+    // tasks: ~targetBytes files per directory, parallel writers, and a
+    // value smaller than targetBytes still compacts to one file. The
     // flat case keeps the shuffle-free coalesce.
     val parts = partitionColumnsOf(fs, path)
     val df = spark.read.parquet(inDir)
-    if (parts.isEmpty)
+    if (parts.isEmpty) {
       df.coalesce(n.toInt).write.mode("overwrite").parquet(outDir)
-    else
-      df.repartition(n.toInt, parts.map(col): _*)
+      n
+    } else {
+      val totalRows = math.max(1L, df.count()) // parquet footer count
+      val bytesPerRow = totalBytes.toDouble / totalRows
+      val partCols = parts.map(col)
+      val budget = df.groupBy(partCols: _*).agg(count(lit(1)).as("__rows"))
+        .withColumn("__files", greatest(lit(1L),
+          ceil(col("__rows") * lit(bytesPerRow) / lit(targetBytes.toDouble))
+            .cast("long")))
+        .drop("__rows")
+      val nOut = budget.agg(sum(col("__files"))).head().getLong(0)
+      require(nOut <= Int.MaxValue,
+        s"$nOut output files exceeds Int.MaxValue — raise targetBytes")
+      // deterministic within-value spread: hash of the data columns
+      // (a partition-cols-only table has nothing to spread — one file
+      // per value is already the compacted shape)
+      val dataCols = df.columns.filterNot(parts.contains).map(col).toSeq
+      val salt = if (dataCols.isEmpty) lit(0L)
+                 else pmod(hash(dataCols: _*).cast("long"), col("__files"))
+      df.join(broadcast(budget), parts)
+        .withColumn("__salt", salt)
+        .repartition(nOut.toInt, partCols :+ col("__salt"): _*)
+        .drop("__files", "__salt")
         .write.mode("overwrite").partitionBy(parts: _*).parquet(outDir)
-    n
+      nOut
+    }
   }
 
   /** The `k=v` partition-column chain of a parquet directory, outermost

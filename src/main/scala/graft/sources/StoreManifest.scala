@@ -38,6 +38,21 @@ object StoreManifest {
 
   private val Dir = "_manifest"
   private val KeepVersions = 4
+  private val DupesFlagPrefix = "!dupes-upto="
+
+  /** One committed manifest version. `dupesUpto` is the duplicate-
+    * possible horizon inherited from an ambiguous legacy migration
+    * (see [[legacyResolve]]): when set to M, directories with
+    * `batch_id <= M` (including the legacy snapshot's negative id) may
+    * collectively list the same logical rows twice, so consumers must
+    * keep their dedup shields on; directories committed after the
+    * migration are above M and clean. The flag self-clears at the
+    * first [[replace]] whose surviving set holds nothing at or below
+    * M — i.e. a fold that rewrites the entire suspect range. */
+  final case class Manifest(version: Long, dirs: Seq[String],
+                            dupesUpto: Option[Long]) {
+    def duplicateFree: Boolean = dupesUpto.isEmpty
+  }
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -51,7 +66,13 @@ object StoreManifest {
 
   /** Newest committed (version, listed dir names), or None when the
     * store is unmanaged (no `_manifest/` with a committed version). */
-  def latest(spark: SparkSession, storeDir: String): Option[(Long, Seq[String])] = {
+  def latest(spark: SparkSession, storeDir: String): Option[(Long, Seq[String])] =
+    resolve(spark, storeDir).map(m => m.version -> m.dirs)
+
+  /** [[latest]] plus the duplicate-possible horizon — for callers that
+    * gate a dedup-shield opt-out on the listing being duplicate-free,
+    * not merely atomic. */
+  def resolve(spark: SparkSession, storeDir: String): Option[Manifest] = {
     val (fs, root) = fsOf(spark, storeDir)
     val mdir = new Path(root, Dir)
     if (!fs.exists(mdir)) return None
@@ -61,7 +82,13 @@ object StoreManifest {
     val in = fs.open(new Path(mdir, f"v$v%020d"))
     val body = try new String(in.readAllBytes, java.nio.charset.StandardCharsets.UTF_8)
                finally in.close()
-    Some(v -> body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val (flags, dirs) = lines.partition(_.startsWith("!"))
+    val dupes = flags.collectFirst {
+      case f if f.startsWith(DupesFlagPrefix) =>
+        f.stripPrefix(DupesFlagPrefix).toLong
+    }
+    Some(Manifest(v, dirs, dupes))
   }
 
   def isManaged(spark: SparkSession, storeDir: String): Boolean =
@@ -71,14 +98,17 @@ object StoreManifest {
     * then atomic rename to the committed `v<N>` name. Returns the
     * committed version. */
   def publish(spark: SparkSession, storeDir: String,
-              entries: Seq[String]): Long = {
+              entries: Seq[String], dupesUpto: Option[Long] = None): Long = {
+    require(entries.forall(!_.startsWith("!")),
+      "manifest entries must be directory names — '!' prefixes the flag lines")
     val (fs, root) = fsOf(spark, storeDir)
     val mdir = new Path(root, Dir)
     fs.mkdirs(mdir)
     val v = latest(spark, storeDir).map(_._1 + 1).getOrElse(0L)
     val tmp = new Path(mdir, f".tmp-v$v%020d-${System.nanoTime()}")
+    val body = dupesUpto.map(m => s"$DupesFlagPrefix$m").toSeq ++ entries
     val out = fs.create(tmp, true)
-    try out.write(entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, new Path(mdir, f"v$v%020d")),
       s"manifest publish lost a race for version $v at $storeDir — " +
@@ -112,20 +142,40 @@ object StoreManifest {
     * Positive-id dirs are listed regardless of `_SUCCESS`: a crashed
     * batch write is replayed and overwritten by the at-least-once
     * stream, which is the healing path the layout already relies on. */
-  private def legacyDirs(fs: FileSystem, root: Path): Seq[String] = {
-    if (!fs.exists(root)) return Seq.empty
+  private def legacyDirs(fs: FileSystem, root: Path): Seq[String] =
+    legacyResolve(fs, root)._1
+
+  /** [[legacyDirs]] plus the duplicate-possible horizon the resolved
+    * listing inherits. The horizon exists because one legacy state is
+    * ambiguous: a snapshot at exactly `batch_id=-1` is EITHER the
+    * current naming's first fold (horizon 0 — folded only batch 0) OR
+    * an earlier RESERVED-name compaction that folded through an
+    * unrecorded horizon u and crashed before deleting its inputs — in
+    * which case the surviving `batch_id=1..u` dirs hold rows the
+    * snapshot also holds, and nothing on disk says which ids those
+    * are. Listing both sides is the only lossless resolution, so the
+    * migration records `Some(maxPositiveId)` and consumers keep their
+    * duplicate shields for rows at or below it until a full-range fold
+    * rewrites the suspect set (deduped) and clears the flag. Snapshots
+    * deeper than -1 encode their horizon in the name and stay exact. */
+  private def legacyResolve(fs: FileSystem, root: Path): (Seq[String], Option[Long]) = {
+    if (!fs.exists(root)) return (Seq.empty, None)
     val all = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch_id=")).toSeq
     val kept = all.filter(n => idOf(n) >= 0 ||
       fs.exists(new Path(new Path(root, n), "_SUCCESS")))
     val snapIds = kept.map(idOf).filter(_ < 0)
-    if (snapIds.isEmpty) kept
+    if (snapIds.isEmpty) (kept, None)
     else {
       // deepest fold horizon wins: the most negative snapshot folded
       // everything at or below its horizon, shallower snapshots included
       val deepest = snapIds.min
       val horizon = -deepest - 1
-      kept.filter(n => idOf(n) == deepest || idOf(n) > horizon)
+      val resolved = kept.filter(n => idOf(n) == deepest || idOf(n) > horizon)
+      val positives = resolved.map(idOf).filter(_ >= 1)
+      val dupes = if (deepest == -1L && positives.nonEmpty) Some(positives.max)
+                  else None
+      (resolved, dupes)
     }
   }
 
@@ -135,26 +185,39 @@ object StoreManifest {
   def commitBatch(spark: SparkSession, storeDir: String,
                   dirName: String): Unit = {
     val (fs, root) = fsOf(spark, storeDir)
-    val live = latest(spark, storeDir).map(_._2)
-      .getOrElse(legacyDirs(fs, root).filter(_ != dirName))
+    val (live, dupes) = resolve(spark, storeDir) match {
+      case Some(m) => (m.dirs, m.dupesUpto)
+      case None =>
+        val (dirs, d) = legacyResolve(fs, root)
+        (dirs.filter(_ != dirName), d)
+    }
     if (!live.contains(dirName))
-      publish(spark, storeDir, live :+ dirName)
+      publish(spark, storeDir, live :+ dirName, dupes)
     ()
   }
 
   /** Atomically swap the live set to (live − drop) + add — the
-    * compaction publish. Migrates a legacy pile on first contact. */
+    * compaction publish. Migrates a legacy pile on first contact.
+    * `add` is trusted duplicate-free against the surviving set (the
+    * fold dedupes its snapshot whenever the store is flagged or
+    * unmanaged); the inherited duplicate-possible horizon survives
+    * only while some suspect directory (id at or below it, snapshots
+    * included) is still listed — a fold through the horizon clears it. */
   def replace(spark: SparkSession, storeDir: String,
               drop: Set[String], add: Seq[String]): Unit = {
     val (fs, root) = fsOf(spark, storeDir)
-    val live = latest(spark, storeDir).map(_._2).getOrElse(legacyDirs(fs, root))
+    val (live, dupes) = resolve(spark, storeDir) match {
+      case Some(m) => (m.dirs, m.dupesUpto)
+      case None => legacyResolve(fs, root)
+    }
     // dedupe `add` against the POST-drop set, not the pre-drop one: a
     // name in both `drop` and `add` (a compaction retried at a horizon
     // whose snapshot is already listed) must stay listed — filtering
     // against `live` would drop it and never re-add it, unlisting the
     // entire folded history
     val kept = live.filterNot(drop.contains)
-    publish(spark, storeDir, kept ++ add.filterNot(kept.contains))
+    val keptDupes = dupes.filter(m => kept.exists(n => idOf(n) <= m))
+    publish(spark, storeDir, kept ++ add.filterNot(kept.contains), keptDupes)
     ()
   }
 

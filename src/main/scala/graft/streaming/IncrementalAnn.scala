@@ -57,7 +57,8 @@ object IncrementalAnn {
     if (refineBits > 0)
       graft.operators.BucketCap.requireIndependentFamilies(
         lshBits, lshTables, refineBits, lshTables)
-    requireStoreLayout(spark, codeStoreDir, refineBits)
+    requireStoreLayout(spark, codeStoreDir, lshBits, lshTables, refineBits)
+    adoptStoreLayout(spark, codeStoreDir, lshBits, lshTables, refineBits)
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(vecCol))
     val q = in.writeStream
@@ -140,32 +141,57 @@ object IncrementalAnn {
       maxBucket, refineBits)
   }
 
-  /** Enforce the store's layout contract before a run touches it:
-    * `refineBits` decides whether `xbuckets` (the persisted hot-bucket
-    * extension signs) exists, and it must stay constant for the
-    * store's lifetime — the signs cannot be recomputed without the raw
-    * vectors. Without this guard, arming refinement against a store
-    * written without `xbuckets` would not error: forcing the new
-    * schema onto the old files null-fills the column, the
-    * (tbl, bucket, __sub) equi-join never matches the null sub-keys,
-    * and every store-side member of a hot bucket silently vanishes
-    * from candidates — exactly the dense region refinement exists to
-    * keep (recall collapses BELOW the flat cap it was meant to fix).
-    * Disarming against a refined store is rejected symmetrically: the
-    * narrowed read would silently discard persisted evidence and
-    * change the declared recall behavior. One footer read per
-    * [[runOnce]] call; within a run the single writer keeps the
-    * layout constant by construction. */
+  private val LayoutFile = "_layout"
+
+  private def layoutBody(lshBits: Int, lshTables: Int, refineBits: Int): String =
+    s"lshBits=$lshBits\nlshTables=$lshTables\nrefineBits=$refineBits"
+
+  /** Enforce the store's layout contract before a run touches it. The
+    * persisted columns are parameterized by the FULL tuple
+    * (lshBits, lshTables, refineBits) and none of it is recomputable
+    * without the raw vectors — so all three must stay constant for the
+    * store's lifetime, and all three are persisted in a `_layout`
+    * sidecar at first arm ([[adoptStoreLayout]]) and required equal
+    * here. The failure this prevents is silent in every variant:
+    *  - refineBits on/off mismatch schema-fills null `xbuckets`, the
+    *    (tbl, bucket, __sub) equi-join never matches, and every
+    *    store-side member of a hot bucket vanishes from candidates
+    *    (recall collapses BELOW the flat cap refinement was meant to
+    *    fix);
+    *  - a changed refineBits VALUE (or lshBits/lshTables) computes the
+    *    probe's buckets from a different hyperplane family than the
+    *    persisted ones, so stored and probe keys agree only by chance —
+    *    same silent recall collapse, no schema signal at all.
+    * Stores from before the sidecar existed fall back to the only
+    * check their files support (`xbuckets` presence vs refineBits>0)
+    * and the current run's tuple is adopted as the recorded contract.
+    * One metadata read per [[runOnce]] call; within a run the single
+    * writer keeps the layout constant by construction. */
   private[graft] def requireStoreLayout(spark: SparkSession,
                                         codeStoreDir: String,
+                                        lshBits: Int = 8, lshTables: Int = 4,
                                         refineBits: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(codeStoreDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(root, LayoutFile)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val stored = try new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val declared = layoutBody(lshBits, lshTables, refineBits)
+      require(stored == declared,
+        s"code store $codeStoreDir was armed with [${stored.replace("\n", " ")}] " +
+          s"but this run declares [${declared.replace("\n", " ")}] — the LSH " +
+          "family and refinement geometry are part of the store's layout " +
+          "contract (bucket keys and extension signs are persisted, not " +
+          "recomputable) and must stay constant for the store's lifetime")
+      return
+    }
     val paths = graft.sources.StoreManifest.latest(spark, codeStoreDir) match {
       case Some((_, dirs)) => dirs.map(n => s"$codeStoreDir/$n")
       case None =>
-        val path = new org.apache.hadoop.fs.Path(codeStoreDir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(path)) Seq.empty
-        else fs.listStatus(path).map(_.getPath.getName)
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).map(_.getPath.getName)
           .filter(_.startsWith("batch_id=")).toSeq
           .map(n => s"$codeStoreDir/$n")
     }
@@ -179,6 +205,32 @@ object IncrementalAnn {
           "layout contract (extension signs are persisted, not " +
           "recomputable) and must stay constant for the store's lifetime")
     }
+  }
+
+  /** Record the layout tuple as the store's contract if none is
+    * recorded yet — called by [[runOnce]] AFTER [[requireStoreLayout]]
+    * passes, so the adopted values are either a brand-new store's
+    * first-writer truth or a pre-sidecar store's already-validated
+    * working configuration. Atomic create-then-rename; the single-
+    * writer contract makes the lost-race require a loud invariant. */
+  private[streaming] def adoptStoreLayout(spark: SparkSession,
+                                          codeStoreDir: String,
+                                          lshBits: Int, lshTables: Int,
+                                          refineBits: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(codeStoreDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(root, LayoutFile)
+    if (fs.exists(meta)) return
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".tmp-$LayoutFile-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(layoutBody(lshBits, lshTables, refineBits)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, meta),
+      s"layout adopt lost a race at $codeStoreDir — the store's " +
+        "single-writer contract was violated")
   }
 
   /** The staleness statistic: mean squared reconstruction error of

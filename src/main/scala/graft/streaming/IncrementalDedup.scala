@@ -55,14 +55,17 @@ object IncrementalDedup {
           // the driver-side metadata round-trip every micro-batch)
           val (existing, unique) = StoreCompaction.readResolvedManaged(
             s, sigStoreDir, newSigs.schema, ltBatch = batchId)
-          // uniqueIds: a manifest-resolved store read lists each batch
-          // DIRECTORY exactly once (incl. across interrupted-compaction
-          // migration — StoreManifest.legacyDirs resolves those states),
-          // and replays overwrite their own batch dir — so an id appears
-          // once UNLESS the upstream source itself emits the same id in
-          // two distinct batches (an input-data contract, same as the
-          // batch API's). The verify-side dropDuplicates shield (an
-          // extra exchange of wide sig/sh rows) is skipped on that basis
+          // uniqueIds: a duplicate-free manifest resolve lists each
+          // batch directory exactly once, and replays overwrite their
+          // own batch dir — so an id appears once UNLESS the upstream
+          // source itself emits the same id in two distinct batches (an
+          // input-data contract, same as the batch API's). The verify-
+          // side dropDuplicates shield (an extra exchange of wide
+          // sig/sh rows) is skipped on that basis. `unique` is false —
+          // shield stays on — for unmanaged piles AND for a manifest
+          // that migrated the ambiguous interrupted-RESERVED-compaction
+          // legacy state (StoreManifest.Manifest.dupesUpto), until a
+          // full-range compactSigs rewrites the suspect directories
           val pairs =
             if (verifyBySig)
               Dedup.incrementalPairsBySig(

@@ -34,15 +34,20 @@ private[streaming] object StoreCompaction {
                    schema: StructType, ltBatch: Long): DataFrame =
     readResolvedManaged(spark, storeDir, schema, ltBatch)._1
 
-  /** [[readResolved]] plus whether the store is manifest-MANAGED — the
-    * streaming drivers need both (the managed flag decides the
+  /** [[readResolved]] plus whether the read is DUPLICATE-FREE — the
+    * streaming drivers need both (the flag decides the
     * uniqueIds/uniqueFps dedup-shield opt-out), and a separate
     * `isManaged` call would re-pay the manifest resolve on the hot
-    * per-batch path. ONE resolve per read: latest() is a listStatus +
+    * per-batch path. ONE resolve per read: resolve() is a listStatus +
     * open on `_manifest`, and this runs on every micro-batch —
     * resolving once and branching beats the resolvesEmpty/readLive
     * pair (2-3 round trips of driver-side metadata I/O on an object
-    * store). */
+    * store). Duplicate-free requires BOTH manifest management (each
+    * batch dir listed exactly once, old-or-new compaction visibility)
+    * AND no inherited duplicate-possible horizon from an ambiguous
+    * legacy migration (StoreManifest.Manifest.dupesUpto) — a migrated
+    * interrupted RESERVED-name compaction lists rows twice until a
+    * full-range fold rewrites it, and the shields must stay on. */
   def readResolvedManaged(spark: SparkSession, storeDir: String,
                           schema: StructType,
                           ltBatch: Long): (DataFrame, Boolean) = {
@@ -51,10 +56,11 @@ private[streaming] object StoreCompaction {
     def project(df: DataFrame) = df
       .filter(col("batch_id") < ltBatch)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    StoreManifest.latest(spark, storeDir) match {
-      case Some((_, dirs)) =>
-        (if (dirs.isEmpty) empty
-         else project(StoreManifest.readDirs(spark, storeDir, dirs)), true)
+    StoreManifest.resolve(spark, storeDir) match {
+      case Some(m) =>
+        (if (m.dirs.isEmpty) empty
+         else project(StoreManifest.readDirs(spark, storeDir, m.dirs)),
+         m.duplicateFree)
       case None =>
         (if (StoreManifest.legacyNames(spark, storeDir).isEmpty) empty
          else project(spark.read.parquet(storeDir)), false) // batch_id partition col
@@ -64,9 +70,12 @@ private[streaming] object StoreCompaction {
   /** Fold everything with `batch_id <= uptoBatch` (prior snapshots
     * included — their ids are negative) into one fresh snapshot
     * directory and retire the folded ones. `legacyDedup` is the
-    * interrupted-compaction duplicate absorber, applied ONLY when the
-    * store is an unmanaged pile whose root-scan can see a snapshot and
-    * its folded partitions together; a manifest-managed resolve cannot.
+    * interrupted-compaction duplicate absorber, applied whenever the
+    * resolve cannot guarantee uniqueness: an unmanaged pile's root-scan
+    * can see a snapshot and its folded partitions together, and a
+    * managed listing that migrated an ambiguous legacy state carries
+    * the same duplication inside its listed set until this fold
+    * rewrites it (clearing the flag at the publish).
     * The newest batch (the only one structured streaming can still
     * replay) must never fold — same guard as always. */
   def fold(spark: SparkSession, storeDir: String, uptoBatch: Long,
@@ -75,8 +84,8 @@ private[streaming] object StoreCompaction {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val managed = StoreManifest.latest(spark, storeDir)
-    val names = managed.map(_._2).getOrElse(
+    val managed = StoreManifest.resolve(spark, storeDir)
+    val names = managed.map(_.dirs).getOrElse(
       fs.listStatus(root).map(_.getPath.getName)
         .filter(_.startsWith("batch_id=")).toSeq)
     require(names.map(idOf).exists(_ > uptoBatch),
@@ -86,10 +95,17 @@ private[streaming] object StoreCompaction {
     val foldNames = names.filter(n => idOf(n) <= uptoBatch)
     if (foldNames.isEmpty) return // nothing below the horizon: no-op
     val resolved = (managed match {
-      case Some((_, dirs)) => StoreManifest.readDirs(spark, storeDir, dirs)
+      case Some(m) => StoreManifest.readDirs(spark, storeDir, m.dirs)
       case None => spark.read.parquet(storeDir)
     }).filter(col("batch_id") <= uptoBatch).drop("batch_id")
-    val snapshot = if (managed.isDefined) resolved else legacyDedup(resolved)
+    // dedup the snapshot unless the resolve GUARANTEES uniqueness: an
+    // unmanaged root-scan can see an interrupted compaction's rows
+    // twice, and a managed-but-flagged listing (ambiguous legacy
+    // migration, StoreManifest.Manifest.dupesUpto) lists them twice by
+    // construction — folding either without the absorber would bake
+    // the duplicates into the snapshot permanently
+    val snapshot = if (managed.exists(_.duplicateFree)) resolved
+                   else legacyDedup(resolved)
     // the snapshot id must be fresh against EVERY resolved name, not
     // just "fold horizons strictly increase": a retried fold at an
     // already-folded horizon would otherwise target its own listed

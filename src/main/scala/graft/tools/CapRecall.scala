@@ -35,9 +35,22 @@ object CapRecall {
       println(f"CAP $cap pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f")
       cap -> n
     }
-    val full = counts.map(_._2).max
-    counts.foreach { case (cap, n) =>
-      println(f"RECALL cap=$cap ${n.toDouble / math.max(1, full)}%.4f")
+    // "recall" is only honest against the UNCAPPED truth: dividing by
+    // the largest supplied cap would print 1.0000 for that cap no
+    // matter how much it lost. Without an uncapped run the ratios are
+    // labeled as the upper bound they are.
+    counts.find(_._1 == Int.MaxValue).map(_._2) match {
+      case Some(full) =>
+        counts.foreach { case (cap, n) =>
+          println(f"RECALL cap=$cap ${n.toDouble / math.max(1L, full)}%.4f")
+        }
+      case None =>
+        val (capMax, nMax) = counts.maxBy(_._1)
+        println(s"NOTE no uncapped run (2147483647) in this sweep — " +
+          s"ratios below are vs cap=$capMax, an UPPER BOUND on true recall")
+        counts.foreach { case (cap, n) =>
+          println(f"RECALL_VS_CAP$capMax cap=$cap ${n.toDouble / math.max(1L, nMax)}%.4f")
+        }
     }
     spark.stop()
   }
@@ -162,11 +175,14 @@ object IncCapRecall {
       store.count() + batch.count())
     println(s"BITS $bits")
     def countAt(cfg: String): Long = {
+      // full CapConnectivity grammar (the scaladoc imports it by
+      // reference): "N", "rN" (default 8-bit refinement), "rB:N"
       val (cap, refine) =
         if (cfg == "uncapped") (Int.MaxValue, 0)
-        else if (cfg.startsWith("r")) {
+        else if (cfg.startsWith("r") && cfg.contains(":")) {
           val Array(b, c) = cfg.drop(1).split(":"); (c.toInt, b.toInt)
-        } else (cfg.toInt, 0)
+        } else if (cfg.startsWith("r")) (cfg.drop(1).toInt, 8)
+        else (cfg.toInt, 0)
       val t0 = System.nanoTime()
       val n = graft.streaming.IncrementalAnn.incrementalPairs(
         store, batch, "vec_id", "embedding", dim = 64,

@@ -93,6 +93,30 @@ class SkewBucketSpec extends SparkSpec {
       (0L until 300L).toSeq)
   }
 
+  test("partitioned compaction splits a large partition value across ~targetBytes files") {
+    // the scale contract the partitioned path exists for: keying the
+    // exchange on the partition columns alone would write ONE file per
+    // value (one straggler task each, targetBytes ignored) — a 3 TB
+    // value would become a 3 TB file. Each value must spread over
+    // ~size/targetBytes parallel tasks instead.
+    val base = java.nio.file.Files.createTempDirectory("graft-compactw")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    spark.range(20000)
+      .selectExpr("id", "md5(CAST(id AS STRING)) AS pad",
+        "CAST(id % 2 AS STRING) AS state")
+      .repartition(10).write.partitionBy("state").parquet(in)
+    val n = graft.sources.Layout.compact(spark, in, out, targetBytes = 64L * 1024)
+    def files(d: String) = new java.io.File(out, d).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("state=0") > 1 && files("state=1") > 1,
+      s"a value larger than targetBytes must split: " +
+        s"${files("state=0")}/${files("state=1")} files, n=$n")
+    assert(n >= files("state=0") + files("state=1"),
+      s"returned budget $n below written files")
+    assert(spark.read.parquet(out).count() == 20000)
+  }
+
   test("approx aggregates land within tolerance of exact values") {
     // x3's KMV estimates: k=256 → std err ~1/16, so 15% ≈ 2.4σ bound;
     // when n_distinct < k the sketch degrades to the exact count.

@@ -134,6 +134,58 @@ class StoreManifestSpec extends SparkSpec {
       "the most negative complete snapshot folded everything at or below its horizon")
   }
 
+  test("ambiguous legacy state (fixed -1 snapshot + survivors) flags dupes until a full-range fold") {
+    // The OLD (pre-manifest) compactor wrote its snapshot at the
+    // RESERVED name batch_id=-1 whatever horizon it folded. This pile
+    // is that compactor interrupted after folding batches 0..1: the
+    // snapshot holds their rows AND batch_id=1 still exists. Nothing
+    // on disk records the horizon, so migration must keep both sides
+    // (lossless) and carry a duplicate-possible flag that keeps
+    // consumer shields on — silently claiming uniqueness here would
+    // double batch 1's rows in every downstream pair/count.
+    val dir = tmp()
+    writeBatch(dir, -1, Seq(1L, 2L)) // folded rows of batches 0 and 1
+    writeBatch(dir, 0, Seq(1L))
+    writeBatch(dir, 1, Seq(2L))
+    writeBatch(dir, 2, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=2")
+    val m = StoreManifest.resolve(spark, dir).get
+    assert(m.dirs.toSet == Set("batch_id=-1", "batch_id=1", "batch_id=2"))
+    assert(m.dupesUpto.contains(2L) && !m.duplicateFree,
+      s"ambiguous -1 snapshot must flag ids <= max surviving positive: $m")
+    val vals = StoreManifest.readLive(spark, dir).get
+      .select($"v").as[Long].collect().toSeq.sorted
+    assert(vals == Seq(1L, 2L, 2L, 3L),
+      s"lossless listing duplicates batch 1's row, never drops it: $vals")
+    // later commits inherit the flag — the suspect range is still listed
+    writeBatch(dir, 3, Seq(4L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=3")
+    assert(StoreManifest.resolve(spark, dir).get.dupesUpto.contains(2L))
+    // a fold BELOW the horizon dedupes its own snapshot but keeps the
+    // flag: batch_id=2 (<= horizon) still listed, still suspect
+    graft.streaming.IncrementalSpanDedup.compactStore(spark, dir, uptoBatch = 1)
+    val partial = StoreManifest.resolve(spark, dir).get
+    assert(partial.dupesUpto.contains(2L), s"partial fold must not clear: $partial")
+    // the fold THROUGH the horizon rewrites every suspect dir deduped
+    // and clears the flag — shields may drop from here on
+    graft.streaming.IncrementalSpanDedup.compactStore(spark, dir, uptoBatch = 2)
+    val after = StoreManifest.resolve(spark, dir).get
+    assert(after.duplicateFree, s"full-range fold must clear the flag: $after")
+    val deduped = StoreManifest.readLive(spark, dir).get
+      .select($"v").as[Long].collect().toSeq.sorted
+    assert(deduped == Seq(1L, 2L, 3L, 4L), s"fold absorbed the duplicate: $deduped")
+  }
+
+  test("unambiguous legacy snapshot (horizon in the name) migrates without the flag") {
+    val dir = tmp()
+    writeBatch(dir, -2, Seq(1L, 2L)) // new naming: folded batches 0..1
+    writeBatch(dir, 2, Seq(3L))
+    StoreManifest.commitBatch(spark, dir, "batch_id=2")
+    val m = StoreManifest.resolve(spark, dir).get
+    assert(m.dirs.toSet == Set("batch_id=-2", "batch_id=2"))
+    assert(m.duplicateFree, s"named horizon is exact — no flag: $m")
+  }
+
   test("old manifest versions are GC'd beyond the keep window") {
     val dir = tmp()
     (0 to 6).foreach { i =>

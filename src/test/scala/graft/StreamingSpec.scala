@@ -455,6 +455,25 @@ class StreamingSpec extends SparkSpec {
       run(8, root.resolve("ckpt2").toString)
     }
     assert(e.getMessage.contains("layout contract"))
+    // the recorded contract pins VALUES, not just presence: a store
+    // armed with refineBits=2 rejects refineBits=4 (different
+    // hyperplane family — sub-keys would mismatch with no schema
+    // signal), and rejects a changed base-LSH geometry the same way
+    val codes2 = root.resolve("codes2").toString
+    IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+      codes2, root.resolve("pairs2").toString, root.resolve("ckpt3").toString,
+      dim = 4, m = 2, codewords = 4, maxBucket = 2, refineBits = 2)
+    val eBits = intercept[IllegalArgumentException] {
+      IncrementalAnn.requireStoreLayout(spark, codes2, refineBits = 4)
+    }
+    assert(eBits.getMessage.contains("layout contract"))
+    val eLsh = intercept[IllegalArgumentException] {
+      IncrementalAnn.requireStoreLayout(spark, codes2,
+        lshBits = 4, refineBits = 2)
+    }
+    assert(eLsh.getMessage.contains("layout contract"))
+    // the recorded tuple itself keeps passing
+    IncrementalAnn.requireStoreLayout(spark, codes2, refineBits = 2)
     // before any store exists, either layout is acceptable
     IncrementalAnn.requireStoreLayout(spark,
       root.resolve("fresh").toString, refineBits = 8)
