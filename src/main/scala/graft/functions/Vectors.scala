@@ -27,17 +27,31 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  /** Cosine similarity; 0.0 when either vector has zero norm; NULL —
+    * never NaN — when the inputs are corrupt (a NaN/Inf element, a
+    * null element, or a length mismatch).
+    *
+    * The NaN→NULL step is load-bearing at scale: SQL comparison
+    * semantics rank NaN ABOVE every finite value in both engines, so
+    * a single corrupt embedding would otherwise satisfy every
+    * `cosine >= threshold` near-dup filter in its bucket (pairing it
+    * with the whole bucket, then c5's connected components merge the
+    * lot) and take rank 1 in every top-k it collides with — silently.
+    * NULL instead fails every threshold filter and sorts LAST under
+    * the top-k's descending rank in both engines. */
   def cosine(a: Column, b: Column): Column = {
     val na = norm(a)
     val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+    nanvl(when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb)),
+      lit(null).cast("double"))
   }
 
   /** Cosine from precomputed norms (precompute once per side before a
-    * top-k join so the pair stage only does the dot product). */
+    * top-k join so the pair stage only does the dot product). Same
+    * corrupt-input contract as [[cosine]]: NULL, never NaN. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+    nanvl(when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb)),
+      lit(null).cast("double"))
 
   /** Deterministic pseudo-random hyperplane component (j-th plane, i-th
     * dim) for sign-LSH bucketing — pure integer arithmetic, identically
@@ -79,21 +93,45 @@ object Vectors {
   // ───── DuckDB oracle twins ─────
 
   object sql {
+    /** Mirrors [[dot]]/`VecDot` on the EDGES, not just the happy path:
+      * DuckDB's bare `list_sum` silently skips NULL terms (so a null
+      * element or an out-of-range index from a length mismatch would
+      * yield a partial sum where Spark yields NULL) and returns NULL
+      * for an empty list (where Spark's fold seed yields 0.0). The
+      * guards reproduce the Spark semantics exactly; on clean vectors
+      * the ELSE branch is the original bitwise-identical fold. */
     def dot(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+      s"""(CASE WHEN len($a) != len($b)
+         |       OR len(list_filter($a, x -> x IS NULL)) > 0
+         |       OR len(list_filter($b, x -> x IS NULL)) > 0 THEN NULL
+         |  ELSE coalesce(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), 0.0)
+         |  END)""".stripMargin
 
     def norm(a: String): String = s"sqrt(${dot(a, a)})"
 
-    def cosineWithNorms(a: String, b: String, na: String, nb: String): String =
-      s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+    /** Mirrors [[cosineWithNorms]] incl. the corrupt-input contract:
+      * NaN (possible via Inf elements even when the norms are finite)
+      * becomes NULL, matching the Spark nanvl. `isnan(NULL)` is NULL →
+      * CASE falls to ELSE → the NULL value itself, so null inputs pass
+      * through identically. */
+    def cosineWithNorms(a: String, b: String, na: String, nb: String): String = {
+      val c = s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+      s"(CASE WHEN isnan($c) THEN NULL ELSE $c END)"
+    }
 
+    /** Null-ELEMENT parity with the kernel/declarative twin: a null
+      * element nulls every Spark projection (zip_with propagation), so
+      * all sign bits are 0 and the bucket is 0 — DuckDB's list_sum
+      * would skip the null and emit a partial-sum bucket instead; one
+      * vector-level guard reproduces the all-zero semantics. */
     def lshBucket(v: String, bits: Int, table: Int = 0): String = {
       val terms = (0 until bits).map { j =>
         val comp = s"(((i * 2654435761 + ${(table.toLong * bits + j) * 40503L}) % 1997 - 998)::DOUBLE)"
         val proj = s"list_sum(list_transform(generate_series(1, len($v)), i -> $v[i]::DOUBLE * $comp))"
         s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
       }
-      s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+      s"(CASE WHEN len(list_filter($v, x -> x IS NULL)) > 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST(${terms.mkString(" + ")} AS BIGINT) END)"
     }
 
     /** [[lshBucket]] with `bits`/`table` as SQL EXPRESSIONS instead of
@@ -104,9 +142,10 @@ object Vectors {
       * the static form term-for-term; all integer arithmetic, so the
       * two forms are bitwise-identical for equal (bits, table). */
     def lshBucketDyn(v: String, bits: String, table: String): String =
-      s"""CAST(list_sum(list_transform(generate_series(0, $bits - 1), j ->
+      s"""(CASE WHEN len(list_filter($v, x -> x IS NULL)) > 0 THEN CAST(0 AS BIGINT)
+         |ELSE CAST(list_sum(list_transform(generate_series(0, $bits - 1), j ->
          |  CASE WHEN list_sum(list_transform(generate_series(1, len($v)), i ->
          |    $v[i]::DOUBLE * (((i * 2654435761 + (($table * $bits + j)) * 40503) % 1997 - 998)::DOUBLE))) > 0.0
-         |  THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)""".stripMargin
+         |  THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) END)""".stripMargin
   }
 }

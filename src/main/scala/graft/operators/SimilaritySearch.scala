@@ -59,7 +59,10 @@ object SimilaritySearch {
         Vectors.lshBucketsAll(col(s"${p}_vec"), bits, tables))
         .as(Seq("tbl", "bucket")))
     val qp = prep(queries, idCol, vecCol, "q")
-    val cp = prep(corpus, idCol, vecCol, "c")
+    // cp feeds two subtrees (banding + the payload join-back) — without
+    // materialization the corpus scan, the spread repartition and the
+    // norm pass all run twice per call (the knnJoin idiom)
+    val cp = Materialize.once(prep(corpus, idCol, vecCol, "c"))
     // slim-first: the multi-table collision dedup runs over a
     // (q_id, c_id) pair list — two longs per candidate through the
     // dropDuplicates exchange — and the embedding payloads join back
@@ -148,13 +151,18 @@ object SimilaritySearch {
   def ivfMedianTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, clusterCol: String,
                     dim: Int, k: Int, nProbe: Int): DataFrame = {
+    // cnorm ONCE per centroid before the Q×K cross join — evaluating
+    // Vectors.norm inside the probe cosine would re-run a dim-length
+    // dot product per (query, centroid) pair (the ivfLloydTopK
+    // withNorm idiom)
     val centroids = corpus.groupBy(col(clusterCol).as("cluster"))
       .agg(array((0 until dim).map(i =>
         percentile(element_at(col(vecCol), i + 1).cast("double"), lit(0.5))): _*).as("centroid"))
+      .withColumn("cnorm", Vectors.norm(col("centroid")))
     val q = prep(queries, idCol, vecCol, "q")
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", Vectors.cosineWithNorms(
-        col("q_vec"), col("centroid"), col("q_norm"), Vectors.norm(col("centroid"))))
+        col("q_vec"), col("centroid"), col("q_norm"), col("cnorm")))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cluster").asc)))
       .filter(col("prank") <= nProbe)
@@ -253,7 +261,26 @@ object SimilaritySearch {
       .orderBy(col("__h").asc, col(idCol).asc)
       .limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
+      .collect().map { r =>
+        // loud argument errors, not a driver NPE / ragged codebook: a
+        // null vector, a null element, or a short vector in the k
+        // smallest-hash sample would otherwise crash here opaquely (or
+        // build short codewords that ArrayIndexOutOfBounds every
+        // encode downstream). Null embeddings are in-domain for the
+        // ENCODE side (pqEncodeNull semantics); the TRAINING sample
+        // must be clean — filter them out before training.
+        require(!r.isNullAt(0),
+          "PQ codebook anchor sample contains a NULL vector — filter null " +
+            "embeddings out of the training corpus before codebook training")
+        val v = r.getSeq[Any](0)
+        require(!v.contains(null),
+          "PQ codebook anchor vector contains a NULL element — clean the " +
+            "training corpus before codebook training")
+        require(v.length >= dim,
+          s"PQ codebook anchor vector has ${v.length} elements but dim=$dim — " +
+            "every training vector must carry at least dim elements")
+        v.map(_.asInstanceOf[Double]).toArray
+      }
     // loud argument error, not an index crash downstream: a codebook
     // needs at least one anchor (EmptyInputSpec pins the message)
     require(anchors.nonEmpty,
@@ -333,40 +360,7 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
-  /** Embedding near-dup with PQ-COMPRESSED verification — the d5 shape
-    * with the pair-stage payload shrunk ~8×: candidates come from the
-    * same multi-table sign-LSH bucket self-join, but the colliding
-    * pairs are first screened on decoded PQ codes (symmetric approx
-    * cosine ≥ threshold − margin) and only approx-survivors re-join
-    * the full-precision vectors for the exact threshold test.
-    *
-    * Why at 100 TB: in d5 every colliding pair moves two full float
-    * vectors through the verification join; here the corpus-wide pair
-    * stage moves (id, m small ints) codes — the full vectors are
-    * fetched for the (far fewer) approx-survivors only. `margin`
-    * absorbs PQ distortion: too small loses true pairs (DedupSpec
-    * measures recall vs the exact verifier), larger just verifies more
-    * candidates exactly. One pass computes buckets AND codes per
-    * vector; the whole chain (deterministic codebook → encode →
-    * decode → screen → exact) is bitwise oracle-expressible (d10).
-    */
-  /** LSH-blocked exact near-dup pairs: sign-LSH bucket self-join →
-    * cosine ≥ `minCosine` verification over the full vectors. The
-    * candidate side is frequency-capped per bucket ([[BucketCap]], cap
-    * `maxBucket`): n members in a bucket contribute n×cap pair rows,
-    * never n² — the guard that keeps a degenerate bucket (spam-clone
-    * mass, all-zero vectors) from rebuilding the cross join inside one
-    * shuffle key. With `maxBucket` ≥ the corpus's max bucket occupancy
-    * the result is identical to the uncapped join (the oracle-pinned
-    * configurations are sized that way; measured occupancy at sf0.1 is
-    * ≤ 149 under bits=8 — SCALE.md round-9 notes).
-    *
-    * Scale knob: bucket count must GROW with the corpus — hold
-    * `bits ≈ log2(2N / targetOccupancy)` so per-bucket membership
-    * stays constant and candidate volume stays O(N·tables·occupancy).
-    * Fixed geometry at growing N is measurably superlinear (SCALE.md
-    * "fixed vs scaled geometry"). */
-  /** The scale knob from the scaladoc above as code: smallest `bits`
+  /** The [[lshNearDupPairs]] scale knob as code: smallest `bits`
     * with 2^bits >= ceil(2n / targetOccupancy), floored at `minBits` —
     * bucket count grows with the corpus so per-bucket membership stays
     * ~`targetOccupancy` and candidate volume stays O(n·tables·occ).
@@ -381,6 +375,22 @@ object SimilaritySearch {
     math.max(minBits, bitLen)
   }
 
+  /** LSH-blocked exact near-dup pairs: sign-LSH bucket self-join →
+    * cosine ≥ `minCosine` verification over the full vectors. The
+    * candidate side is frequency-capped per bucket ([[BucketCap]], cap
+    * `maxBucket`): n members in a bucket contribute n×cap pair rows,
+    * never n² — the guard that keeps a degenerate bucket (spam-clone
+    * mass, all-zero vectors) from rebuilding the cross join inside one
+    * shuffle key. With `maxBucket` ≥ the corpus's max bucket occupancy
+    * the result is identical to the uncapped join (the oracle-pinned
+    * configurations are sized that way; measured occupancy at sf0.1 is
+    * ≤ 149 under bits=8 — SCALE.md round-9 notes).
+    *
+    * Scale knob: bucket count must GROW with the corpus — hold
+    * `bits ≈ log2(2N / targetOccupancy)` so per-bucket membership
+    * stays constant and candidate volume stays O(N·tables·occupancy)
+    * ([[scaledLshBits]]). Fixed geometry at growing N is measurably
+    * superlinear (SCALE.md "fixed vs scaled geometry"). */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, bits: Int, tables: Int,
                       maxBucket: Int): DataFrame = {
@@ -419,13 +429,37 @@ object SimilaritySearch {
       .groupBy("id_a", "id_b").agg(max(col("cosine")).as("cosine"))
   }
 
+  /** Embedding near-dup with PQ-COMPRESSED verification — the d5 shape
+    * with the pair-stage payload shrunk ~8×: candidates come from the
+    * same multi-table sign-LSH bucket self-join, but the colliding
+    * pairs are first screened on decoded PQ codes (symmetric approx
+    * cosine ≥ threshold − margin) and only approx-survivors re-join
+    * the full-precision vectors for the exact threshold test.
+    *
+    * Why at 100 TB: in d5 every colliding pair moves two full float
+    * vectors through the verification join; here the corpus-wide pair
+    * stage moves (id, m small ints) codes — the full vectors are
+    * fetched for the (far fewer) approx-survivors only. `margin`
+    * absorbs PQ distortion: too small loses true pairs (DedupSpec
+    * measures recall vs the exact verifier), larger just verifies more
+    * candidates exactly. One pass computes buckets AND codes per
+    * vector; the whole chain (deterministic codebook → encode →
+    * decode → screen → exact) is bitwise oracle-expressible (d10).
+    */
   def pqNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double, margin: Double,
                      bits: Int, tables: Int,
                      m: Int = 8, codewords: Int = 16,
                      maxBucket: Int = 256, refineBits: Int = 0): DataFrame = {
-    if (refineBits > 0)
+    if (refineBits > 0) {
       BucketCap.requireIndependentFamilies(bits, tables, refineBits, tables)
+      // same contract as IncrementalAnn.pairsFromCodes and both oracle
+      // builders: refinement re-keys members of OVER-CAP buckets, so
+      // without a finite cap it computes extension signs and runs the
+      // occupancy aggregation for a provable no-op
+      require(maxBucket != Int.MaxValue,
+        "refine without a cap has nothing to split on")
+    }
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
     // verification); the float vector is dropped immediately after.
@@ -509,12 +543,15 @@ object SimilaritySearch {
     // hardcoded 64 would ANSI-error on narrower embeddings and
     // silently truncate centroids — wrong probe routing — on wider ones
     require(dim >= 1, "dim must be positive")
+    // cnorm once per centroid, not per (query, centroid) pair — the
+    // ivfMedianTopK/ivfLloydTopK withNorm idiom
     val centroids = corpus.groupBy(col(clusterCol).as("cluster"))
       .agg(array((0 until dim).map(i => avg(element_at(col(vecCol), i + 1))): _*).as("centroid"))
+      .withColumn("cnorm", Vectors.norm(col("centroid")))
     val q = prep(queries, idCol, vecCol, "q")
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", Vectors.cosineWithNorms(
-        col("q_vec"), col("centroid"), col("q_norm"), Vectors.norm(col("centroid"))))
+        col("q_vec"), col("centroid"), col("q_norm"), col("cnorm")))
       .withColumn("prank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cdist").desc, col("cluster").asc)))
       .filter(col("prank") <= nProbe)

@@ -32,6 +32,10 @@ private object VecUtil {
   * declarative twin) — hence nullable even over non-null children. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_vec_dot", Seq(
+      TypeChecks.vecArray("a", left.dataType),
+      TypeChecks.vecArray("b", right.dataType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   @transient private lazy val lf = VecUtil.isFloatArr(left)
@@ -97,6 +101,9 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int,
   * class's reference array). */
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_pq_encode",
+      Seq(TypeChecks.vecArray("vec", child.dataType)))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   @transient private lazy val vf = VecUtil.isFloatArr(child)
   // twin parity on the edges: a null VECTOR yields an array of m null

@@ -165,6 +165,52 @@ class VectorsSpec extends SparkSpec {
       s"declarative null-vector buckets: $nullRow")
   }
 
+  test("a corrupt (NaN) embedding cannot pair or outrank clean rows: cosine is NULL, never NaN") {
+    // SQL comparison semantics rank NaN ABOVE every finite value, so
+    // without the nanvl containment one corrupt embedding would pass
+    // every `cosine >= threshold` filter in its bucket and take rank 1
+    // in every top-k it collides with — silently. The contract: corrupt
+    // input -> NULL -> fails thresholds, sorts last.
+    val cos = Seq((Array(Float.NaN, 1f), Array(1f, 1f)))
+      .toDF("a", "b").select(Vectors.cosine($"a", $"b").as("c")).head()
+    assert(cos.isNullAt(0), s"NaN input must yield NULL cosine, got $cos")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.14f, 0f, 0f)),
+      (666L, Array(Float.NaN, 1f, 1f, 1f))).toDF("id", "vec")
+    val pairs = SimilaritySearch.lshNearDupPairs(corpus, "id", "vec",
+        minCosine = 0.9, bits = 1, tables = 4, maxBucket = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 666L || p._2 == 666L),
+      s"the corrupt row must never satisfy the threshold: $pairs")
+    val top1 = SimilaritySearch.bruteForceTopK(corpus, corpus, "id", "vec", k = 1)
+      .filter($"q_id" === 1L).head()
+    assert(top1.getAs[Long]("c_id") == 2L && !top1.isNullAt(top1.fieldIndex("cosine")),
+      s"rank 1 for a clean query must be the clean neighbor: $top1")
+  }
+
+  test("PQ codebook training rejects null/short anchor vectors loudly") {
+    // a corrupt row in the k smallest-hash sample would otherwise NPE
+    // on the driver (null vector/element) or build short codewords
+    // that ArrayIndexOutOfBounds every encode downstream
+    val nullVec = spark.sql("SELECT 1L AS id, CAST(NULL AS ARRAY<FLOAT>) AS vec")
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTrainCodebook(nullVec, "id", "vec", dim = 4, m = 2, k = 4)
+    }
+    assert(e1.getMessage.contains("NULL vector"), e1.getMessage)
+    val nullElem = spark.sql(
+      "SELECT 1L AS id, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS vec")
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTrainCodebook(nullElem, "id", "vec", dim = 2, m = 1, k = 4)
+    }
+    assert(e2.getMessage.contains("NULL element"), e2.getMessage)
+    val short = Seq((1L, Array(1f, 2f))).toDF("id", "vec")
+    val e3 = intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTrainCodebook(short, "id", "vec", dim = 4, m = 2, k = 4)
+    }
+    assert(e3.getMessage.contains("dim=4"), e3.getMessage)
+  }
+
   test("native PQ encode: NaN and null-vector edges match the declarative twin") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)

@@ -81,4 +81,21 @@ class KernelGuardSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("int literal"), e4.getMessage)
   }
+
+  test("Column-API vector kernels type-check too: dot and pqEncode reject non-vector arrays") {
+    // VecDot/PqEncode are reachable through the public Vectors DSL with
+    // arbitrary Columns — an array<int> would otherwise reinterpret its
+    // 4-byte packing as doubles on unsafe rows (plausible garbage)
+    import org.apache.spark.sql.functions.col
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.functions.Vectors.dot(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<FLOAT>"), e1.getMessage)
+    val cb = Array.fill(1)(Array.fill(2)(Array.fill(2)(0.0)))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.plans.VecExprs.pqEncode(col("a"), cb)).collect()
+    }
+    assert(e2.getMessage.contains("ARRAY<FLOAT>"), e2.getMessage)
+  }
 }
