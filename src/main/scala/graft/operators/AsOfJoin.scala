@@ -78,6 +78,16 @@ object AsOfJoin {
         !keys.contains(asofTsAs),
       s"asofTsAs '$asofTsAs' collides with a right payload, key, or the " +
         "ts column — pass a fresh marker name")
+    // the internal working names must be fresh too: a LEFT column named
+    // __filled would be silently REPLACED by the fill struct's
+    // withColumn and re-emitted under the user's name (silent
+    // corruption, unlike __side/__fill whose collisions at least fail
+    // loudly as duplicate attributes)
+    val reserved = Set("__side", "__fill", "__filled")
+    val reservedClash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedClash.isEmpty,
+      s"column names $reservedClash are reserved by the as-of join's " +
+        "internal layout — rename them")
     // SQL join semantics: a null key or null timestamp on the right can
     // never satisfy `l.key = r.key AND l.ts >= r.ts` — window
     // partitioning would otherwise group nulls together and "match" them

@@ -36,10 +36,68 @@ object RangeJoin {
     * (non-negative) pmod lands exactly on the bucket edge, and integral
     * DIV of an exact multiple is exact for either truncation direction —
     * `floor(x / W)` in doubles would drift above 2^53. */
-  private def withFloorDiv(df: DataFrame, out: String, x: Column, w: Long): DataFrame =
-    df.withColumn("__fd", x - pmod(x, lit(w)))
+  private[operators] def withFloorDiv(df: DataFrame, out: String, x: Column, w: Long): DataFrame =
+    df.withColumn("__fd",
+        // a value within w of Long.MinValue (an "unbounded below"
+        // sentinel) would overflow x - pmod under ANSI mode with a
+        // generic ARITHMETIC_OVERFLOW — same usable-message treatment
+        // as the hi-side sentinel guard in the explode below
+        when(x < lit(Long.MinValue + w), raise_error(concat(
+          lit(s"bound within $w of Long.MinValue (unbounded-below " +
+            "sentinel?) — clamp it to the data's real range: "),
+          x.cast("string"))).cast("long"))
+          .otherwise(x - pmod(x, lit(w))))
       .withColumn(out, expr(s"__fd DIV $w"))
       .drop("__fd")
+
+  /** Shared interval→bucket explode: floor-div both bounds, drop empty
+    * intervals, and guard the span so a sentinel interval
+    * (hi = Long.MaxValue) fails with a usable message instead of
+    * asking sequence() for trillions of elements. The guard lives
+    * INSIDE the sequence bound so column pruning cannot optimize it
+    * away. */
+  private def explodeBuckets(df: DataFrame, lo: String, hi: String,
+                             width: Long, maxBuckets: Long): DataFrame = {
+    val bounded = withFloorDiv(withFloorDiv(
+      df.filter(col(hi) > col(lo)),
+      "__blo", col(lo), width), "__bhi", col(hi) - 1, width)
+    val guardedHi = when(col("__bhi") - col("__blo") >= maxBuckets,
+        raise_error(concat(
+          lit(s"interval spans more than $maxBuckets buckets at " +
+            s"width $width — widen the bucket or clamp the interval: lo="),
+          col(lo), lit(" hi="), col(hi))).cast("long"))
+      .otherwise(col("__bhi"))
+    bounded
+      .withColumn("__bucket", explode(sequence(col("__blo"), guardedHi)))
+      .drop("__blo", "__bhi")
+  }
+
+  /** The `_r`-suffix layout can silently produce duplicate attribute
+    * names (left already carries `x_r`, or right carries both `x` and
+    * `x_r` — withColumnRenamed duplicates silently in that case),
+    * surfacing as AMBIGUOUS_REFERENCE far from the call site. Reject
+    * the layout up front like [[pointInInterval]]'s shared-name
+    * require. */
+  private def requireSuffixSafe(left: DataFrame, right: DataFrame,
+                                keys: Seq[String]): Unit = {
+    // mid-fold collision: renaming c -> c_r while the right side
+    // already carries c_r makes withColumnRenamed silently duplicate
+    // the name (and the later rename of the original c_r then hits
+    // both copies)
+    val midair = right.columns.filterNot(keys.contains)
+      .filter(c => right.columns.contains(c + "_r")).toSet
+    require(midair.isEmpty,
+      s"right side carries both $midair and their _r-suffixed names — " +
+        "rename one of each pair")
+    val renamed = right.columns.map(c => if (keys.contains(c)) c else c + "_r")
+    val dup = renamed.diff(renamed.distinct).toSet
+    require(dup.isEmpty,
+      s"right columns collide after the _r suffix: $dup — rename one of each pair")
+    val clash = left.columns.toSet.intersect(renamed.toSet) -- keys
+    require(clash.isEmpty,
+      s"left columns $clash collide with the right side's _r-suffixed " +
+        "names — rename one side")
+  }
 
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
@@ -54,22 +112,8 @@ object RangeJoin {
       s"points/intervals share column names $shared — rename one side")
     // [lo, hi) covers buckets floor(lo/W) .. floor((hi-1)/W); empty
     // intervals (hi <= lo) match nothing and are dropped up front
-    val bounded = withFloorDiv(withFloorDiv(
-      intervals.filter(col(hiCol) > col(loCol)),
-      "__blo", col(loCol), width), "__bhi", col(hiCol) - 1, width)
-    // a sentinel interval (hi = Long.MaxValue) would ask sequence() for
-    // trillions of elements — fail with a usable message instead. The
-    // guard lives INSIDE the sequence bound so column pruning cannot
-    // optimize it away.
-    val guardedHi = when(col("__bhi") - col("__blo") >= maxBucketsPerInterval,
-        raise_error(concat(
-          lit(s"interval spans more than $maxBucketsPerInterval buckets at " +
-            s"width $width — widen the bucket or clamp the interval: lo="),
-          col(loCol), lit(" hi="), col(hiCol))).cast("long"))
-      .otherwise(col("__bhi"))
-    val exploded = bounded
-      .withColumn("__bucket", explode(sequence(col("__blo"), guardedHi)))
-      .drop("__blo", "__bhi")
+    val exploded = explodeBuckets(intervals, loCol, hiCol, width,
+      maxBucketsPerInterval)
     withFloorDiv(points, "__bucket", col(pointCol), width)
       .join(exploded, "__bucket")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
@@ -95,6 +139,7 @@ object RangeJoin {
   def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, delta: Long): DataFrame = {
     require(delta > 0, "band width must be positive")
+    requireSuffixSafe(left, right, keys)
     val l = withFloorDiv(left, "__b0", col(tsCol), delta)
       .withColumn("__bucket", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
       .drop("__b0")
@@ -125,20 +170,9 @@ object RangeJoin {
                       loCol: String, hiCol: String, width: Long,
                       maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(width > 0, "bucket width must be positive")
-    def expand(df: DataFrame, lo: String, hi: String): DataFrame = {
-      val bounded = withFloorDiv(withFloorDiv(
-        df.filter(col(hi) > col(lo)),
-        "__blo", col(lo), width), "__bhi", col(hi) - 1, width)
-      val guardedHi = when(col("__bhi") - col("__blo") >= maxBucketsPerInterval,
-          raise_error(concat(
-            lit(s"interval spans more than $maxBucketsPerInterval buckets at " +
-              s"width $width — widen the bucket or clamp the interval: lo="),
-            col(lo), lit(" hi="), col(hi))).cast("long"))
-        .otherwise(col("__bhi"))
-      bounded
-        .withColumn("__bucket", explode(sequence(col("__blo"), guardedHi)))
-        .drop("__blo", "__bhi")
-    }
+    requireSuffixSafe(left, right, keys)
+    def expand(df: DataFrame, lo: String, hi: String): DataFrame =
+      explodeBuckets(df, lo, hi, width, maxBucketsPerInterval)
     val l = expand(left, loCol, hiCol)
     val r0 = right.columns.foldLeft(right)((df, c) =>
       if (keys.contains(c)) df else df.withColumnRenamed(c, c + "_r"))

@@ -46,12 +46,20 @@ object EventQueries {
         .orderBy(col("event_id"))),
 
     // W-1: event-time tumbling-hour aggregation (the batch shape of the
-    // streaming windowed agg; output keyed by epoch-micros bucket)
+    // streaming windowed agg; output keyed by epoch-micros bucket).
+    // The value sum goes through integer 1e-2 units (the w8/y1 cents
+    // convention): round(sum(double), 2) is addition-order-dependent,
+    // and at 10^8+ events per bucket the partial-aggregation order
+    // (AQE, partition count, DuckDB's parallel sum) moves the FP error
+    // across the rounding boundary — cents-longs sum exactly in any
+    // order, and one final long/100.0 division is deterministic.
     "w1_event_window" -> ((s, d) =>
       ev(s, d)
         .withColumn("bucket_us", unix_micros(date_trunc("HOUR", tsCol)))
+        .withColumn("v_e2", round(col("value") * 100).cast("long"))
         .groupBy(col("bucket_us"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v_e2")) / 100.0).as("sum_value"))
         .orderBy(col("bucket_us"), col("event_type"))),
 
     // W-6: hopping (sliding) event-time window — 1-hour windows every
@@ -61,9 +69,12 @@ object EventQueries {
     // the 4 covering starts per event with integer generate_series.
     "w6_hopping_window" -> ((s, d) =>
       ev(s, d)
+        .withColumn("v_e2", round(col("value") * 100).cast("long"))
         .groupBy(window(tsCol, "1 hour", "15 minutes"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        // cents-longs, order-independent (the w1 reasoning)
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v_e2")) / 100.0).as("sum_value"))
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("win_start_us"), col("event_type"))),
@@ -129,9 +140,12 @@ object EventQueries {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       ev(s, d)
+        .withColumn("v_e2", round(col("value") * 100).cast("long"))
         .withColumn("seq", row_number().over(byUser))
+        // cents-longs through the running sum (the w1/w8 reasoning):
+        // a running double sum re-rounds per row and drifts with order
         .withColumn("running_value",
-          round(sum(col("value")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          sum(col("v_e2")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)) / 100.0)
         .filter(col("seq") <= 3)
         .select(col("user_id"), col("seq"), col("event_id"), col("running_value"))
         .orderBy(col("user_id"), col("seq"))
@@ -185,7 +199,8 @@ object EventQueries {
         |ORDER BY event_id""".stripMargin,
     "w1_event_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |  count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
     "w6_hopping_window" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS t_us, event_type, value FROM events),
@@ -193,7 +208,8 @@ object EventQueries {
         |  unnest(generate_series((t_us // 900000000) * 900000000 - 2700000000,
         |                         (t_us // 900000000) * 900000000, 900000000)) AS win_start_us
         |  FROM e)
-        |SELECT win_start_us, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |SELECT win_start_us, event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM hops GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "w7_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
@@ -218,7 +234,8 @@ object EventQueries {
     "w5_gapfill" ->
       """WITH ev AS (SELECT user_id, us // 3600000000 AS bucket, us, value
         |            FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events)),
-        |obs AS (SELECT user_id, bucket, (max({'u': us, 'v': value})).v AS obs_value
+        |obs AS (SELECT user_id, bucket,
+        |          (max(CASE WHEN value IS NOT NULL THEN {'u': us, 'v': value} END)).v AS obs_value
         |        FROM ev GROUP BY 1, 2),
         |span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM ev GROUP BY 1),
         |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM span)
@@ -232,8 +249,9 @@ object EventQueries {
       """SELECT user_id, CAST(seq AS INT) AS seq, event_id, running_value FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC) AS seq,
-        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |    sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |      ORDER BY tus ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_value
         |  FROM (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events))
         |WHERE seq <= 3 ORDER BY user_id, seq""".stripMargin,
     "w4_session_window" ->

@@ -105,7 +105,11 @@ object TemporalQueries {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
       val gapUs = 30L * 60L * 1000000L
-      val padUs = 1800000000L
+      // the pad IS the session gap (the oracle hard-codes 1800000000 for
+      // both); one binding makes the coupling structural — editing the
+      // gap without the pad would silently break the no-self-overlap
+      // property the decomposition relies on
+      val padUs = gapUs
       val sessions = ev(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("is_new",

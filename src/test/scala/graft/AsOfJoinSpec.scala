@@ -130,6 +130,23 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("reserved internal names are rejected: a left __filled would be silently replaced") {
+    // withColumn(\"__filled\", ...) REPLACES an existing column of that
+    // name — the user's data would be re-emitted as the fill struct
+    // with no error (unlike __side/__fill, which fail as duplicates)
+    val l = Seq((1L, 1L, "x")).toDF("user_id", "ts", "__filled")
+    val r = Seq((1L, 1L, "y")).toDF("user_id", "ts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("user_id"), "ts")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val r3 = Seq((1L, 1L, "y")).toDF("user_id", "ts", "__side")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(Seq((1L, 1L, "x")).toDF("user_id", "ts", "lv"),
+        r3, Seq("user_id"), "ts")
+    }
+  }
+
   test("matches a per-key scan of the timeline on random data") {
     val rnd = new scala.util.Random(7)
     val rs = (1 to 60).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))

@@ -137,4 +137,33 @@ class RangeJoinSpec extends SparkSpec {
     val iv = spark.range(500).select($"id", ($"id" * 11 % 800).as("lo"), ($"id" * 11 % 800 + 30).as("hi"))
     assertEqui(RangeJoin.intervalOverlap(iv, iv, Seq.empty, "lo", "hi", 25L))
   }
+
+  test("_r-suffix collisions are rejected up front, not as downstream ambiguity") {
+    // left already carrying x_r, or right carrying both x and x_r,
+    // would silently emit duplicate attribute names and fail with
+    // AMBIGUOUS_REFERENCE far from the call site
+    val l = Seq((1L, 2L, 3L)).toDF("k", "t", "t_r")
+    val r = Seq((1L, 2L)).toDF("k", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(l, r, Seq("k"), "t", 5L)
+    }
+    assert(e1.getMessage.contains("_r"), e1.getMessage)
+    val rDup = Seq((1L, 2L, 9L)).toDF("lo", "hi", "lo_r")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(Seq((1L, 2L)).toDF("lo", "hi"), rDup,
+        Seq.empty, "lo", "hi", 5L)
+    }
+    assert(e2.getMessage.contains("_r-suffixed"), e2.getMessage)
+  }
+
+  test("an unbounded-below sentinel fails with a usable message, not ARITHMETIC_OVERFLOW") {
+    // lo near Long.MinValue overflows x - pmod before the span guard
+    // could run; the floor-div guard names the problem instead
+    val points = Seq(5L).toDF("p")
+    val iv = Seq((Long.MinValue + 1, 100L)).toDF("lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", iv, "lo", "hi", 50L).collect()
+    }
+    assert(e.getMessage.contains("sentinel"), e.getMessage)
+  }
 }
