@@ -26,6 +26,14 @@ object Curation {
     * (p8/u5 use coalesce(cluster, doc_id)). */
   def hashSplit(df: DataFrame, keyCol: String, buckets: Int = 1000,
                 trainUpto: Int = 800, valUpto: Int = 900): DataFrame = {
+    // loud shape errors: buckets=0 would DIVIDE_BY_ZERO mid-query under
+    // ANSI, and thresholds outside [0, buckets] silently mislabel — a
+    // buckets=100 with the default 800/900 puts EVERY row in train,
+    // which in a decontamination pipeline is silent test contamination
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(0 <= trainUpto && trainUpto <= valUpto && valUpto <= buckets,
+      s"split thresholds must satisfy 0 <= trainUpto <= valUpto <= buckets, " +
+        s"got trainUpto=$trainUpto valUpto=$valUpto buckets=$buckets")
     val b = Hashing.hash64(col(keyCol).cast("string")) % buckets
     df.withColumn("bucket", b.cast("int"))
       .withColumn("split",
@@ -137,8 +145,23 @@ object Curation {
     val target = totals.agg(min(col("src_total")).as("target"))
     weighted
       .join(broadcast(totals.crossJoin(target)), col(srcCol) <=> col("__src"))
-      .filter(Hashing.hash64(col(idCol).cast("string")) % col("src_total")
-        < col("target"))
+      // a source with no positive mass cannot be balanced against: a
+      // zero total would DIVIDE_BY_ZERO under ANSI (or, pre-ANSI,
+      // set target=0 and silently EMPTY the whole corpus), and an
+      // all-NULL-weight source would both skip the budget min and
+      // NULL-drop its own rows. Loud, naming the source — callers
+      // filter empty sources (or fix weights) first. The guard lives
+      // inside the filter so pruning cannot remove it.
+      .filter(
+        when(col("src_total").isNull || col("src_total") <= 0,
+          raise_error(concat(
+            lit("balanceSources: source has no positive weight mass " +
+              "(src_total="), col("src_total").cast("string"),
+            lit(") for source="), coalesce(col(srcCol).cast("string"), lit("NULL")),
+            lit(" — filter empty sources or fix the weight column first")))
+            .cast("boolean"))
+          .otherwise(Hashing.hash64(col(idCol).cast("string")) % col("src_total")
+            < col("target")))
       .drop("__w", "__src")
   }
 
@@ -161,7 +184,13 @@ object Curation {
                      pct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pct >= 1 && pct <= 100, "pct in 1..100")
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+    // NULL values are not observations: percentile_disc ignores them in
+    // every engine, and counting them here would both shift the
+    // threshold below the true percentile AND diverge between engines
+    // (Spark's ASC window sorts NULLS FIRST, DuckDB's NULLS LAST). A
+    // group whose values are all NULL gets no threshold row.
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__v").asc)
@@ -181,12 +210,14 @@ object Curation {
     * broadcast table; the corpus is touched in one linear pass. */
   def lengthOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      pct: Int): DataFrame = {
-    // null-safe join: percentileDisc emits a threshold row for a NULL
-    // group, and the rows of that group must receive their flag — a
-    // plain using-join would drop them unexamined
+    // null-safe LEFT join: percentileDisc emits a threshold row for a
+    // NULL group (so its rows must receive their flag — a plain
+    // using-join would drop them unexamined) but emits NO row for a
+    // group whose values are all NULL — those rows survive with a NULL
+    // threshold and NULL flag instead of silently vanishing
     val th = percentileDisc(df, groupCol, valueCol, pct)
       .withColumnRenamed(groupCol, "__g")
-    df.join(broadcast(th), col(groupCol) <=> col("__g"))
+    df.join(broadcast(th), col(groupCol) <=> col("__g"), "left")
       .withColumn("is_outlier", col(valueCol).cast("long") > col("threshold"))
       .drop("__g")
   }

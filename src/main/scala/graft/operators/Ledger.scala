@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Ledger {
 
-  /** Inputs not yet processed: left-anti on file_path. */
-  def pending(inputs: DataFrame, ledger: DataFrame, pathCol: String = "file_path"): DataFrame =
-    inputs.join(ledger.select(col(pathCol)).distinct(), Seq(pathCol), "left_anti")
+  /** Inputs not yet processed: NULL-SAFE left-anti on file_path. A
+    * plain equality anti-join never matches a NULL path (NULL = NULL
+    * is NULL), so a malformed manifest row with a NULL path would be
+    * re-extracted on EVERY batch forever even after [[record]] stamped
+    * it — the one failure mode an idempotency ledger exists to
+    * prevent. */
+  def pending(inputs: DataFrame, ledger: DataFrame, pathCol: String = "file_path"): DataFrame = {
+    val done = ledger.select(col(pathCol).as("__ledger_path")).distinct()
+    inputs.join(done, col(pathCol) <=> col("__ledger_path"), "left_anti")
+  }
 
   /** New ledger rows for a batch of completed paths (recorded only after
     * the batch's output is durably written — the reference's intent, see

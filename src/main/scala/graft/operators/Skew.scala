@@ -13,12 +13,27 @@ object Skew {
   /** Two-stage salted aggregation: group by (key, salt) with partial
     * aggregates, then re-aggregate by key. The hot key's rows land in
     * `saltBuckets` reducers in stage 1; stage 2 only merges
-    * `saltBuckets` pre-aggregated rows per key. Works for any algebraic
-    * aggregate expressed as (partial, merge) column pairs. */
+    * `saltBuckets` pre-aggregated rows per key.
+    *
+    * Scope note: for sum/count specifically, Spark's map-side partial
+    * HashAggregate already bounds reducer fan-in to one row per
+    * (key, map partition) — this two-stage shape is the declared,
+    * oracle-gated form of the salting PATTERN, which pays off for
+    * aggregates without a partial merge (collect_list, exact distinct)
+    * or when the hot key defeats map-side combine (a hash-aggregate
+    * fallback to sort under memory pressure).
+    *
+    * The salt is a DETERMINISTIC hash of the full row — never
+    * monotonically_increasing_id or rand, whose values change when a
+    * map task is recomputed after a fetch failure: rows would migrate
+    * between (key, salt) buckets mid-shuffle and be double-counted or
+    * lost. Identical duplicate rows share a salt (they cannot be told
+    * apart deterministically); heterogeneous values spread fine. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val salted = df.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
     partial.groupBy(col(key))
@@ -27,15 +42,25 @@ object Skew {
 
   /** Salted join of a skewed fact side against a small dimension:
     * replicate each dimension row `saltBuckets` times (explode), salt
-    * the fact side's key, equi-join on (key, salt) — the hot key's rows
-    * spread over `saltBuckets` tasks instead of one. The dimension side
-    * grows by the salt factor, so keep it broadcast-small. */
+    * the fact side's key deterministically (the [[saltedSumCount]]
+    * retry-safety rule), equi-join on (key, salt) — the hot key's rows
+    * spread over `saltBuckets` reducers instead of one.
+    *
+    * No broadcast hint: salting only mitigates anything when the join
+    * SHUFFLES the fact side by key (sort-merge / shuffle-hash — a
+    * broadcast hash join never funnels a key through one reducer, so
+    * a forced broadcast would make the whole salt apparatus a no-op
+    * that merely multiplies the build side by `saltBuckets`). AQE
+    * still broadcasts when the replicated dimension is small enough —
+    * and then the salt costs only the explode — but the operator's
+    * reason to exist is the case where it is not. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    saltedFact.join(broadcast(replicatedDim), Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
 }

@@ -286,7 +286,7 @@ object CurationQueries {
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
         |  FROM documents),
         |hist AS (SELECT source, CAST(n_tokens AS BIGINT) AS v, count(*) AS n
-        |         FROM tok GROUP BY 1, 2),
+        |         FROM tok WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT source, v,
         |    sum(n) OVER (PARTITION BY source ORDER BY v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -294,8 +294,10 @@ object CurationQueries {
         |  FROM hist),
         |thr AS (SELECT source, min(v) AS threshold FROM cum
         |        WHERE cum * 100 >= 90 * tot GROUP BY 1)
-        |SELECT doc_id, source, n_tokens, threshold, n_tokens > threshold AS is_outlier
-        |FROM tok JOIN thr USING (source) ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, tok.source AS source, n_tokens, threshold,
+        |  n_tokens > threshold AS is_outlier
+        |FROM tok LEFT JOIN thr ON tok.source IS NOT DISTINCT FROM thr.source
+        |ORDER BY doc_id""".stripMargin,
     "c1_decontaminate" -> decontaminateOracle,
     // identical contract: the Bloom pre-filter is plan-shape only
     "c4_bloom_decontaminate" -> decontaminateOracle,

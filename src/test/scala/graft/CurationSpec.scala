@@ -186,6 +186,52 @@ class CurationSpec extends SparkSpec {
     assert(out == ((1 to 9).map(v => s"d$v" -> false) :+ ("dBig" -> true)).toMap)
   }
 
+  test("percentileDisc ignores NULL values; an all-NULL group survives lengthOutliers unflagged") {
+    // NULL values would otherwise shift the threshold below the true
+    // percentile AND diverge between engines (Spark windows sort NULLS
+    // FIRST ascending, DuckDB NULLS LAST)
+    val df = Seq(("a", "g", Some(10)), ("b", "g", None),
+      ("c", "g", Some(20)), ("d", "g", Some(30)),
+      ("e", "h", None)) // group h: all values NULL — no threshold
+      .toDF("doc_id", "grp", "v")
+    val th = Curation.percentileDisc(df, "grp", "v", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p50 over (10, 20, 30) ignoring the NULL: 20, not 10
+    assert(th == Map("g" -> 20L), s"NULL shifted the percentile: $th")
+    val out = Curation.lengthOutliers(df, "grp", "v", 50)
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        Option(r.getAs[java.lang.Boolean]("is_outlier"))).toMap
+    // all five rows survive; null-valued rows and the thresholdless
+    // group carry a NULL flag, never a silent drop
+    assert(out.keySet == Set("a", "b", "c", "d", "e"), s"rows vanished: $out")
+    assert(out("d").contains(true) && out("a").contains(false)
+      && out("b").isEmpty && out("e").isEmpty, s"flags: $out")
+  }
+
+  test("balanceSources fails loudly on a source with no positive mass") {
+    // a zero-total source would otherwise set target=0 and silently
+    // EMPTY the whole corpus (or DIVIDE_BY_ZERO under ANSI)
+    val df = Seq((1L, "big", 10L), (2L, "big", 10L), (3L, "empty", 0L))
+      .toDF("doc_id", "source", "w")
+    val e = intercept[Exception] {
+      Curation.balanceSources(df, "source", "doc_id", col("w")).collect()
+    }
+    assert(e.getMessage.contains("positive weight mass"), e.getMessage)
+  }
+
+  test("hashSplit rejects degenerate shape parameters loudly") {
+    val df = Seq((1L, "x")).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, "k", buckets = 0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      // buckets=100 with the default 800/900 thresholds would silently
+      // label EVERY row train — test contamination, not an error
+      Curation.hashSplit(df, "k", buckets = 100)
+    }
+    assert(e.getMessage.contains("thresholds"), e.getMessage)
+  }
+
   test("decontaminate flags exactly the docs sharing a k-gram") {
     val test = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(

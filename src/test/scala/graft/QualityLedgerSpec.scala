@@ -28,6 +28,16 @@ class QualityLedgerSpec extends SparkSpec {
     assert(recorded.columns.toSeq == Seq("file_path", "processed_at"))
   }
 
+  test("ledger: a recorded NULL path stays recorded (null-safe anti-join)") {
+    // a plain equality anti-join never matches NULL = NULL, so a
+    // malformed NULL-path manifest row would be re-extracted every
+    // batch forever — the failure an idempotency ledger exists to stop
+    val all = Seq(Some("f1"), None, Some("f3")).toDF("file_path")
+    val done = Seq(Option.empty[String], Some("f1")).toDF("file_path")
+    val pending = Ledger.pending(all, done).as[Option[String]].collect().toSet
+    assert(pending == Set(Some("f3")), s"NULL path leaked through: $pending")
+  }
+
   test("driver smoke: entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
