@@ -166,7 +166,11 @@ object Hashing {
 
     def fingerprint(text: String, maxLen: Int): String = {
       val s = s"substr($text, 1, $maxLen)"
-      val codes = s"list_transform(generate_series(1, greatest(length($s), 1)), i -> ord(substr($s, i, 1))::BIGINT)"
+      // greatest(ord, 0): on EMPTY text the padded single position
+      // yields ord('') = -1 in DuckDB where Spark's ascii('') is 0 —
+      // the guard rewrites exactly that sentinel (every real code
+      // point is >= 0), keeping the documented nonnegative domain
+      val codes = s"list_transform(generate_series(1, greatest(length($s), 1)), i -> greatest(ord(substr($s, i, 1)), 0)::BIGINT)"
       s"list_reduce(list_prepend(0::BIGINT, $codes), (acc, c) -> (acc * 31 + c) % 1000000007)"
     }
   }

@@ -63,9 +63,20 @@ object Names {
   def normalizeName(c: Column): Column = graft.plans.NameExprs.normalizeName(c)
 
   /** F-6 as the declarative regexp_replace chain — the twin the DuckDB
-    * oracle SQL mirrors literally; kept for property tests. */
+    * oracle SQL mirrors literally; kept for property tests.
+    *
+    * Non-ASCII is projected to spaces BEFORE `upper`: the engines
+    * disagree on full case mappings (Java/Spark upper('ß') = 'SS',
+    * which would survive the punctuation strip; DuckDB upper('ß') =
+    * 'ẞ', which would not — same class for ligatures), so any such
+    * character reaching `upper` silently forks the normalized keys.
+    * Every non-ASCII character is destined for the [^A-Za-z0-9 ]
+    * strip anyway; removing it first makes the whole chain operate on
+    * ASCII, where upper/levenshtein/length agree across engines
+    * byte-for-byte. */
   def normalizeNameDeclarative(c: Column): Column = {
-    var s = upper(trim(coalesce(c, lit(""))))
+    var s = upper(trim(regexp_replace(coalesce(c, lit("")),
+      """[^\x00-\x7F]+""", " ")))
     s = regexp_replace(s, """&AMP;""", "&")
     s = regexp_replace(s, """&QUOT;""", "\"")
     s = regexp_replace(s, """&LT;""", "<")
@@ -143,7 +154,8 @@ object Names {
     private def lit1(s: String) = "'" + s.replace("'", "''") + "'"
 
     def normalize(e: String): String = {
-      var s = s"upper(trim(coalesce($e, '')))"
+      // pre-upper ASCII projection — see normalizeNameDeclarative's doc
+      var s = s"upper(trim(regexp_replace(coalesce($e, ''), '[^\\x00-\\x7F]+', ' ', 'g')))"
       s = s"replace(replace(replace(replace($s, '&AMP;', '&'), '&QUOT;', '\"'), '&LT;', '<'), '&GT;', '>')"
       for (p <- noisePatterns) s = s"regexp_replace($s, ${lit1(p)}, '', 'g')"
       for ((p, r) <- abbrevs) s = s"regexp_replace($s, ${lit1(p)}, ${lit1(r)}, 'g')"
@@ -157,7 +169,10 @@ object Names {
     }
 
     def keywords(e: String): String =
-      s"array_to_string(${keywordsList(e)}, ' ')"
+      // coalesce: DuckDB array_to_string([]) is NULL where Spark
+      // array_join([]) is '' — an all-stopword/short-token name would
+      // otherwise NULL its key and silently drop from joins/group-bys
+      s"coalesce(array_to_string(${keywordsList(e)}, ' '), '')"
 
     def extractFromTitle(e: String): String = {
       val branches = titlePatterns.map { p =>

@@ -96,6 +96,13 @@ object Similarity {
   // ───── DuckDB oracle twins ─────
 
   object sql {
+    /** ASCII-domain precondition: DuckDB's levenshtein counts BYTES
+      * while Spark's counts code points, so this twin is exact only
+      * over single-byte text. Every pipeline call site satisfies it by
+      * construction — ratios run on [[Names.normalizeName]] output,
+      * which projects to [A-Za-z0-9 ] (non-ASCII is stripped before
+      * upper precisely so the downstream lev/length domain is ASCII).
+      * Do not point this at raw text. */
     def ratio(a: String, b: String): String =
       s"CAST(floor(100 * (1 - levenshtein($a, $b)::DOUBLE / greatest(length($a), length($b), 1)::DOUBLE)) AS INT)"
 
@@ -108,11 +115,16 @@ object Similarity {
     def tokenSet(e: String): String =
       s"list_sort(list_distinct(string_split($e, ' ')))"
 
-    /** Over precomputed tokenSet list columns `ta`/`tb`. */
+    /** Over precomputed tokenSet list columns `ta`/`tb`. The coalesces
+      * mirror Spark's array_join('') on empty lists — DuckDB's
+      * array_to_string([]) is NULL, which would null two of the three
+      * component ratios whenever the intersection (or a rest side) is
+      * empty and understate the score (e.g. two whitespace-only names:
+      * Spark 100, un-coalesced DuckDB 0). */
     def tokenSetRatioFromSets(ta: String, tb: String): String = {
-      val inter = s"array_to_string(list_sort(list_distinct(list_intersect($ta, $tb))), ' ')"
-      val restA = s"array_to_string(list_sort(list_filter($ta, x -> NOT list_contains($tb, x))), ' ')"
-      val restB = s"array_to_string(list_sort(list_filter($tb, x -> NOT list_contains($ta, x))), ' ')"
+      val inter = s"coalesce(array_to_string(list_sort(list_distinct(list_intersect($ta, $tb))), ' '), '')"
+      val restA = s"coalesce(array_to_string(list_sort(list_filter($ta, x -> NOT list_contains($tb, x))), ' '), '')"
+      val restB = s"coalesce(array_to_string(list_sort(list_filter($tb, x -> NOT list_contains($ta, x))), ' '), '')"
       val t1 = s"trim(concat_ws(' ', $inter, $restA))"
       val t2 = s"trim(concat_ws(' ', $inter, $restB))"
       // DuckDB greatest() promotes INTEGER args to BIGINT; Spark's stays

@@ -53,7 +53,6 @@ object TextStats {
     floor(lit(100) * (volume * 0.4 + stopRatio * 0.3 + meanLen * 0.3)).cast("int")
   }
 
-  /** Whitespace token count. */
   /** PII patterns for training-data scrubbing — RE2-safe (no
     * backreferences/lookaround) so Spark's Java regex and DuckDB's RE2
     * agree on every match. Order matters: emails first (a phone regex
@@ -71,6 +70,7 @@ object TextStats {
     size(regexp_extract_all(regexp_replace(text, emailRe, "<EMAIL>"),
       lit(phoneRe), lit(0))).as("n_phones"))
 
+  /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(text, "\\s+"))
 
   /** BPE-ish token count: runs of letters, runs of digits, single other

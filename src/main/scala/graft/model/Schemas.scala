@@ -81,11 +81,19 @@ object Tables {
     * logical plan, safe to share across queries; the underlying
     * testdata is static for the life of a session. */
   private val loadCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    loadCache.getOrElseUpdate((spark.hashCode, path), spark.read.parquet(path))
+    // keyed on the SESSION OBJECT (identity), never its hashCode: an
+    // identity hash can recur on a new session after the old one is
+    // collected, which would hand back a plan bound to a STOPPED
+    // session. Entries for stopped sessions are evicted opportunistically
+    // (the cache is sessions × tables small, so the sweep is trivial).
+    loadCache.keysIterator.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) loadCache.remove(k)
+    }
+    loadCache.getOrElseUpdate((spark, path), spark.read.parquet(path))
   }
 
   /** Epoch-MICROS (bigint) view of an event-time column, adaptive to the

@@ -48,6 +48,10 @@ private[graft] object NameRegex {
     Names.abbrevs.map { case (p, r) => Pattern.compile(p) -> r }.toArray
   val punct: Pattern = Pattern.compile("[^A-Za-z0-9 ]+")
   val ws: Pattern = Pattern.compile("\\s+")
+  // pre-upper ASCII projection — see normalizeNameDeclarative's doc:
+  // full case mappings (ß→SS vs ß→ẞ) differ between engines, so
+  // non-ASCII must never reach upper
+  val nonAscii: Pattern = Pattern.compile("[^\\x00-\\x7F]+")
 
   val stopwords: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -63,8 +67,10 @@ private[graft] object NameRegex {
 
   /** The full normalize_name chain on an already coalesced input. */
   def normalize(in: UTF8String): UTF8String = {
-    // upper(trim(coalesce(c, ''))) with Spark semantics
-    var s = in.trim().toUpperCase().toString
+    // upper(trim(regexp_replace(coalesce(c,''), nonAscii, ' '))) with
+    // Spark semantics (space-only trim, collation-default upper)
+    val ascii = nonAscii.matcher(in.toString).replaceAll(" ")
+    var s = UTF8String.fromString(ascii).trim().toUpperCase().toString
     var i = 0
     while (i < entityReplaces.length) {
       val (p, r) = entityReplaces(i); s = p.matcher(s).replaceAll(r); i += 1
