@@ -106,9 +106,13 @@ object BucketCap {
     * refinement touches ONLY the tail the cap would otherwise drop.
     *
     * The hot-bucket list is aggregated map-side (count per bucket
-    * key) and BROADCAST: at any scale the over-cap set is the skew
-    * tail — small by construction — so the banded stream itself never
-    * shuffles for the occupancy test. The flat cap stays as the last
+    * key) and joined back UNHINTED: on skew-tail distributions the
+    * over-cap set is tiny and AQE broadcasts it (the banded stream
+    * never shuffles for the occupancy test), but its size is really
+    * O(rows/cap) — an adversarial corpus where most buckets sit just
+    * above cap would blow a FORCED broadcast through Spark's 8 GB
+    * hard limit, where the unhinted plan degrades to a shuffle join
+    * gracefully. The flat cap stays as the last
     * resort AFTER refinement (apply [[capMembers]] over
     * `bucketCols :+ "__sub"`): a bucket that refuses to split —
     * identical-vector clone mass agreeing on every extension sign —
@@ -122,7 +126,7 @@ object BucketCap {
     val hot = banded.groupBy(bcols: _*).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") > cap)
       .select(bcols :+ lit(true).as("__hot"): _*)
-    banded.join(broadcast(hot), bucketCols, "left")
+    banded.join(hot, bucketCols, "left")
       .withColumn("__sub",
         when(col("__hot").isNotNull, col(xbCol)).otherwise(lit(-1L)))
       .drop("__hot", xbCol)

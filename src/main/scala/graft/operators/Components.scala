@@ -35,21 +35,25 @@ object Components {
       .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .persist()
-    // seed with the round-0 neighbor minimum (least(self, min(nbr))) —
-    // exactly what the first propagation round would produce from the
-    // identity labeling, for the price of the groupBy that builds the
-    // node set anyway: one fewer join round every call
-    var labels = sym.groupBy(col("u"))
-      .agg(min(col("v")).as("mv"))
-      .select(col("u").as("node"), least(col("u"), col("mv")).as("cluster"))
-      .localCheckpoint(true)
+    var labels: DataFrame = null
     var it = 0
     var converged = false
-    // try/finally: a job failure mid-round must not leave the
-    // corpus-sized cached edge set pinned for the session's life (the
-    // labels frames are eager localCheckpoints, so unpersisting sym
-    // after the loop never invalidates the returned frame)
-    try while (!converged && it < maxIter) {
+    // try/finally: a job failure in ANY eager step — the seed job
+    // below included, which is also what populates sym's cache — must
+    // not leave the corpus-sized cached edge set pinned for the
+    // session's life (the labels frames are eager localCheckpoints, so
+    // unpersisting sym after the loop never invalidates the returned
+    // frame)
+    try {
+      // seed with the round-0 neighbor minimum (least(self, min(nbr)))
+      // — exactly what the first propagation round would produce from
+      // the identity labeling, for the price of the groupBy that
+      // builds the node set anyway: one fewer join round every call
+      labels = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u").as("node"), least(col("u"), col("mv")).as("cluster"))
+        .localCheckpoint(true)
+      while (!converged && it < maxIter) {
       // min label among each node's neighbors this round
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(sym("u").as("node2"))
@@ -70,6 +74,7 @@ object Components {
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       it += 1
+      }
     } finally sym.unpersist()
     // a silent non-converged return would emit WRONG labels (a cluster
     // split in two) — fail loudly instead; callers with adversarially

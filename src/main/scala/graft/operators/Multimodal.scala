@@ -32,14 +32,26 @@ object Multimodal {
   /** Per-partition decode: real PPM/WAV parsing when the magic bytes
     * match, deterministic fallback otherwise. Null payloads decode as
     * empty — a real pipeline would route them to a quarantine column
-    * instead of throwing mid-partition. */
+    * instead of throwing mid-partition. A NULL id fails with a NAMED
+    * error ([[requireId]]) instead of the tuple encoder's opaque
+    * 'Null value appeared in non-nullable field' task death. */
   def decode(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    df.select(requireId(df, idCol), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
   }
+
+  /** The id column cast to long, with NULLs converted from an encoder
+    * crash into a named error: MediaMeta.id is a primitive, so an
+    * id-less payload row cannot be represented — quarantine those
+    * upstream. */
+  private def requireId(df: DataFrame, idCol: String) =
+    when(col(idCol).isNull, raise_error(lit(
+        s"multimodal: NULL $idCol — every payload row needs a non-null " +
+          "id; quarantine id-less rows upstream")).cast("long"))
+      .otherwise(col(idCol).cast("long"))
 
   private[graft] def decodeOne(id: Long, rawBytes: Array[Byte]): MediaMeta = {
     val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes
@@ -92,9 +104,14 @@ object Multimodal {
       val hist = new Array[Long](13)
       var p = 0
       while (p < n) {
-        val r = b(off + 3 * p) & 0xff
-        val g = b(off + 3 * p + 1) & 0xff
-        val bb = b(off + 3 * p + 2) & 0xff
+        // clamp to the declared maxval: a corrupt raster whose bytes
+        // exceed it would otherwise push the "normalized" features to
+        // ±(255/maxv), hundreds of times outside the contracted
+        // [-1, 1] (a maxval=1 file with 0xFF bytes → ~509) — and the
+        // histogram index below relies on lum <= maxv
+        val r = math.min(b(off + 3 * p) & 0xff, maxv)
+        val g = math.min(b(off + 3 * p + 1) & 0xff, maxv)
+        val bb = math.min(b(off + 3 * p + 2) & 0xff, maxv)
         sums(0) += r; sums(1) += g; sums(2) += bb
         // integer luminance (Rec.601 weights scaled ×1000)
         val lum = (299 * r + 587 * g + 114 * bb) / 1000
@@ -171,17 +188,23 @@ object Multimodal {
       }
       val rms = math.sqrt(sq / frames)
       val windows = new Array[Double](14)
+      val winCnt = new Array[Int](14)
       f = 0
       while (f < frames) {
         val w = math.min(13, f.toLong * 14 / frames).toInt
         windows(w) += mono(f) * mono(f)
+        winCnt(w) += 1
         f += 1
       }
-      val perWin = math.max(1, frames / 14)
       val feature = Array.tabulate(16) { k =>
         if (k == 0) (rms * 2 - 1).toFloat
         else if (k == 1) (crossings.toDouble / math.max(1, frames - 1) * 2 - 1).toFloat
-        else (math.sqrt(windows(k - 2) / perWin) * 2 - 1).toFloat
+        // normalize by the window's ACTUAL sample count: the f*14/frames
+        // assignment gives windows floor(frames/14) OR one more sample,
+        // and a flat floor(frames/14) normalizer lets the larger
+        // windows' energy exceed the contracted [-1, 1] (15 full-scale
+        // frames: a 2-sample window over perWin=1 → feature ~1.83)
+        else (math.sqrt(windows(k - 2) / math.max(1, winCnt(k - 2))) * 2 - 1).toFloat
       }
       MediaMeta(id, "wav", frames, ch, b.length.toLong, feature)
     }
@@ -219,9 +242,21 @@ object Multimodal {
     require(frameSize >= 1 && stride >= 1 && maxFrames >= 1,
       s"need frameSize >= 1, stride >= 1, maxFrames >= 1 " +
         s"(got $frameSize, $stride, $maxFrames)")
-    df.withColumn("frame_idx", explode(sequence(lit(0), lit(maxFrames - 1))))
+    // the sequence is bounded by the LAST REACHABLE frame, not blindly
+    // by maxFrames: (a) a large maxFrames × stride would overflow the
+    // Int multiply in the offset (ANSI kills the job; pre-ANSI the
+    // negative substring start silently reads garbage tail slices),
+    // so the offset math runs in LONG on only-reachable indexes; and
+    // (b) exploding maxFrames rows per short payload just to filter
+    // them is a maxFrames× row amplification through the narrow stage.
+    // A null payload yields a null bound and explodes to nothing —
+    // the same zero frames the filter produced before.
+    val lastReachable = greatest(lit(0L),
+      ((length(col(binCol)).cast("long") - 1L) / lit(stride.toLong)).cast("long"))
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0L), least(lit(maxFrames - 1L), lastReachable))))
       .withColumn("frame",
-        expr(s"substring($binCol, frame_idx * $stride + 1, $frameSize)"))
+        expr(s"substring($binCol, frame_idx * ${stride}L + 1, $frameSize)"))
       .filter(length(col("frame")) > 0)
   }
 
@@ -235,7 +270,7 @@ object Multimodal {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    df.select(requireId(df, idCol), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, rawBytes) =>
         val bytes = if (rawBytes == null) Array.emptyByteArray else rawBytes

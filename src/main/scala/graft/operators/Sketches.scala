@@ -43,6 +43,20 @@ object Sketches {
 
   private val TWO_POW_60 = 1152921504606846976.0 // exact in double
 
+  /** The KMV estimator over an aggregated (hk, c) sketch summary — ONE
+    * definition per engine (the hash60 "ONE recipe" rule; the SQL twin
+    * is [[sqlKmvEst]]): fewer than k distinct hashes means the sketch
+    * saw every key, so the count IS the answer; otherwise
+    * (k-1) * 2^60 is an exact double (k small) and the single division
+    * is IEEE-754-identical across engines. */
+  private def kmvEst(k: Int): Column =
+    when(col("c") < k, col("c").cast("double"))
+      .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk"))
+
+  /** DuckDB twin of [[kmvEst]] over (`cnt`, `hk`) SQL expressions. */
+  private def sqlKmvEst(k: Int, cnt: String, hk: String): String =
+    s"CASE WHEN $cnt < $k THEN CAST($cnt AS DOUBLE) ELSE ${(k - 1).toDouble} * $TWO_POW_60 / $hk END"
+
   /** One-row DataFrame `(est: double)` — KMV distinct-count estimate of
     * `keyCol` with sketch size k. Duplicates collapse before the top-k
     * (same key → same hash), so the multiset input is handled exactly
@@ -60,13 +74,8 @@ object Sketches {
       .orderBy(col("h"))
       .limit(k)
       .agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
-      // fewer than k distinct hashes survive the limit → the sketch saw
-      // every key, so the count IS the answer (also keeps small-SF tests
-      // exact). Otherwise: (k-1) * 2^60 is an exact double (k small) and
-      // the single division is IEEE-754-identical across engines — no
-      // rounding needed for bitwise parity.
-      .select(when(col("c") < k, col("c").cast("double"))
-        .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as("est"))
+      // estimator semantics: see kmvEst
+      .select(kmvEst(k).as("est"))
   }
 
   /** Per-GROUP KMV distinct-count estimates: one `(group, est)` row per
@@ -90,16 +99,13 @@ object Sketches {
       .filter(col("rk") <= k)
       .groupBy(col(groupCol))
       .agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
-      .select(col(groupCol),
-        when(col("c") < k, col("c").cast("double"))
-          .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as("est"))
+      .select(col(groupCol), kmvEst(k).as("est"))
   }
 
   /** DuckDB twin of [[kmvGroupedDistinctEstimate]]. */
   def kmvGroupedOracleSql(table: String, groupCol: String,
                           keyCol: String, k: Int): String =
-    s"""SELECT $groupCol, CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
-       |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / hk END AS est FROM (
+    s"""SELECT $groupCol, ${sqlKmvEst(k, "cnt", "hk")} AS est FROM (
        |  SELECT $groupCol, max(h) AS hk, count(*) AS cnt FROM (
        |    SELECT $groupCol, h, row_number() OVER (PARTITION BY $groupCol ORDER BY h ASC) AS rk FROM (
        |      SELECT DISTINCT $groupCol, ${Hashing.sql.hash64(s"CAST($keyCol AS VARCHAR)")} AS h
@@ -134,8 +140,7 @@ object Sketches {
         .orderBy(col("h")).limit(k)
     def est(sk: DataFrame, name: String): DataFrame =
       sk.agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
-        .select(when(col("c") < k, col("c").cast("double"))
-          .otherwise(lit((k - 1).toDouble * TWO_POW_60) / col("hk")).as(name))
+        .select(kmvEst(k).as(name))
     // Materialize.once, not persist: each sketch feeds multiple
     // subtrees (estimate + semi-joins + union), but a df.persist entry
     // on these call-local frames would pin the CacheManager for the
@@ -162,8 +167,7 @@ object Sketches {
     def h(src: String) =
       s"SELECT DISTINCT ${Hashing.sql.hash64("CAST(key AS VARCHAR)")} AS h FROM ($src) WHERE key IS NOT NULL"
     def est(sk: String, name: String) =
-      s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
-         |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS $name FROM $sk""".stripMargin
+      s"SELECT ${sqlKmvEst(k, "count(*)", "max(h)")} AS $name FROM $sk"
     s"""WITH sa AS (SELECT h FROM (${h(aSql)}) ORDER BY h LIMIT $k),
        |sb AS (SELECT h FROM (${h(bSql)}) ORDER BY h LIMIT $k),
        |su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
@@ -180,8 +184,7 @@ object Sketches {
 
   /** DuckDB twin of [[kmvDistinctEstimate]], for oracle SQL assembly. */
   def kmvOracleSql(table: String, keyCol: String, k: Int): String =
-    s"""SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
-       |  ELSE ${(k - 1).toDouble} * $TWO_POW_60 / max(h) END AS est FROM (
+    s"""SELECT ${sqlKmvEst(k, "count(*)", "max(h)")} AS est FROM (
        |  SELECT h FROM (
        |    SELECT DISTINCT ${Hashing.sql.hash64(s"CAST($keyCol AS VARCHAR)")} AS h
        |    FROM $table WHERE $keyCol IS NOT NULL)

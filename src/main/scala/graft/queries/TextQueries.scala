@@ -374,13 +374,15 @@ object TextQueries {
         |    sum(s * s) AS ssq,
         |    sum(CASE WHEN f > 0 AND (s >= 0) <> (ps >= 0) THEN 1 ELSE 0 END) AS nc,
         |    sum(CASE WHEN f * 14 // 32 = 0 THEN s * s ELSE 0 END) AS sw0,
-        |    sum(CASE WHEN f * 14 // 32 = 13 THEN s * s ELSE 0 END) AS sw13
+        |    sum(CASE WHEN f * 14 // 32 = 13 THEN s * s ELSE 0 END) AS sw13,
+        |    count(CASE WHEN f * 14 // 32 = 0 THEN 1 END) AS cw0,
+        |    count(CASE WHEN f * 14 // 32 = 13 THEN 1 END) AS cw13
         |  FROM lg GROUP BY 1)
         |SELECT doc_id, 'wav' AS format, 32 AS width, 1 AS height, 108 AS n_bytes,
         |  CAST(sqrt(ssq::DOUBLE / 34359738368) * 2 - 1 AS REAL) AS f_rms,
         |  CAST(nc::DOUBLE / 31 * 2 - 1 AS REAL) AS f_zcr,
-        |  CAST(sqrt(sw0::DOUBLE / 2147483648) * 2 - 1 AS REAL) AS f_e1,
-        |  CAST(sqrt(sw13::DOUBLE / 2147483648) * 2 - 1 AS REAL) AS f_e14
+        |  CAST(sqrt(sw0::DOUBLE / 1073741824 / cw0) * 2 - 1 AS REAL) AS f_e1,
+        |  CAST(sqrt(sw13::DOUBLE / 1073741824 / cw13) * 2 - 1 AS REAL) AS f_e14
         |FROM agg ORDER BY doc_id""".stripMargin,
     "m4_ppm_resize" ->
       """WITH px AS (
