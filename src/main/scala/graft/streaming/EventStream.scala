@@ -14,15 +14,24 @@ object EventStream {
 
   /** Watermarked tumbling-window aggregation over an event stream with
     * (ts: timestamp, event_type: string, value: double). Late events
-    * beyond the watermark are dropped by the engine, bounding state. */
+    * beyond the watermark are dropped by the engine, bounding state.
+    * The value sum goes through integer 1e-2 units (the batch twins'
+    * w1/w8 cents convention): a raw double sum is addition-order-
+    * dependent, and micro-batch arrival order is exactly the
+    * nondeterminism that would make two runs of the same stream
+    * disagree in the low bits. */
   def windowedAgg(events: DataFrame, watermark: String, window_ : String): DataFrame =
     events
       .withWatermark("ts", watermark)
+      .withColumn("v_e2", round(col("value") * 100).cast("long"))
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), (sum(col("v_e2")) / 100.0).as("sum_value"))
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class SessionState(n: Long, total: Double)
+  /** `totalE2`: integer 1e-2 value units — groupByKey hands the state
+    * function rows in shuffle order, so a running double total would
+    * drift with partitioning (the windowedAgg reasoning, in state). */
+  case class SessionState(n: Long, totalE2: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 
   /** Per-user sessionization via mapGroupsWithState: accumulates counts
@@ -40,17 +49,17 @@ object EventStream {
       .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (timeoutMs > 0 && state.hasTimedOut) {
-            val s = state.getOption.getOrElse(SessionState(0, 0.0))
+            val s = state.getOption.getOrElse(SessionState(0, 0L))
             state.remove()
-            SessionOut(user, s.n, s.total, closed = true)
+            SessionOut(user, s.n, s.totalE2 / 100.0, closed = true)
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0, 0.0))
+            val prev = state.getOption.getOrElse(SessionState(0, 0L))
             var n = prev.n
-            var total = prev.total
-            rows.foreach { e => n += 1; total += e.value }
-            state.update(SessionState(n, total))
+            var totalE2 = prev.totalE2
+            rows.foreach { e => n += 1; totalE2 += math.round(e.value * 100) }
+            state.update(SessionState(n, totalE2))
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-            SessionOut(user, n, total, closed = false)
+            SessionOut(user, n, totalE2 / 100.0, closed = false)
           }
       }
   }
@@ -96,6 +105,14 @@ object EventStream {
     val clash = right.columns.filterNot(_ == key).map("r_" + _).toSet
       .intersect(left.columns.toSet)
     require(clash.isEmpty, s"left columns collide with prefixed right columns: $clash")
+    // mid-fold collision (the RangeJoin._r rule): renaming c -> r_c
+    // while the right side already carries r_c silently duplicates the
+    // name, and the later rename of the original r_c hits both copies
+    val midair = right.columns.filterNot(_ == key)
+      .filter(c => right.columns.contains("r_" + c)).toSet
+    require(midair.isEmpty,
+      s"right side carries both $midair and their r_-prefixed names — " +
+        "rename one of each pair")
     val l = left.withWatermark(tsCol, watermark)
     val r0 = right.withWatermark(tsCol, watermark)
     val r = r0.columns.foldLeft(r0) { (df, c) =>

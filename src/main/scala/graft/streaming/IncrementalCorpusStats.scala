@@ -78,6 +78,18 @@ object IncrementalCorpusStats {
       return spark.emptyDataFrame
         .withColumn("token", lit("")).withColumn("tf", lit(0L))
         .withColumn("df", lit(0L)).limit(0)
+    // a folded base without its horizon marker is an INTERRUPTED
+    // compactTo (the marker is written last, atomically): its carried
+    // partitions may be missing and nothing records the fold horizon —
+    // reading it silently would both undercount current stats and hand
+    // snapshot reads folded totals as if they were one batch. Refuse.
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "batch_id=-1")) &&
+        compactionHorizon(fs, storeDir).isEmpty)
+      throw new IllegalStateException(
+        s"$storeDir holds a folded base (batch_id=-1) but no " +
+          "_compacted_upto marker — an interrupted compactTo left it " +
+          "half-published; delete the directory and re-run compactTo " +
+          "from the source store")
     uptoBatch.foreach { n =>
       compactionHorizon(fs, storeDir).foreach { horizon =>
         require(n >= horizon,
@@ -131,12 +143,19 @@ object IncrementalCorpusStats {
   def compactTo(spark: SparkSession, storeDir: String, outDir: String,
                 uptoBatch: Long): Unit = {
     require(uptoBatch >= 0, "uptoBatch must be a real batch id")
-    require(new org.apache.hadoop.fs.Path(outDir).toUri !=
-      new org.apache.hadoop.fs.Path(storeDir).toUri,
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(conf)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(conf)
+    // compare QUALIFIED paths (the JdbcUpsertSink lock-key rule): raw
+    // URIs treat 'store' vs '/cwd/store' vs 'file:/cwd/store' as
+    // different, letting an aliased spelling of the SAME directory slip
+    // past into the self-destructive in-place compaction this guard
+    // exists to prevent
+    require(outFs.makeQualified(outPath) != fs.makeQualified(path),
       "compactTo must target a fresh directory — in-place compaction " +
         "would double-count the partials left beside the base")
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids =
       if (!fs.exists(path)) Array.empty[Long]
       else fs.listStatus(path).map(_.getPath.getName)
@@ -162,9 +181,20 @@ object IncrementalCorpusStats {
       spark.read.parquet(s"$storeDir/batch_id=$id")
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
     }
-    val out = fs.create(markerPath(outDir), true)
+    // marker LAST, atomically, through the OUTPUT directory's
+    // filesystem (the source fs handle would throw 'Wrong FS' on a
+    // cross-store compaction — after the data was already written):
+    // marker present => base and carries complete. The inverse crash
+    // window (base written, marker missing) is detected loudly by
+    // resolveStats, never read silently.
+    val tmp = new org.apache.hadoop.fs.Path(outPath,
+      s"._tmp_compacted_upto-${System.nanoTime()}")
+    val out = outFs.create(tmp, true)
     try out.write(horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(outFs.rename(tmp, markerPath(outDir)),
+      s"compaction marker publish failed at $outDir — single-maintainer " +
+        "contract violated or marker already present")
   }
 
   /** Corpus heavy hitters straight from the store: tokens whose total
@@ -173,6 +203,10 @@ object IncrementalCorpusStats {
     * sketch/recount round trip is needed). */
   def heavyHittersFromStore(spark: SparkSession, storeDir: String,
                             threshold: Int): DataFrame = {
+    // same contract as the batch twin (CorpusStats.heavyHitters):
+    // threshold <= 1 makes tf * threshold > total false for every
+    // token — a silent empty result, not a meaningful query
+    require(threshold > 1, s"threshold must be > 1, got $threshold")
     val stats = resolveStats(spark, storeDir)
     // the corpus token total is the sum of PARTIAL tf rows — a single
     // map-side aggregate over the raw partials, so the vocabulary-wide

@@ -129,9 +129,15 @@ object IncrementalDedup {
         .map(_.stripPrefix("batch_id=").toLong).toSeq)
       .filter(_ < ltBatch)
     if (parts.isEmpty) return empty
-    val all = (if (managed.isDefined)
-        graft.sources.StoreManifest.readLive(spark, labelsDir).get
-      else spark.read.parquet(labelsDir))  // batch_id partition column
+    // ONE manifest resolve per call: readDirs over the names the
+    // resolve above already returned — readLive would re-pay the
+    // _manifest listStatus+open on this hot per-micro-batch path
+    // (the readResolvedManaged rule)
+    val all = (managed match {
+        case Some((_, dirs)) =>
+          graft.sources.StoreManifest.readDirs(spark, labelsDir, dirs)
+        case None => spark.read.parquet(labelsDir) // batch_id partition column
+      })
       .filter(col("batch_id") < ltBatch)
     graft.operators.Components.resolveLabels(
       all.filter(col("batch_id") === parts.min),
@@ -224,16 +230,6 @@ object IncrementalDedup {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
-
-  /** The signature store as of just before `ltBatch` — replay safety:
-    * an at-least-once redelivery must not see its own prior attempt on
-    * the existing side (its docs would appear twice in verification,
-    * doubling every pair row of the replayed output). `schema` shapes
-    * the empty pre-first-batch frame and the column projection. */
-  private[streaming] def readStoreBefore(spark: SparkSession, dir: String,
-                                         schema: StructType,
-                                         ltBatch: Long): DataFrame =
-    StoreCompaction.readResolved(spark, dir, schema, ltBatch)
 
   /** Signature-store compaction: fold the `batch_id=` pile through
     * `uptoBatch` into a fresh negative-id snapshot and drop the folded

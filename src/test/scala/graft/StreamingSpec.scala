@@ -855,8 +855,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming dedup replay: redelivered batch re-pairs identically, labels and sigs intact") {
     // the sig store read excludes the batch's own prior attempt
-    // (readStoreBefore) — without it the replay would verify every doc
-    // against its own first-attempt copy and double each pair row
+    // (StoreCompaction.readResolvedManaged's ltBatch filter) — without
+    // it the replay would verify every doc against its own
+    // first-attempt copy and double each pair row
     val root = Files.createTempDirectory("graft-dedupreplay")
     val in = root.resolve("in"); Files.createDirectories(in)
     val sigs = root.resolve("sigs").toString
