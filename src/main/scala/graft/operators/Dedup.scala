@@ -20,9 +20,15 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  /** Exact dedup: group by content hash, keep lowest id as keeper. */
+  /** Exact dedup: group by content hash, keep lowest id as keeper.
+    * NULL text coalesces to "" (the family-wide convention —
+    * spanDedup/dedupSubstrings treat them as the same empty content):
+    * hashing raw NULL would give those docs a NULL content_hash —
+    * a separate duplicate class with its own keeper, and a key that
+    * silently drops from any downstream equality join. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+    docs.groupBy(
+        md5(coalesce(col(textCol), lit("")).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Per-document MinHash signature + band keys.
@@ -569,11 +575,18 @@ object Dedup {
     * hash per distinct word-`k`-gram ever seen — no text, no positions,
     * no ids (the [[spanStore]] reasoning, at gram granularity). Write
     * it bucketed on `gh` so each ingest batch probes co-located buckets
-    * instead of shuffling the store; append
-    * `substringGramStore(scrubbed batch)` after each ingest. */
+    * instead of shuffling the store; after each ingest, append the
+    * batch's fresh RAW grams ([[freshSubstringGrams]] projected to
+    * `gh`, exactly what the streaming driver does) — NEVER grams of
+    * the scrubbed text: scrubbing deletes tokens and re-joins
+    * survivors, so cleaned-text grams include fabricated seam-spanning
+    * k-grams (which would silently delete innocent future text) and
+    * omit raw grams whose first occurrence lost a constituent token
+    * (whose next occurrence would then wrongly survive). */
   def substringGramStore(df: DataFrame, textCol: String,
                          k: Int): DataFrame =
-    df.select(explode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+    df.select(explode(graft.plans.ShingleHashes64.column60(
+        coalesce(col(textCol), lit("")), k))
         .as("gh"))
       .distinct()
 
@@ -609,8 +622,14 @@ object Dedup {
     * scrub and the store delta without pinning a cache entry. */
   def substringGrams(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame =
+    // coalesce BEFORE gram computation (dedupSubstrings' convention):
+    // raw NULL text emits no gram rows, so a NULL-text corpus doc's
+    // empty-text gram would never enter the store and an empty-text
+    // batch doc would wrongly survive — breaking the documented
+    // equality with the full recompute, which coalesces first
     Materialize.once(df.select(col(idCol),
-      posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
+      posexplode(graft.plans.ShingleHashes64.column60(
+        coalesce(col(textCol), lit("")), k))
         .as(Seq("pos", "gh"))))
 
   /** The batch gram stream restricted to hashes the store lacks — the
@@ -737,9 +756,13 @@ object Dedup {
     val dfOf = if (uniqueFps) count(lit(1)) else countDistinct(col(idCol))
     val keep = allFps.groupBy(col("fp")).agg(dfOf.as("__df"))
       .filter(col("__df") <= fpDfCap).select(col("fp"))
-    val cappedNew = newFps.join(keep, Seq("fp"))
+    // the new side joins the pair join UNFILTERED: cappedAll is already
+    // keep-restricted, so the fp equi-join enforces the cap on both
+    // sides — a separate newFps-vs-keep join would re-pay a join
+    // against the near-vocabulary-sized keep set per micro-batch for a
+    // byte-identical result
     val cappedAll = allFps.join(keep, Seq("fp"))
-    cappedNew.select(col(idCol).as("nid"), col("fp"))
+    newFps.select(col(idCol).as("nid"), col("fp"))
       .join(cappedAll.select(col(idCol).as("oid"), col("fp")), Seq("fp"))
       .filter(col("nid") =!= col("oid"))
       .select(least(col("nid"), col("oid")).as("id_a"),

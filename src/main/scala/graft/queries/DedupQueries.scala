@@ -696,7 +696,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
-      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+      s"""SELECT md5(coalesce(text, '')) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM ($copiesSrc) GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "d2_minhash_signature" ->
       s"""WITH ${sigCte("SELECT doc_id, text FROM documents")}

@@ -555,6 +555,39 @@ class DedupSpec extends SparkSpec {
       s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
   }
 
+  test("incremental substring scrub equals the full recompute on NULL and empty text") {
+    // dedupSubstrings coalesces NULL to "" before gram computation; the
+    // incremental gram path must do the same or a NULL-text corpus
+    // doc's empty-text gram never enters the store and an empty-text
+    // batch doc wrongly survives
+    val k = 2
+    val corpusDf = Seq((1L, Option.empty[String]), (2L, Some("a b c")))
+      .toDF("doc_id", "text")
+    val batchDf = Seq((101L, Some("")), (102L, Some("a b c")),
+      (103L, Option.empty[String])).toDF("doc_id", "text")
+    val store = Dedup.substringGramStore(corpusDf, "text", k)
+    val got = Dedup.incrementalSubstringScrub(batchDf, store, "doc_id", "text", k)
+      .as[(Long, Int, Int, String)].collect().toSet
+    val want = Dedup.dedupSubstrings(
+        corpusDf.unionByName(batchDf), "doc_id", "text", k)
+      .filter($"doc_id" >= 101L)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == want,
+      s"${(got diff want).take(3)} extra; ${(want diff got).take(3)} missing")
+  }
+
+  test("exactDedup: NULL and empty text are one duplicate class with one keeper") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("")), (4L, Some("x"))).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2, s"expected 2 classes, got ${out.toSeq}")
+    val empties = out.filter(_._2 == 1L)
+    assert(empties.length == 1 && empties.head._3 == 3L,
+      s"null/empty must merge under keeper 1 with 3 copies: ${out.toSeq}")
+    assert(out.forall(_._1 != null), "content_hash must never be NULL")
+  }
+
   test("incremental winnowing overlap equals the full recompute on random splits") {
     val (k, w) = (2, 3)
     val rnd = new scala.util.Random(977)
