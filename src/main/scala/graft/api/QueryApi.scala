@@ -19,10 +19,16 @@ object QueryApi {
   /** GET /companies/search?name= — case-insensitive substring over
     * entity and matched company names (F-10; the HTTP param is `name`,
     * matching the reference route and QueryHttpServer). */
-  def search(unified: DataFrame, q: String): DataFrame =
+  def search(unified: DataFrame, q: String): DataFrame = {
+    // Locale.ROOT: the default-locale toLowerCase diverges from the
+    // column-side lower() under Turkish-family locales (III -> 'ııı'
+    // driver-side vs 'iii' in the engine — the search silently returns
+    // nothing for data that is present)
+    val ql = q.toLowerCase(java.util.Locale.ROOT)
     unified.filter(
-      lower(col("entity_name")).contains(q.toLowerCase) ||
-        lower(col("company_name")).contains(q.toLowerCase))
+      lower(col("entity_name")).contains(ql) ||
+        lower(col("company_name")).contains(ql))
+  }
 
   /** GET /companies/by_state/{state} — equality filter (F-11). */
   def byState(unified: DataFrame, state: String): DataFrame =

@@ -33,16 +33,33 @@ class QueryHttpServer(unified: DataFrame, port: Int = 0, maxRows: Int = 100) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/companies", new Handler)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  private val pool = Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Starts the server; returns the bound port (ephemeral when 0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+
+  /** HttpServer.stop does NOT stop a user-supplied executor, and the
+    * pool threads are non-daemon — without the shutdown every
+    * create/stop cycle leaks four threads and an embedding JVM never
+    * exits. */
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private val slim = Seq("abn", "entity_name", "company_name")
 
+  /** Row → JSON with EXPLICIT nulls (to_json ignoreNullFields=false):
+    * Dataset.toJSON silently OMITS null fields, so the point lookup's
+    * "full record" would drop website_url/industry keys on exactly the
+    * rows the quality report counts as null — the reference API emits
+    * "website_url": null, and clients distinguishing null from absent
+    * break otherwise. */
   private def jsonArray(df: DataFrame): String =
-    df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+    df.limit(maxRows)
+      .select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(df.columns.map(
+          org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+        java.util.Collections.singletonMap("ignoreNullFields", "false")))
+      .collect().map(_.getString(0)).mkString("[", ",", "]")
 
   /** Pure routing core (unit-testable without sockets). */
   private[api] def route(path: String, q: Map[String, String]): (Int, String) =

@@ -169,9 +169,14 @@ object Hashing {
       // greatest(ord, 0): on EMPTY text the padded single position
       // yields ord('') = -1 in DuckDB where Spark's ascii('') is 0 —
       // the guard rewrites exactly that sentinel (every real code
-      // point is >= 0), keeping the documented nonnegative domain
+      // point is >= 0), keeping the documented nonnegative domain.
+      // NULL text must stay NULL (the Spark twin null-propagates) and
+      // must NOT fall into the same guard: DuckDB's greatest IGNORES
+      // null arguments, so without the outer CASE fingerprint(NULL)
+      // would collide with fingerprint('')
       val codes = s"list_transform(generate_series(1, greatest(length($s), 1)), i -> greatest(ord(substr($s, i, 1)), 0)::BIGINT)"
-      s"list_reduce(list_prepend(0::BIGINT, $codes), (acc, c) -> (acc * 31 + c) % 1000000007)"
+      val fp = s"list_reduce(list_prepend(0::BIGINT, $codes), (acc, c) -> (acc * 31 + c) % 1000000007)"
+      s"(CASE WHEN $text IS NULL THEN NULL ELSE $fp END)"
     }
   }
 }

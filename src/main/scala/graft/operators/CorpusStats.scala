@@ -112,10 +112,20 @@ object CorpusStats {
     // 31-bit bucket collision (certain at corpus vocabulary scale)
     // would scrub non-boilerplate text — same reasoning as
     // containmentPairs' set-identity hashes
+    // minDf = 1 would mark EVERY distinct gram shared: the broadcast
+    // becomes a corpus-vocabulary driver collect and the scrub deletes
+    // every token of every document, silently (the heavyHitters
+    // threshold rule)
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // NULL text coalesces to "" before gram computation AND the scrub
+    // tail (the dedup-family convention, and what the t9 oracle
+    // computes) — raw NULL would emit a (id, NULL, NULL, NULL) row
+    // that silently breaks downstream sums
+    val safe = df.withColumn(textCol, coalesce(col(textCol), lit("")))
     // Materialize.once, not df.persist — call-local frame, two consumer
     // subtrees; persist would leak a CacheManager entry per call, and
     // cluster blocks must stay recomputable + evictable
-    val grams = Materialize.once(df
+    val grams = Materialize.once(safe
       .select(col(idCol),
         posexplode(graft.plans.ShingleHashes64.column60(col(textCol), k))
           .as(Seq("pos", "gh"))))
@@ -123,7 +133,7 @@ object CorpusStats {
     val covered = grams.join(broadcast(shared), "gh")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-    scrubCovered(df, idCol, textCol, covered)
+    scrubCovered(safe, idCol, textCol, covered)
   }
 
   /** Shared scrub tail: delete every token position listed in `covered`
@@ -218,6 +228,7 @@ object CorpusStats {
 
   def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
                        k: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf") // see removeSharedSpans
     // 60-bit hashes for the same collision reasoning as
     // removeSharedSpans (a 31-bit collision would inflate the ratio)
     // Materialize.once, not df.persist — call-local frame, three

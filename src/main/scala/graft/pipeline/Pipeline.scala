@@ -82,7 +82,13 @@ object Pipeline {
     Dedup.keepFirst(
         full.withColumn("__first_ord", struct(
           (-col("merged_confidence")).as("neg_conf"), col("entity_name"),
-          col("company_name"), col("website_url"), col("industry"))),
+          col("company_name"), col("website_url"), col("industry"),
+          // the FULL payload, literally: omitting any column makes the
+          // survivor arbitrary whenever rows tie on the listed ones
+          // (two staging copies of one abn differing only in address
+          // would flip between runs)
+          col("entity_type"), col("entity_status"), col("address"),
+          col("postcode"), col("state"), col("start_date"))),
         "abn", "__first_ord")
       .drop("__first_ord")
   }

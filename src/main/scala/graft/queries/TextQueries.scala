@@ -251,7 +251,9 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "t12_bigram_fluency" ->
-      s"""WITH bg AS (SELECT doc_id, unnest(${Hashing.sql.shingles("text", 2)}) AS bg
+      // coalesce mirrors the operator: a NULL-text doc is one
+      // whole-text '' bigram, never a dropped row
+      s"""WITH bg AS (SELECT doc_id, unnest(${Hashing.sql.shingles("coalesce(text, '')", 2)}) AS bg
          |  FROM documents),
          |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1)
          |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
@@ -274,7 +276,8 @@ object TextQueries {
          |  CASE WHEN coalesce(raw, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM base LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     "t11_oov_unk" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      // coalesce mirrors oovScrub: a NULL-text doc is one '' token row
+      """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
         |pos AS (SELECT doc_id, i, t[i] AS tok
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
         |dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pos GROUP BY tok),
