@@ -390,10 +390,28 @@ object SimilaritySearch {
     * `bits ≈ log2(2N / targetOccupancy)` so per-bucket membership
     * stays constant and candidate volume stays O(N·tables·occupancy)
     * ([[scaledLshBits]]). Fixed geometry at growing N is measurably
-    * superlinear (SCALE.md "fixed vs scaled geometry"). */
+    * superlinear (SCALE.md "fixed vs scaled geometry").
+    *
+    * Tail knob: scaled bits bound only the MEAN occupancy; candidate
+    * volume is Σ occupancy² and a replica-concentrated corpus piles
+    * sign patterns into a few monster buckets. `refineBits > 0`
+    * re-keys members of OVER-cap buckets by that many extension sign
+    * bits from an independent per-table hyperplane family BEFORE the
+    * cap ([[BucketCap.splitHot]] — same refine-then-cap contract as
+    * [[pqNearDupPairs]] and IncrementalAnn), so the flat cap only
+    * bites clone masses that agree on every extension sign. */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCosine: Double, bits: Int, tables: Int,
-                      maxBucket: Int): DataFrame = {
+                      maxBucket: Int, refineBits: Int = 0): DataFrame = {
+    if (refineBits > 0) {
+      BucketCap.requireIndependentFamilies(bits, tables, refineBits, tables)
+      // refinement re-keys members of OVER-cap buckets; without a
+      // finite cap it computes extension signs and runs the occupancy
+      // aggregation for a provable no-op (shared contract with
+      // pqNearDupPairs / IncrementalAnn and both oracle builders)
+      require(maxBucket != Int.MaxValue,
+        "refine without a cap has nothing to split on")
+    }
     // Vectors ride INTO the bucket join and cosine runs inside the
     // bucket task; only (id_a, id_b, cosine) SURVIVORS ever shuffle
     // again. The alternative (slim pair list → distinct → re-join the
@@ -405,21 +423,37 @@ object SimilaritySearch {
     // cosines are bitwise identical — same inputs, sequential fold)
     // and collapsed by the groupBy; that redundant arithmetic is noise
     // next to a second wide shuffle.
-    val banded = graft.model.Tables.spread(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        Vectors.norm(col(vecCol)).as("nrm"),
-        posexplode(Vectors.lshBucketsAll(col(vecCol), bits, tables))
-          .as(Seq("tbl", "bucket")))
-      .select("tbl", "bucket", "id", "vec", "nrm")
+    val bandCols = Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+      Vectors.norm(col(vecCol)).as("nrm"),
+      posexplode(Vectors.lshBucketsAll(col(vecCol), bits, tables))
+        .as(Seq("tbl", "bucket"))) ++
+      (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
+        refineBits, tables, BucketCap.RefineFamilyOffset).as("xbuckets"))
+       else Nil)
+    val banded0 = graft.model.Tables.spread(corpus)
+      .select(bandCols: _*)
+      .select(Seq("tbl", "bucket", "id", "vec", "nrm").map(col) ++
+        (if (refineBits > 0) Seq(col("xbuckets")(col("tbl")).as("xb"))
+         else Nil): _*)
+    // refineBits > 0: over-cap buckets re-key their members by the
+    // per-table extension signs BEFORE the cap (BucketCap.splitHot).
+    // The occupancy aggregation's input prunes to the bucket columns
+    // (partial-aggregated count, no vector bytes in that shuffle); the
+    // banded stream re-derives from the corpus scan — cheaper than
+    // materializing N·tables wide vector rows.
+    val (banded, joinKey) =
+      if (refineBits == 0) (banded0, Seq("tbl", "bucket"))
+      else (BucketCap.splitHot(banded0, Seq("tbl", "bucket"), "xb", maxBucket),
+            Seq("tbl", "bucket", "__sub"))
     // candidate side frequency-capped: n members in a bucket emit
     // n×cap scored pairs, never n² (identical results while cap ≥
     // occupancy — the oracle-pinned configs are sized that way). The
     // capped side is small (≤ cap·buckets·tables rows) → shuffle-hash
     // build side: no sort of wide vector rows anywhere in the plan.
-    val capped = BucketCap.capMembers(banded, Seq("tbl", "bucket"), "id", maxBucket)
-      .select(col("tbl"), col("bucket"), col("id").as("cid"),
-        col("vec").as("cvec"), col("nrm").as("cnrm"))
-    banded.join(capped.hint("shuffle_hash"), Seq("tbl", "bucket"))
+    val capped = BucketCap.capMembers(banded, joinKey, "id", maxBucket)
+      .select(joinKey.map(col) ++ Seq(col("id").as("cid"),
+        col("vec").as("cvec"), col("nrm").as("cnrm")): _*)
+    banded.join(capped.hint("shuffle_hash"), joinKey)
       .filter(col("id") =!= col("cid"))
       .withColumn("cosine", Vectors.cosineWithNorms(
         col("vec"), col("cvec"), col("nrm"), col("cnrm")))

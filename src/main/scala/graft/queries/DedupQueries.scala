@@ -196,9 +196,42 @@ object DedupQueries {
     // star-contraction machinery c2 runs on text-minhash pairs, proving
     // the cluster stage is modality-independent: any pair generator
     // (minhash, simhash, embedding LSH) feeds the same closure.
+    // AT SCALE, USE c5_embedding_clusters_scaled: this pinned bits=8
+    // geometry is the correctness-tier declaration (the cap never binds
+    // at the oracle SFs, so the pair set equals the uncapped join); at
+    // x100 the same plan's candidate tail moves full vectors over a
+    // ~1000×N collision list (~80 GB shuffle, skipped in SCALE.md's
+    // sweep). The scaled twin below is the configuration a 100 TB
+    // deployment runs.
     "c5_embedding_clusters" -> ((s, d) =>
       graft.operators.Components.connectedComponentsStar(
           embeddingPairsDf(s, d), "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("vec_id"))),
+
+    // C-5 scaled: the same star-contraction closure over the SCALE-SAFE
+    // pair generator — corpus-sized LSH banding (scaledLshBits holds
+    // mean bucket occupancy ~16 as N grows) with refine-then-cap on the
+    // occupancy tail (12 extension sign bits from an independent
+    // per-table hyperplane family re-split any over-cap bucket; flat
+    // cap=128 remains only for clone masses that agree on every
+    // extension sign — where dropping intra-clique edges keeps the
+    // clique CONNECTED through the asymmetric probe join, exactly what
+    // a clustering consumer needs). Same d10_scaled geometry, applied
+    // to c5's exact-cosine pair generator; the oracle replicates
+    // banding, refinement and cap selection before the recursive
+    // closure, so all three geometry stages sit under the hash gate.
+    // Pair list is slim (id_a, id_b) and materialized once —
+    // connectedComponentsStar reads its edge input from two subtrees.
+    "c5_embedding_clusters_scaled" -> ((s, d) =>
+      graft.operators.Components.connectedComponentsStar(
+          graft.operators.Materialize.once(
+            graft.operators.SimilaritySearch.lshNearDupPairs(
+                embeddingUniverse(s, d), "vec_id", "vec",
+                minCosine = 0.9, bits = scaledBits(s, d), tables = 4,
+                maxBucket = 128, refineBits = 12)
+              .select(col("id_a"), col("id_b"))),
+          "id_a", "id_b")
         .select(col("node").as("vec_id"), col("cluster").as("cluster_id"))
         .orderBy(col("vec_id"))),
 
@@ -861,6 +894,16 @@ object DedupQueries {
         cap = 128, refine = true)
     },
     "d5_embedding_neardup" -> d5OracleSql,
+    "c5_embedding_clusters_scaled" ->
+      s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($c5ScaledPairsSql) dp),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
+         |          UNION SELECT id_b, id_a FROM dpairs),
+         |reach(src, dst) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     "c5_embedding_clusters" ->
       s"""WITH RECURSIVE dpairs AS (SELECT id_a, id_b FROM ($d5OracleSql) dp),
          |edges AS (SELECT id_a AS u, id_b AS v FROM dpairs
@@ -1211,6 +1254,40 @@ object DedupQueries {
        |FROM scr JOIN un ua ON ua.vec_id = id_a JOIN un ub ON ub.vec_id = id_b
        |WHERE $exactCos >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** c5_scaled's pair-stage oracle SQL: the lshNearDupPairs scale
+    * geometry — corpus-derived bits (integer-only, the scaledLshBits
+    * twin), 12-bit hot-bucket refinement from the RefineFamilyOffset
+    * family (BucketCap.sqlSplitHot), cap=128 smallest-hash selection
+    * (BucketCap.sqlCapped), asymmetric probe×capped join, exact cosine
+    * ≥ 0.9 verification. Emits the (id_a, id_b) pair set only — the
+    * closure consumer never reads the cosine. */
+  private lazy val c5ScaledPairsSql: String = {
+    val NTables = 4
+    val banded =
+      s"""SELECT vec_id, vec, nrm, tb AS tbl,
+         |  ${Vectors.sql.lshBucketDyn("vec", "bits", "tb")} AS bucket,
+         |  ${Vectors.sql.lshBucketDyn("vec", "12",
+              s"(${graft.operators.BucketCap.RefineFamilyOffset} + tb)")} AS xb
+         |FROM u CROSS JOIN geo
+         |CROSS JOIN (SELECT unnest([${(0 until NTables).mkString(", ")}]) AS tb) tbls""".stripMargin
+    val keyed = graft.operators.BucketCap.sqlSplitHot(
+      "SELECT * FROM banded", Seq("tbl", "bucket"), "xb", 128)
+    val capped = graft.operators.BucketCap.sqlCapped(
+      "SELECT * FROM keyed", Seq("tbl", "bucket", "__sub"), "vec_id", 128)
+    val cos = Vectors.sql.cosineWithNorms("a.vec", "b.vec", "a.nrm", "b.nrm")
+    s"""WITH u AS (SELECT vec_id, vec, ${Vectors.sql.norm("vec")} AS nrm
+       |           FROM ($embUniverseSql)),
+       |geo AS (SELECT greatest(4, length(bin(CAST((2*count(*) + 15) // 16 AS BIGINT) - 1))) AS bits FROM u),
+       |banded AS ($banded),
+       |keyed AS ($keyed),
+       |capped AS ($capped)
+       |SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+       |                greatest(a.vec_id, b.vec_id) AS id_b
+       |FROM keyed a JOIN capped b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.__sub = b.__sub
+       |WHERE a.vec_id <> b.vec_id AND $cos >= 0.9""".stripMargin
   }
 
   /** d5's oracle SQL, shared verbatim with c5's recursive closure. */
