@@ -73,7 +73,15 @@ object Names {
     * Every non-ASCII character is destined for the [^A-Za-z0-9 ]
     * strip anyway; removing it first makes the whole chain operate on
     * ASCII, where upper/levenshtein/length agree across engines
-    * byte-for-byte. */
+    * byte-for-byte.
+    *
+    * INTENTIONAL reference deviation (COVERAGE.md "normalize_name"):
+    * the reference's Python chain upper()s FIRST, so ASCII-expanding
+    * case mappings survive as letters ('ß' → 'SS', ligatures → their
+    * expansions); here they become a space. Cross-engine exactness is
+    * the contract a hash-gated oracle needs, and ABR company names are
+    * ASCII-dominated; a consumer needing the Python behavior
+    * transliterates (ß→SS, ﬁ→FI, …) BEFORE this normalize. */
   def normalizeNameDeclarative(c: Column): Column = {
     var s = upper(trim(regexp_replace(coalesce(c, lit("")),
       """[^\x00-\x7F]+""", " ")))

@@ -49,10 +49,9 @@ object Components {
       // — exactly what the first propagation round would produce from
       // the identity labeling, for the price of the groupBy that
       // builds the node set anyway: one fewer join round every call
-      labels = sym.groupBy(col("u"))
+      labels = Materialize.once(sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
-        .select(col("u").as("node"), least(col("u"), col("mv")).as("cluster"))
-        .localCheckpoint(true)
+        .select(col("u").as("node"), least(col("u"), col("mv")).as("cluster")))
       while (!converged && it < maxIter) {
       // min label among each node's neighbors this round
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
@@ -65,12 +64,15 @@ object Components {
       // shrink and label(x) <= x, so following one hop of the label
       // chain halves its length; combined with the neighbor-min step
       // this closes in O(log diameter) rounds instead of O(diameter)
-      val next = stepped
+      // Materialize.once, not raw localCheckpoint: per-round lineage
+      // truncation must stay RECOMPUTABLE on a real cluster (executor
+      // loss under dynamic allocation), where the master-aware wrapper
+      // persists instead of checkpointing
+      val next = Materialize.once(stepped
         .join(stepped.select(col("node").as("jn"), col("c1").as("jc")),
           col("c1") === col("jn"), "left")
         .select(col("node"), coalesce(col("jc"), col("c1")).as("cluster"),
-          (coalesce(col("jc"), col("c1")) < col("old_cluster")).as("changed"))
-        .localCheckpoint(true)
+          (coalesce(col("jc"), col("c1")) < col("old_cluster")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       it += 1
@@ -119,14 +121,13 @@ object Components {
     val raw = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     // every node ever seen (incl. self-pair-only nodes) — the label
     // frame's row set, whatever the surviving star edges look like
-    val nodes = raw.select(explode(array(col("u"), col("v"))).as("node"))
-      .distinct().localCheckpoint(true)
+    val nodes = Materialize.once(
+      raw.select(explode(array(col("u"), col("v"))).as("node")).distinct())
     // canonical orientation big→small; self-loops carry no connectivity
-    var e = raw.filter(col("u") =!= col("v"))
+    var e = Materialize.once(raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // Size-adaptive fast path: each distributed contraction round costs
     // a fixed ~5 tiny shuffles of plan compilation + scheduling — on a
@@ -182,9 +183,10 @@ object Components {
     var eCnt = eCnt0
     var converged = eCnt == 0
     while (!converged && it < maxIter) {
-      // LAZY checkpoint: the count() below is the materializing action,
-      // so lineage truncation costs no extra job per round
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      // LAZY materialization: the count() below is the materializing
+      // action, so lineage truncation costs no extra job per round
+      // (recomputable persist on a cluster — Materialize.lazily)
+      val next = Materialize.lazily(smallStar(largeStar(e)))
       // both sides are distinct sets, so equal counts are NECESSARY for
       // the fixed point — and counting freshly-checkpointed data is one
       // cheap job, while the exact symmetric-difference check is two
@@ -350,13 +352,14 @@ object Components {
       .select(coalesce(col("cu"), col("pu")).as("u"),
         coalesce(col("cv"), col("pv")).as("v"))
     val merged = connectedComponentsStar(contracted, "u", "v", maxIter)
-    // eager localCheckpoint, not persist: the frame is O(batch)-small,
-    // consumed by 2-3 joins, and a perpetual-ingest caller invokes this
-    // once per micro-batch — a pinned cache entry per call would
-    // accumulate for the session's life, while checkpoint blocks are
-    // released as soon as the batch's frames go out of scope
-    val affected = merged.select(col("node").as("k"), col("cluster").as("merged"))
-      .localCheckpoint(true)
+    // Materialize.once, not DataFrame.persist: the frame is
+    // O(batch)-small, consumed by 2-3 joins, and a perpetual-ingest
+    // caller invokes this once per micro-batch — a pinned CacheManager
+    // entry per call would accumulate for the session's life, while
+    // checkpoint/RDD-persist blocks are released as soon as the batch's
+    // frames go out of scope (and stay recomputable on a cluster)
+    val affected = Materialize.once(
+      merged.select(col("node").as("k"), col("cluster").as("merged")))
     (lab, affected)
   }
 

@@ -88,9 +88,11 @@ object Curation {
     // row, silently corrupting every ordinal (RDD zipWithIndex runs
     // its count job against materialized partitions for the same
     // reason)
-    val ranged = df.repartitionByRange(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // (Materialize.once — on a cluster the frozen partitioning must
+    // also survive executor loss by RECOMPUTE, which replays the same
+    // range-shuffle dependency and so the same pids)
+    val ranged = Materialize.once(df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id()))
     val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(

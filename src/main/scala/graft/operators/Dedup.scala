@@ -615,7 +615,7 @@ object Dedup {
     * (`grams.select("gh").distinct()` anti-joined with the store), so
     * a streaming driver tokenizes the batch a single time.
     *
-    * CONSTRUCTION IS EAGER: the `localCheckpoint(true)` runs the full
+    * CONSTRUCTION IS EAGER: `Materialize.once` runs the full
     * tokenization job at call time, so merely building a consumer's
     * DataFrame (plan inspection, DumpPlans) pays it even if the result
     * is never collected — the price of sharing one tokenize across the

@@ -31,6 +31,21 @@ object Materialize {
     if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(true)
     else clusterMaterialize(df)
 
+  /** Lazy variant of [[once]]: marks the frame for one-shot
+    * materialization at its FIRST action instead of running a job now —
+    * for loop bodies whose very next step is itself an action (the
+    * star-contraction round counts the frame immediately), where an
+    * eager call would pay one extra job per iteration. Same
+    * master-awareness: local gets `localCheckpoint(false)`; a cluster
+    * gets a recomputable `persist(MEMORY_AND_DISK)` that populates on
+    * first touch and survives executor loss. */
+  def lazily(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(false)
+    else {
+      val rows = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      df.sparkSession.createDataFrame(rows, df.schema)
+    }
+
   /** The cluster branch of [[once]], callable directly by its spec
     * (tests run on a local master, where [[once]] would take the
     * localCheckpoint fast path). */

@@ -249,8 +249,12 @@ object Multimodal {
     // so the offset math runs in LONG on only-reachable indexes; and
     // (b) exploding maxFrames rows per short payload just to filter
     // them is a maxFrames× row amplification through the narrow stage.
-    // A null payload yields a null bound and explodes to nothing —
-    // the same zero frames the filter produced before.
+    // A null payload does NOT zero the bound — greatest() SKIPS null
+    // arguments, so lastReachable is 0 and one frame_idx row explodes;
+    // its substring(null, …) frame is null and the length(frame) > 0
+    // filter below is what actually drops it. The filter is
+    // load-bearing for null payloads — do not remove it on the theory
+    // that the sequence bound already handles them.
     val lastReachable = greatest(lit(0L),
       ((length(col(binCol)).cast("long") - 1L) / lit(stride.toLong)).cast("long"))
     df.withColumn("frame_idx",

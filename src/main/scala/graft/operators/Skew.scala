@@ -27,11 +27,24 @@ object Skew {
     * monotonically_increasing_id or rand, whose values change when a
     * map task is recomputed after a fetch failure: rows would migrate
     * between (key, salt) buckets mid-shuffle and be double-counted or
-    * lost. Identical duplicate rows share a salt (they cannot be told
-    * apart deterministically); heterogeneous values spread fine. */
+    * lost.
+    *
+    * KNOWN LIMITATION — clone-mass skew is NOT mitigated: identical
+    * duplicate rows hash to ONE salt (they cannot be told apart by any
+    * deterministic row function), so a hot key whose mass is exact
+    * clones — the dominant skew shape in a dedup-oriented corpus —
+    * still funnels through a single (key, salt) reducer. The
+    * retry-safe fix for that shape lives UPSTREAM: exact-dedup the
+    * clones first ([[Dedup.exactDedup]] + a count column) or attach a
+    * stable per-row ingest id and salt on it. Heterogeneous hot-key
+    * values spread fine. Map-typed columns are rejected loudly at
+    * operator-build time — `hash()` has no canonical order for map
+    * entries and Spark's analyzer rejects it with a generic message
+    * far from this call site. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    rejectMapColumns(df, "saltedSumCount")
     val salted = df.withColumn("_salt",
       pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
@@ -57,10 +70,25 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    rejectMapColumns(fact, "saltedJoin")
     val saltedFact = fact.withColumn("_salt",
       pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** The full-row salt hashes every column; `hash()` is undefined over
+    * MapType (no canonical entry order). Reject at operator-build time
+    * with the operator's name instead of a deep Catalyst error. */
+  private def rejectMapColumns(df: DataFrame, op: String): Unit = {
+    val maps = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        f.name
+    }
+    require(maps.isEmpty,
+      s"$op salts by hashing ALL columns, and hash() is undefined over " +
+        s"map-typed columns ${maps.mkString("[", ", ", "]")} — drop or " +
+        "serialize them (to_json / map_entries+sort) before salting")
   }
 }

@@ -156,6 +156,11 @@ object AnnQueries {
     // old-vs-old pairs never regenerate; verification is the
     // asymmetric PQ cosine over decoded codes — per batch the work is
     // O(batch + collisions), never O(corpus²).
+    // AT SCALE, USE n8_incremental_ann_scaled: this pinned bits=6
+    // geometry is the correctness-tier declaration; its uncapped
+    // batch-vs-ALL-per-bucket candidates go quadratic in tail occupancy
+    // once the store outgrows the bucket count (measured 1697.7 s +
+    // 360.5 GB spill at x100 vs the scaled twin's 27.8 s, zero spill).
     "n8_incremental_ann" -> ((s, d) => {
       val store = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val batch = t(s, d, "embeddings").filter(col("vec_id") % 7 === 0)

@@ -272,8 +272,9 @@ object DedupQueries {
           concat(col("text"), lit(" zz qq ww")).as("text"))
       val store = Dedup.sigOnly(docSigsDf(s, d), "doc_id", B)
       val newSigs = Dedup.sigOnly(
-        Dedup.minhashSignatures(incoming, "doc_id", "text", K, H, B)
-          .localCheckpoint(true), "doc_id", B)
+        graft.operators.Materialize.once(
+          Dedup.minhashSignatures(incoming, "doc_id", "text", K, H, B)),
+        "doc_id", B)
       Dedup.incrementalPairsBySig(newSigs, store, "doc_id", H, B, 50,
           uniqueIds = true)
         .orderBy(col("id_a"), col("id_b"))
@@ -430,6 +431,10 @@ object DedupQueries {
     // float vectors); full vectors join only for approx-survivors. Same
     // universe and 0.9 cutoff as d5; margin 0.15 absorbs PQ distortion
     // (DedupSpec measures recall vs the exact d5 verifier).
+    // AT SCALE, USE d10_pq_neardup_scaled: this pinned bits=8 geometry
+    // is the correctness-tier declaration; its buckets saturate once
+    // the corpus outgrows them (measured 378 s + 47.7 GB spill at x100
+    // vs the scaled twin's ~100 s, zero spill).
     "d10_pq_neardup" -> ((s, d) =>
       graft.operators.SimilaritySearch.pqNearDupPairs(
           embeddingUniverse(s, d), "vec_id", "vec", dim = 64,
@@ -625,7 +630,7 @@ object DedupQueries {
         .select(col("doc_id"), col("n_spans_kept"), col("clean_text"))
       val survivors =
         if (sys.props.get("graft.u5.checkpoint").contains("true"))
-          survivorsPlan.localCheckpoint(true)
+          graft.operators.Materialize.once(survivorsPlan)
         else survivorsPlan
       // uniqueIds: the store side is the memoized write-once signature
       // frame (one row per doc by construction) — the mid-compaction

@@ -78,6 +78,10 @@ object PipelineQueries {
   private val blockFreq = 1000L
 
   val queries: Map[String, Q] = Map(
+    // AT SCALE, USE u1_blocked_pipeline: this exact-broadcast-product
+    // declaration is the correctness-tier reference-parity twin; past
+    // the broadcastability envelope the product is the scale-killer
+    // (measured 512.7 s at x100 vs the blocked path's 7.0 s).
     "u1_unified_pipeline" -> ((s, d) => unified(s, d).orderBy(col("abn"))),
     // The scale path a 100 TB deployment runs (see Pipeline.buildUnified
     // scaladoc): same staging, cleaning, assembly and keep-first as u1,

@@ -56,7 +56,17 @@ object EventStream {
             val prev = state.getOption.getOrElse(SessionState(0, 0L))
             var n = prev.n
             var totalE2 = prev.totalE2
-            rows.foreach { e => n += 1; totalE2 += math.round(e.value * 100) }
+            // SQL round semantics (half away from zero), NOT JVM
+            // math.round (half toward +inf: math.round(-2.5) == -2) —
+            // the batch twins and the w1/w8 oracles round each event
+            // with SQL round(value*100), and negative half-cent values
+            // must land on the same cent here. BigDecimal-from-toString
+            // + HALF_UP is exactly Spark's Round eval for doubles.
+            rows.foreach { e =>
+              n += 1
+              totalE2 += BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            }
             state.update(SessionState(n, totalE2))
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             SessionOut(user, n, totalE2 / 100.0, closed = false)

@@ -204,6 +204,23 @@ object IncrementalAnn {
           s"refineBits=$refineBits — refineBits is part of the store's " +
           "layout contract (extension signs are persisted, not " +
           "recomputable) and must stay constant for the store's lifetime")
+      // Pre-sidecar stores can only be checked for xbuckets PRESENCE —
+      // the lshBits/lshTables values (and the refineBits VALUE) this
+      // run declares cannot be verified against the files and are
+      // about to be adopted as the store's permanent contract. A wrong
+      // declaration here is the silent recall collapse the sidecar
+      // exists to prevent, on exactly this one first contact — say so
+      // loudly instead of trusting in silence.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"code store $codeStoreDir predates the _layout sidecar: " +
+          s"adopting DECLARED geometry (lshBits=$lshBits, " +
+          s"lshTables=$lshTables, refineBits=$refineBits) as its " +
+          "permanent contract WITHOUT file-level verification — only " +
+          "xbuckets presence could be checked. If these values differ " +
+          "from the ones the store was built with, probe and stored " +
+          "bucket keys will agree only by chance and recall collapses " +
+          "silently; confirm the original run's configuration before " +
+          "trusting results from this store.")
     }
   }
 

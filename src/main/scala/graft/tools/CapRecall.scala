@@ -66,7 +66,13 @@ object CapRecall {
   * same connected component of the capped pair graph (driver-side
   * union-find — the truth pair list is ~1e5-1e6 rows, trivially
   * collectable).
-  *   scripts/run_tool.sh graft.tools.CapConnectivity target/scaledata/x100 64,256
+  *
+  * Arg 4 picks the pair generator: "pq" (default — d10's PQ-screened
+  * verifier) or "lsh" (c5/d5's exact-cosine lshNearDupPairs — the
+  * generator feeding c5_embedding_clusters_scaled, where connectivity
+  * recall is the figure of merit: the closure only needs the clique
+  * connected, not every edge).
+  *   scripts/run_tool.sh graft.tools.CapConnectivity target/scaledata/x100 64,r12:128 "" lsh
   */
 object CapConnectivity {
   def main(args: Array[String]): Unit = {
@@ -82,7 +88,8 @@ object CapConnectivity {
     spark.sparkContext.setLogLevel("ERROR")
     val u = graft.queries.DedupQueries.embeddingUniverse(spark, d)
     val bits = graft.operators.SimilaritySearch.scaledLshBits(u.count())
-    println(s"BITS $bits")
+    val gen = if (args.length > 3) args(3) else "pq"
+    println(s"BITS $bits GEN $gen")
     // config "N" = flat cap N; "rN" = cap N with 8-bit hot-bucket
     // refinement (BucketCap.splitHot) before the cap; "rB:N" = cap N
     // with B-bit refinement
@@ -93,10 +100,15 @@ object CapConnectivity {
         } else if (cfg.startsWith("r")) (cfg.drop(1).toInt, 8)
         else (cfg.toInt, 0)
       val t0 = System.nanoTime()
-      val out = graft.operators.SimilaritySearch.pqNearDupPairs(
-        u, "vec_id", "vec", dim = 64, threshold = 0.9, margin = 0.15,
-        bits = bits, tables = 4, maxBucket = cap, refineBits = refine)
-        .select("id_a", "id_b").collect()
+      val pairsDf = gen match {
+        case "lsh" => graft.operators.SimilaritySearch.lshNearDupPairs(
+          u, "vec_id", "vec", minCosine = 0.9,
+          bits = bits, tables = 4, maxBucket = cap, refineBits = refine)
+        case _ => graft.operators.SimilaritySearch.pqNearDupPairs(
+          u, "vec_id", "vec", dim = 64, threshold = 0.9, margin = 0.15,
+          bits = bits, tables = 4, maxBucket = cap, refineBits = refine)
+      }
+      val out = pairsDf.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       println(f"PAIRS $cfg n=${out.length} wall=${(System.nanoTime() - t0) / 1e9}%.1f")
       out

@@ -23,6 +23,7 @@ object ScaleRun {
     * re-confirmed under the oracle-gated declarations). */
   private val Capstones = Seq(
     "c2_dup_clusters", "c3_incremental_clusters", "c5_embedding_clusters",
+    "c5_embedding_clusters_scaled",
     "c6_label_resolution",
     "d7_incremental_neardup", "d8_sig_verified_neardup",
     "d10_pq_neardup", "d10_pq_neardup_scaled", "d11_containment",

@@ -98,4 +98,26 @@ class EventStreamSpec extends SparkSpec {
     assert(out(2L).n_events == 1 && out(2L).total_value == 10.0)
     assert(!out(1L).closed)
   }
+
+  test("sessionize rounds negative half-cents with SQL semantics (away from zero)") {
+    // the state function must follow the cents convention of the batch
+    // twins (SQL round = half away from zero), not JVM math.round
+    // (half toward +inf): -0.025 * 100 = -2.5 must become -3 cents.
+    // math.round(-2.5) == -2 — the bug this pins.
+    val in = Files.createTempDirectory("graft-ss-neg").toString
+    def ev(u: Long, m: Int, v: Double) =
+      (u, Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), v)
+    Seq(ev(1, 1, -0.025), ev(2, 1, 0.025))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    EventStream.runToMemory(spark, schema, in, "sess_neg_out",
+      df => EventStream.sessionize(df.as[EventStream.Event]).toDF(),
+      OutputMode.Update())
+    val out = spark.table("sess_neg_out")
+      .as[EventStream.SessionOut].collect().map(s => s.user_id -> s).toMap
+    // SQL round(-2.5) = -3, round(2.5) = 3 — symmetric away from zero
+    assert(out(1L).total_value == -0.03,
+      s"negative half-cent rounded toward +inf: ${out(1L).total_value}")
+    assert(out(2L).total_value == 0.03)
+  }
 }

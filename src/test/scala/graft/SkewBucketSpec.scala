@@ -32,6 +32,21 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salting rejects map-typed columns at build time") {
+    // hash() has no canonical order over map entries; the operator must
+    // fail loudly at build time, not with a deep analyzer error later
+    val withMap = skewed.withColumn("m", map(lit("a"), $"v"))
+    val e1 = intercept[IllegalArgumentException] {
+      Skew.saltedSumCount(withMap, "key", "v", 4)
+    }
+    assert(e1.getMessage.contains("map-typed"))
+    val dim = Seq(("hot", "H")).toDF("key", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(withMap, dim, "key", 4)
+    }
+    assert(e2.getMessage.contains("map-typed"))
+  }
+
   test("partitioned layout prunes partitions under an equality filter") {
     // the reference's B-tree-on-state index analog (SURVEY §4): lay the
     // unified table out partitioned by the filter column and the scan
