@@ -15,18 +15,31 @@
 #     spill; their scale-safe variants (scaled bits — now the declared
 #     d10_pq_neardup_scaled) ARE measured.
 #
-# Usage:  scripts/scale_proof.sh            # full proof, ROUND=r10
-#         ROUND=r11 scripts/scale_proof.sh  # next round's artifacts
+# Usage:  scripts/scale_proof.sh            # full proof, ROUND=r11
+#         ROUND=r12 scripts/scale_proof.sh  # next round's artifacts
 #         SCALES="x1 x10" scripts/scale_proof.sh   # subset
 # Memory-pressure proof (SCALE.md "constrained memory"):
 #         scripts/scale_proof.sh mem8g
+# Regression gate (run once before the end-of-round snapshot): compare
+# the fresh merged run against the previous round's committed cells —
+# exits nonzero on lost coverage, >1.5x wall, >2x shuffle, or new spill
+# in a previously spill-free cell (tools/scale_check.py):
+#         scripts/scale_proof.sh check            # ${PREV} vs ${ROUND}
+#         scripts/scale_proof.sh check r10 r11    # explicit rounds
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 BASE=${BASE:-/root/testdata/sf0.1}
-ROUND=${ROUND:-r10}
+ROUND=${ROUND:-r11}
+PREV=${PREV:-r10}
 SCALES=${SCALES:-"x1 x10 x100"}
 mkdir -p bench
+
+if [ "${1:-}" = check ]; then
+  OLD=${2:-$PREV}; NEW=${3:-$ROUND}
+  exec python3 tools/scale_check.py \
+    "bench/scale_${OLD}_fresh.json" "bench/scale_${NEW}_fresh.json"
+fi
 
 # compiled classes must exist (scripts/run_tool.sh runs on them)
 [ -d target/scala-2.13/classes/graft ] || sbt -batch compile

@@ -92,6 +92,49 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(readAll("t4") == Map("a" -> "v1", "b" -> "v2", "c" -> "v3"))
   }
 
+  test("streaming sink fed by a manifest-managed store mid-fold lands one complete version, never mixed") {
+    import graft.sources.StoreManifest
+    // the layout's core claim at the JDBC consumer edge: a sink run
+    // that resolves the manifest INSIDE a fold's race window — snapshot
+    // published, folded dirs still on disk — streams exactly one
+    // complete version of the store into the database. The duplicate
+    // bytes are physically present (a root scan reads them twice); the
+    // manifest-resolved stream must not.
+    freshTable("t6")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-fold").toString
+    def w(id: Long, keys: Seq[String]): Unit = {
+      keys.map(k => (k, s"v-$k")).toDF("abn", "entity_name")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$id")
+      StoreManifest.commitBatch(spark, dir, s"batch_id=$id")
+    }
+    w(0, Seq("a", "b")); w(1, Seq("c")); w(2, Seq("d"))
+    // enter the race window by hand: fold batches 0+1 into a snapshot,
+    // swap the manifest, DO NOT delete the folded dirs
+    Seq("a", "b", "c").map(k => (k, s"v-$k")).toDF("abn", "entity_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=-2")
+    StoreManifest.replace(spark, dir,
+      Set("batch_id=0", "batch_id=1"), Seq("batch_id=-2"))
+    assert(spark.read.parquet(dir).count() == 7,
+      "window not exercised: folded dirs missing from disk")
+    // stream the RESOLVED live set (never the root glob — that is the
+    // mixed read the manifest exists to prevent) through the real sink
+    val (_, live) = StoreManifest.latest(spark, dir).get
+    val glob = s"$dir/batch_id={${live.map(_.stripPrefix("batch_id=")).mkString(",")}}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("abn",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("entity_name",
+        org.apache.spark.sql.types.StringType)))
+    val cp = java.nio.file.Files.createTempDirectory("graft-jdbc-fold-cp").toString
+    val q = graft.streaming.JdbcStreamSink.start(
+      spark.readStream.schema(schema).parquet(glob)
+        .select("abn", "entity_name"),
+      url, "t6", "abn", checkpointDir = cp)
+    q.awaitTermination()
+    assert(readAll("t6") == Map(
+      "a" -> "v-a", "b" -> "v-b", "c" -> "v-c", "d" -> "v-d"))
+  }
+
   test("postgres dialect emits the reference's ON CONFLICT form") {
     val sql = JdbcUpsertSink.upsertSql("postgresql", "staging_abr",
       Seq("abn", "entity_name"), "abn", "VARCHAR(64)")

@@ -77,6 +77,59 @@ class QueryHttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("HTTP edge over a manifest-managed store: old-or-new across an in-flight fold, never mixed") {
+    import graft.sources.StoreManifest
+    // the layout's core claim at the consumer edge: a serving process
+    // that re-resolves the manifest per request sees a COMPLETE old or
+    // COMPLETE new view at every instant of a fold — including the
+    // window where the snapshot AND the folded dirs coexist on disk —
+    // while a naive root scan in that window reads the rows twice
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-fold").toString
+    def rows(ids: Seq[Long]) = ids
+      .map(i => (f"$i%011d", s"CO $i", "1", s"NAME$i"))
+      .toDF("abn", "entity_name", "state", "company_name")
+    Seq((0L, Seq(1L, 2L)), (1L, Seq(3L)), (2L, Seq(4L))).foreach { case (b, ids) =>
+      rows(ids).coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$b")
+      StoreManifest.commitBatch(spark, dir, s"batch_id=$b")
+    }
+    // one request against a server built from a FRESH manifest resolve
+    // (the re-resolve-per-request consumer); returns every abn served,
+    // with multiplicity — mixed visibility shows up as duplicates
+    def served(): Seq[String] = {
+      val df = StoreManifest.readLive(spark, dir).get.drop("batch_id")
+      val srv = new QueryHttpServer(df)
+      val port = srv.start()
+      try {
+        val (st, body) = get(port, "/companies/by_state?state=1")
+        assert(st == 200, body)
+        "\"abn\":\"(\\d+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq.sorted
+      } finally srv.stop()
+    }
+    val full = Seq(1L, 2L, 3L, 4L).map(i => f"$i%011d")
+    assert(served() == full)
+    // fold batches 0 and 1 by hand, pausing at each in-flight stage:
+    // 1. snapshot directory written, manifest NOT yet swapped — the
+    //    consumer still sees the OLD complete view (snapshot invisible)
+    rows(Seq(1L, 2L, 3L)).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/batch_id=-2")
+    assert(served() == full, "uncommitted snapshot leaked into serving")
+    // 2. manifest swapped, folded dirs STILL ON DISK — the race window.
+    //    The consumer sees the NEW complete view exactly once; a raw
+    //    root scan proves the duplicate bytes really are present
+    StoreManifest.replace(spark, dir,
+      Set("batch_id=0", "batch_id=1"), Seq("batch_id=-2"))
+    assert(served() == full,
+      "mixed visibility in the snapshot+folded-dirs window")
+    assert(spark.read.parquet(dir).count() == full.size + 3,
+      "test no longer exercises the window: folded dirs already gone")
+    // 3. folded dirs deleted — steady state, same complete view
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("batch_id=0", "batch_id=1").foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
+    assert(served() == full)
+  }
+
   test("point lookup answers ONE well-formed object even over duplicate keys") {
     // duplicate abn rows reach the edge unchecked; stripping the array
     // brackets from a multi-row body would emit '{...},{...}' — parse

@@ -434,4 +434,65 @@ class VectorsSpec extends SparkSpec {
     assert(ivfDeep >= 0.92, s"ivf nProbe=10 scaling-rule recall regressed: $ivfDeep")
     assert(pqDeep >= 0.92, s"pq rerank=256 scaling-rule recall regressed: $pqDeep")
   }
+
+  test("refine-then-cap holds a >= 0.9 pair-recall floor where a flat cap collapses") {
+    // Regression gate for the round-10 recall win (bench/n8_cap_recall:
+    // refine12/cap128 = 0.969 vs flat64 = 0.719 at x100): a SEEDED
+    // adversarial corpus — few base bits over many vectors, so every
+    // base bucket holds ~80 members against a cap of 16 — where a flat
+    // cap measurably collapses pair recall and 12-bit hot-bucket
+    // refinement must hold >= 0.9 against the uncapped truth, for all
+    // three refine-capable generators (pqNearDupPairs, lshNearDupPairs,
+    // IncrementalAnn.incrementalPairs). Capped outputs are strict
+    // subsets of the uncapped run (refinement only partitions buckets;
+    // the cap selects within them; verification is shared), so recall
+    // is the exact row-count ratio. The companion asserts flat-capped
+    // recall BELOW the floor: if refinement is disabled or silently
+    // stops splitting, this test goes red, not just less green.
+    val rnd = new scala.util.Random(20260816L)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    val bases = (0 until 1200).map(i => (i.toLong, vec()))
+    // twins: tiny jitter, cosine ~0.9999 — survives the 0.9 verifier
+    // and agrees with its base on almost every extension sign
+    val twins = bases.take(150).map { case (i, v) =>
+      (i + 10000L, v.map(x => x + 0.002 * rnd.nextGaussian()))
+    }
+    val corpus = (bases ++ twins).toDF("vec_id", "vec")
+      .repartition(8).cache()
+    corpus.count()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def audit(name: String,
+              run: (Int, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val truth = pairSet(run(Int.MaxValue, 0))
+      val flat = pairSet(run(16, 0))
+      val refined = pairSet(run(16, 12))
+      assert(truth.nonEmpty, s"$name: degenerate corpus, no true pairs")
+      assert(flat.subsetOf(truth) && refined.subsetOf(truth),
+        s"$name: capped output must be a subset of the uncapped truth")
+      val fr = flat.size.toDouble / truth.size
+      val rr = refined.size.toDouble / truth.size
+      info(f"$name: truth=${truth.size} flat=$fr%.3f refined=$rr%.3f")
+      assert(rr >= 0.9, s"$name: refine-then-cap recall floor broken: $rr")
+      assert(fr < 0.9,
+        s"$name: flat cap no longer collapses on the adversarial corpus " +
+          s"($fr) — the floor above is not exercising refinement")
+    }
+    audit("lshNearDupPairs", (cap, refine) =>
+      SimilaritySearch.lshNearDupPairs(corpus, "vec_id", "vec",
+        minCosine = 0.9, bits = 4, tables = 2,
+        maxBucket = cap, refineBits = refine))
+    audit("pqNearDupPairs", (cap, refine) =>
+      SimilaritySearch.pqNearDupPairs(corpus, "vec_id", "vec", dim = dim,
+        threshold = 0.9, margin = 0.15, bits = 4, tables = 2,
+        maxBucket = cap, refineBits = refine))
+    val store = corpus.filter($"vec_id" < 10000)
+    val batch = corpus.filter($"vec_id" >= 10000)
+    audit("incrementalPairs", (cap, refine) =>
+      graft.streaming.IncrementalAnn.incrementalPairs(store, batch,
+        "vec_id", "vec", dim = dim, lshBits = 4, lshTables = 2,
+        minCosine = 0.9, maxBucket = cap, refineBits = refine))
+    corpus.unpersist()
+  }
 }
