@@ -67,11 +67,20 @@ def main():
                 fails.append(f"LOST    {label}:{q} — measured {om.get('sec', '?')}s before, now skipped")
             continue
         o_sec, n_sec = om["sec"], nm["sec"]
-        if n_sec > args.tol_wall * o_sec + args.abs_floor_sec:
-            fails.append(f"WALL    {label}:{q} — {o_sec:.1f}s -> {n_sec:.1f}s "
-                         f"(> {args.tol_wall}x + {args.abs_floor_sec}s)")
         o_sh = om.get("shuffle_read_b", 0) + om.get("shuffle_write_b", 0)
         n_sh = nm.get("shuffle_read_b", 0) + nm.get("shuffle_write_b", 0)
+        if n_sec > args.tol_wall * o_sec + args.abs_floor_sec:
+            # flat shuffle bytes on an inflated wall is the documented
+            # contention / long-JVM signature (BASELINE.md "contention
+            # rule") — still a failure (the run is not a valid basis),
+            # but the triage is "adjudicate solo", not "find the plan
+            # change"
+            flat = o_sh > 0 and abs(n_sh - o_sh) <= 0.1 * o_sh
+            hint = ("flat shuffle — likely contention; adjudicate solo "
+                    "via graft.tools.TimeQuery / mem8g" if flat
+                    else "shuffle moved too — check the plan")
+            fails.append(f"WALL    {label}:{q} — {o_sec:.1f}s -> {n_sec:.1f}s "
+                         f"(> {args.tol_wall}x + {args.abs_floor_sec}s; {hint})")
         if n_sh > args.tol_shuffle * o_sh and n_sh - o_sh > args.shuffle_floor_b:
             fails.append(f"SHUFFLE {label}:{q} — {o_sh/1e6:.0f}MB -> {n_sh/1e6:.0f}MB "
                          f"(> {args.tol_shuffle}x)")
