@@ -105,11 +105,11 @@ object ScaleRun {
       System.err.println(f"[scale] $label prebuild ${preSec}%.1f s")
       // No silent caps: SPARK_GRAFT_SCALE_SKIP=label:query,... excludes
       // a (scale, query) cell EXPLICITLY — logged here and recorded as
-      // "skipped" in the JSON. Used for fixed-geometry c5 at x100,
-      // whose exact-cosine verify join moves full vectors over the
-      // capped-but-~1000×N candidate list (~80 GB shuffle — beyond
-      // this box's disk; the scaled-geometry variant below is the
-      // configuration that scale actually runs, and IS measured).
+      // "skipped" in the JSON. Used for the pinned-geometry c5/d10/n8
+      // at x100, whose saturated buckets are measured disk-killers
+      // (c5: ~80 GB shuffle; n8: 360 GB spill — values recorded in
+      // SCALE.md); their DECLARED scale-safe twins (*_scaled) run as
+      // capstone cells above.
       val skip: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
       // SPARK_GRAFT_SCALE_ONLY=q1,q2 restricts the run to those
@@ -154,31 +154,12 @@ object ScaleRun {
         graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
       }
       System.err.println(f"[scale] $label u5(recompute, warm)      ${u5reSec}%8.2f s")
-      // Scaled-geometry variants: the c5/d10 pair generators with the
-      // LSH bucket count grown to the corpus (bits ≈ log2(2N/16), the
-      // SCALE.md knob) — the configuration a 100 TB deployment runs,
-      // measured against the fixed oracle-pinned geometry above.
-      val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      val scaledBits = math.max(8,
-        math.ceil(math.log(2.0 * nVecs / 16.0) / math.log(2.0)).toInt)
-      val universe = graft.queries.DedupQueries.embeddingUniverse(spark, dir)
-      val (c5sSec, c5sM) = timedWithMetrics {
-        graft.operators.Components.connectedComponentsStar(
-          graft.operators.SimilaritySearch.lshNearDupPairs(
-            universe, "vec_id", "vec", minCosine = 0.9,
-            bits = scaledBits, tables = 4, maxBucket = 256),
-          "id_a", "id_b").count(); ()
-      }
-      System.err.println(f"[scale] $label c5(bits=$scaledBits)           ${c5sSec}%8.2f s  " +
-        f"shuffle ${(c5sM(0) + c5sM(1)) / 1e6}%.0f MB  spill ${(c5sM(2) + c5sM(3)) / 1e6}%.0f MB")
-      val (d10sSec, d10sM) = timedWithMetrics {
-        graft.operators.SimilaritySearch.pqNearDupPairs(
-          universe, "vec_id", "vec", dim = 64,
-          threshold = 0.9, margin = 0.15, bits = scaledBits, tables = 4,
-          maxBucket = 256).count(); ()
-      }
-      System.err.println(f"[scale] $label d10(bits=$scaledBits)          ${d10sSec}%8.2f s  " +
-        f"shuffle ${(d10sM(0) + d10sM(1)) / 1e6}%.0f MB  spill ${(d10sM(2) + d10sM(3)) / 1e6}%.0f MB")
+      // (The ad-hoc scaled-geometry variant blocks that used to run
+      // here are gone: the scale-safe c5/d10 configurations are
+      // DECLARED queries since rounds 10-11 — c5_embedding_clusters_
+      // scaled / d10_pq_neardup_scaled — and are measured as capstone
+      // cells above, under the oracle gate, with their exact declared
+      // geometry instead of this block's approximation of it.)
       // ANN recall@k against brute force, same corpus
       val exact = topkSets("n1_ann_bruteforce", dir)
       val recalls = Seq("n2_ann_lsh", "n3_ann_ivf", "n5_ann_pq").map { name =>
@@ -194,9 +175,6 @@ object ScaleRun {
         s""""queries":{${qJsons.mkString(",")}},""" +
         s""""u5_checkpoint_variant":${mJson(u5ckSec, u5ckM)},""" +
         s""""u5_recompute_warm":${mJson(u5reSec, u5reM)},""" +
-        s""""scaled_bits":$scaledBits,""" +
-        s""""c5_scaled_geometry":${mJson(c5sSec, c5sM)},""" +
-        s""""d10_scaled_geometry":${mJson(d10sSec, d10sM)},""" +
         s""""recall_at_5":{${recalls.mkString(",")}}}"""
       }
     }
