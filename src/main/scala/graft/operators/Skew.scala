@@ -79,16 +79,29 @@ object Skew {
   }
 
   /** The full-row salt hashes every column; `hash()` is undefined over
-    * MapType (no canonical entry order). Reject at operator-build time
-    * with the operator's name instead of a deep Catalyst error. */
+    * MapType (no canonical entry order), and Spark's own analyzer check
+    * is RECURSIVE — a map nested inside a struct or array fails it too.
+    * Mirror the recursion here so the rejection happens at
+    * operator-build time with the operator's name, never as a deep
+    * Catalyst error. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+  }
+
   private def rejectMapColumns(df: DataFrame, op: String): Unit = {
     val maps = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        f.name
+      case f if containsMap(f.dataType) => f.name
     }
     require(maps.isEmpty,
       s"$op salts by hashing ALL columns, and hash() is undefined over " +
-        s"map-typed columns ${maps.mkString("[", ", ", "]")} — drop or " +
-        "serialize them (to_json / map_entries+sort) before salting")
+        s"map-typed data (columns ${maps.mkString("[", ", ", "]")} contain " +
+        "maps, possibly nested) — drop or serialize them (to_json / " +
+        "map_entries+sort) before salting")
   }
 }

@@ -62,10 +62,21 @@ object EventStream {
             // with SQL round(value*100), and negative half-cent values
             // must land on the same cent here. BigDecimal-from-toString
             // + HALF_UP is exactly Spark's Round eval for doubles.
+            // Non-finite values fail LOUDLY with the value named: the
+            // ANSI batch twin's round(value*100).cast("long") throws on
+            // NaN/Infinity too, and math.round's old silent 0 /
+            // Long.MaxValue would corrupt the session total; toLongExact
+            // gives the same loud failure on cent overflow.
             rows.foreach { e =>
               n += 1
-              totalE2 += BigDecimal(e.value * 100)
-                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              val cents = e.value * 100
+              if (cents.isNaN || cents.isInfinity)
+                throw new ArithmeticException(
+                  s"sessionize: non-finite event value ${e.value} for " +
+                    s"user $user cannot round to cents (the ANSI batch " +
+                    "twin rejects the same input)")
+              totalE2 += BigDecimal(cents)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
             }
             state.update(SessionState(n, totalE2))
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)

@@ -115,9 +115,13 @@ object CapConnectivity {
     }
     // optional arg 3: a parquet path caching the uncapped truth pairs
     // (the truth run is ~20 min at x100 — compute once, reuse across
-    // config sweeps; the truth is deterministic per corpus)
+    // config sweeps; the truth is deterministic per corpus). An EMPTY
+    // string is "no cache" — the documented way to reach the 4th
+    // (generator) arg without caching (Files.exists(Paths.get(""))
+    // is true — it stats the CWD — so a bare length check would hand
+    // spark.read.parquet an empty path)
     val truth: Array[(Long, Long)] =
-      if (args.length > 2) {
+      if (args.length > 2 && args(2).nonEmpty) {
         val tp = args(2)
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(tp)))
           spark.read.parquet(tp).select("id_a", "id_b").collect()

@@ -120,4 +120,25 @@ class EventStreamSpec extends SparkSpec {
       s"negative half-cent rounded toward +inf: ${out(1L).total_value}")
     assert(out(2L).total_value == 0.03)
   }
+
+  test("sessionize fails loudly on non-finite event values (ANSI batch-twin parity)") {
+    // the ANSI batch twin's round(value*100).cast("long") rejects
+    // NaN/Infinity; the state function must fail with the value named,
+    // not silently add math.round's 0 / Long.MaxValue to the session
+    // total (and not die in a cryptic BigDecimal NumberFormatException)
+    val in = Files.createTempDirectory("graft-ss-nan").toString
+    Seq((1L, Timestamp.valueOf("2024-01-01 10:01:00"), Double.NaN))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.runToMemory(spark, schema, in, "sess_nan_out",
+        df => EventStream.sessionize(df.as[EventStream.Event]).toDF(),
+        OutputMode.Update())
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+        c.getMessage.contains("non-finite")),
+      s"expected the named non-finite failure, got: ${e.getMessage}")
+  }
 }

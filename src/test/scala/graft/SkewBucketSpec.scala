@@ -45,6 +45,18 @@ class SkewBucketSpec extends SparkSpec {
       Skew.saltedJoin(withMap, dim, "key", 4)
     }
     assert(e2.getMessage.contains("map-typed"))
+    // Spark's analyzer check is recursive — a map NESTED in a struct
+    // or array fails hash() too, so the build-time guard must recurse
+    val nested = skewed.withColumn("meta", struct(map(lit("a"), $"v").as("tags")))
+    val e3 = intercept[IllegalArgumentException] {
+      Skew.saltedSumCount(nested, "key", "v", 4)
+    }
+    assert(e3.getMessage.contains("meta"))
+    val inArray = skewed.withColumn("ms", array(map(lit("a"), $"v")))
+    val e4 = intercept[IllegalArgumentException] {
+      Skew.saltedSumCount(inArray, "key", "v", 4)
+    }
+    assert(e4.getMessage.contains("ms"))
   }
 
   test("partitioned layout prunes partitions under an equality filter") {

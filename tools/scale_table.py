@@ -60,24 +60,32 @@ def main(path):
         print("| " + " | ".join(cells) + " |")
     print()
 
-    # u5 variants + scaled geometry + recall
-    print("| variant | " + " | ".join(f"{l} (s)" for l in labels) + " |")
-    print("|" + "---|" * (len(labels) + 1))
-    for key, label in [("u5_recompute_warm", "u5 recompute (warm)"),
-                       ("u5_checkpoint_variant", "u5 +localCheckpoint"),
-                       ("c5_scaled_geometry", "c5 @ scaled bits"),
-                       ("d10_scaled_geometry", "d10 @ scaled bits")]:
-        cells = [label] + [f"{s[key]['sec']:.1f}" for s in scales]
-        print("| " + " | ".join(cells) + " |")
-    cells = ["scaled bits"] + [str(s["scaled_bits"]) for s in scales]
-    print("| " + " | ".join(cells) + " |")
-    print()
+    # u5 variants (+ the r9/r10 ad-hoc scaled-geometry block, which
+    # round 11's ScaleRun no longer emits — the scale-safe configs are
+    # declared capstone queries now; emit those rows only when present
+    # so this renderer works on both JSON generations)
+    variant_keys = [("u5_recompute_warm", "u5 recompute (warm)"),
+                    ("u5_checkpoint_variant", "u5 +localCheckpoint"),
+                    ("c5_scaled_geometry", "c5 @ scaled bits"),
+                    ("d10_scaled_geometry", "d10 @ scaled bits")]
+    present = [(k, l) for k, l in variant_keys if all(k in s for s in scales)]
+    if present:
+        print("| variant | " + " | ".join(f"{l} (s)" for l in labels) + " |")
+        print("|" + "---|" * (len(labels) + 1))
+        for key, label in present:
+            cells = [label] + [f"{s[key]['sec']:.1f}" for s in scales]
+            print("| " + " | ".join(cells) + " |")
+        if all("scaled_bits" in s for s in scales):
+            cells = ["scaled bits"] + [str(s["scaled_bits"]) for s in scales]
+            print("| " + " | ".join(cells) + " |")
+        print()
 
-    print("| recall@5 | " + " | ".join(labels) + " |")
-    print("|" + "---|" * (len(labels) + 1))
-    for n in scales[0]["recall_at_5"]:
-        cells = [n] + [f"{s['recall_at_5'][n]:.3f}" for s in scales]
-        print("| " + " | ".join(cells) + " |")
+    if all("recall_at_5" in s for s in scales):
+        print("| recall@5 | " + " | ".join(labels) + " |")
+        print("|" + "---|" * (len(labels) + 1))
+        for n in scales[0]["recall_at_5"]:
+            cells = [n] + [f"{s['recall_at_5'][n]:.3f}" for s in scales]
+            print("| " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":
