@@ -41,10 +41,14 @@ object Materialize {
     * first touch and survives executor loss. */
   def lazily(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(false)
-    else {
-      val rows = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      df.sparkSession.createDataFrame(rows, df.schema)
-    }
+    else clusterLazily(df)
+
+  /** The cluster branch of [[lazily]] — exposed for its spec (tests
+    * run on a local master, same as [[clusterMaterialize]]). */
+  private[graft] def clusterLazily(df: DataFrame): DataFrame = {
+    val rows = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
 
   /** The cluster branch of [[once]], callable directly by its spec
     * (tests run on a local master, where [[once]] would take the

@@ -60,6 +60,26 @@ class EmptyInputSpec extends SparkSpec {
       dim = 4, k = 3, nProbe = 2).count() == 0)
   }
 
+  test("near-dup pair generators: empty corpus → empty pairs, refine arm included") {
+    val v0 = vecs0.select($"vec_id", $"embedding")
+    // the refine-then-cap arm adds a groupBy-occupancy pass and a
+    // left join before the cap — all of it must be total on zero rows
+    assert(SimilaritySearch.lshNearDupPairs(v0, "vec_id", "embedding",
+      minCosine = 0.9, bits = 4, tables = 2, maxBucket = 16).count() == 0)
+    assert(SimilaritySearch.lshNearDupPairs(v0, "vec_id", "embedding",
+      minCosine = 0.9, bits = 4, tables = 2, maxBucket = 16,
+      refineBits = 12).count() == 0)
+    // refine without a finite cap is the documented argument error
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.lshNearDupPairs(v0, "vec_id", "embedding",
+        minCosine = 0.9, bits = 4, tables = 2,
+        maxBucket = Int.MaxValue, refineBits = 12)
+    }
+    assert(e.getMessage.contains("cap"))
+    // (pqNearDupPairs on an empty corpus is the codebook-training
+    // error below — documented, not a silent empty)
+  }
+
   test("PQ codebook training on an empty corpus raises a documented error") {
     val v0 = vecs0.select($"vec_id", $"embedding")
     val e = intercept[IllegalArgumentException] {

@@ -32,4 +32,26 @@ class MaterializeSpec extends SparkSpec {
     // it is tracked by the context, i.e. cleaner-collectable
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
   }
+
+  test("clusterLazily defers the job and populates once: probe fires at first action only") {
+    // an accumulator-probed row stream proves all three contract
+    // points: (a) NO job runs at call time (lazily exists exactly so
+    // loop bodies whose next step is an action don't pay one extra job
+    // per round); (b) the first action populates through the probe;
+    // (c) the second action reads persisted blocks, not the lineage
+    val acc = spark.sparkContext.longAccumulator("lazy-probe")
+    val base = spark.range(50).select($"id", (col("id") * 2).as("v"))
+    val probed = spark.createDataFrame(
+      base.rdd.map { r => acc.add(1); r }, base.schema)
+    val out = Materialize.clusterLazily(probed)
+    assert(acc.value == 0, "clusterLazily ran a job at call time")
+    assert(out.schema == base.schema)
+    assert(out.count() == 50)
+    assert(acc.value >= 50, "first action did not populate through the probe")
+    val afterFirst = acc.value
+    assert(out.collect().map(_.getLong(1)).sorted.toSeq ==
+      base.collect().map(_.getLong(1)).sorted.toSeq)
+    assert(acc.value == afterFirst,
+      "second action recomputed the lineage instead of reading persisted blocks")
+  }
 }
