@@ -503,16 +503,35 @@ object SimilaritySearch {
     // call-local frame would pin the CacheManager for the session's
     // life; cluster blocks stay recomputable + evictable
     // (the winnowingOverlap idiom).
+    // dnorm depends only on the code — computed once per id INSIDE the
+    // materialized frame and carried as 8 bytes, so the per-candidate
+    // cosine below references each decoded vector exactly once (a norm
+    // recomputed per pair would make Catalyst inline a second decode
+    // per reference, and a dnorm outside the materialization would
+    // re-decode N rows once per consuming subtree)
+    val code = graft.plans.VecExprs.pqEncode(col(vecCol), codebook)
     val uCols = Seq(col(idCol).as("id"),
       Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
-      graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code")) ++
+      code.as("code"),
+      Vectors.norm(pqDecode(code, codebook)).as("dnorm")) ++
       (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
         refineBits, tables, BucketCap.RefineFamilyOffset).as("xbuckets"))
        else Nil)
     val u = Materialize.once(
       graft.model.Tables.spread(corpus).select(uCols: _*))
+    // codes + dnorm RIDE the banded stream into the bucket join and the
+    // approx screen runs INSIDE it (the lshNearDupPairs shape, proven
+    // spill-free at 60 GB shuffle where the former pair-list shape —
+    // distinct over every multi-table collision, then two corpus-sized
+    // code joins by id — sorted the full candidate list twice and
+    // spilled 242 GB at x1000; SCALE.md round-11 "third decade"). The
+    // per-candidate decode is map-side CPU that scales linearly and
+    // partitions on a cluster; candidate rows stream through the
+    // shuffle-hash join and only approx-SURVIVORS are ever sorted
+    // (the least/greatest distinct below, ~final-pair-count rows).
     val banded0 = u.select(
-      Seq(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
+      Seq(col("id"), col("code"), col("dnorm"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
         (if (refineBits > 0) Seq(col("xbuckets")) else Nil): _*)
     // refineBits > 0: over-cap buckets re-key their members by the
     // per-table extension signs BEFORE the cap — the cap then only
@@ -526,34 +545,20 @@ object SimilaritySearch {
             Seq("tbl", "bucket", "__sub"))
     // candidate side frequency-capped (n×cap pair rows per bucket, not
     // n²) — identical to uncapped while maxBucket ≥ occupancy (the
-    // oracle-pinned config; see lshNearDupPairs scaladoc)
+    // oracle-pinned config; see lshNearDupPairs scaladoc). Small
+    // (≤ cap·buckets·tables rows) → shuffle-hash build side: no sort
+    // of the candidate stream anywhere before the survivor distinct.
     val capped = BucketCap.capMembers(banded, joinKey, "id", maxBucket)
-    val pairs = banded.select(col("id").as("qid") +: joinKey.map(col): _*)
-      .join(capped.select(col("id").as("cid") +: joinKey.map(col): _*),
-        joinKey)
-      .filter(col("qid") =!= col("cid"))
-      .select(least(col("qid"), col("cid")).as("id_a"),
-        greatest(col("qid"), col("cid")).as("id_b"))
-      .distinct()
-    // approx screen: the pair joins move (id, code, dnorm) rows — m
-    // small ints + one double per side — and the decode + dot run
-    // map-side on the JOINED pair rows. Decoding before the join would
-    // put full-dim double vectors into the join shuffle (forfeiting the
-    // compression); the NORM of the decoded vector depends only on the
-    // code, so it is computed once per id here and carried as 8 bytes —
-    // the cosine below then references each decoded vector exactly once
-    // (a norm recomputed per pair would make Catalyst inline a second
-    // decode per reference).
-    val codes = u.select(col("id"), col("code"),
-      Vectors.norm(pqDecode(col("code"), codebook)).as("dnorm"))
-    def codeSide(p: String) = codes.select(col("id").as(s"id_$p"),
-      col("code").as(s"code_$p"), col("dnorm").as(s"dnorm_$p"))
-    val screened = pairs
-      .join(codeSide("a"), "id_a").join(codeSide("b"), "id_b")
+      .select(joinKey.map(col) ++ Seq(col("id").as("cid"),
+        col("code").as("ccode"), col("dnorm").as("cdnorm")): _*)
+    val screened = banded.join(capped.hint("shuffle_hash"), joinKey)
+      .filter(col("id") =!= col("cid"))
       .filter(Vectors.cosineWithNorms(
-        pqDecode(col("code_a"), codebook), pqDecode(col("code_b"), codebook),
-        col("dnorm_a"), col("dnorm_b")) >= threshold - margin)
-      .select(col("id_a"), col("id_b"))
+        pqDecode(col("code"), codebook), pqDecode(col("ccode"), codebook),
+        col("dnorm"), col("cdnorm")) >= threshold - margin)
+      .select(least(col("id"), col("cid")).as("id_a"),
+        greatest(col("id"), col("cid")).as("id_b"))
+      .distinct()
     // exact verification: full vectors fetched for approx-survivors only
     def full(p: String) = corpus
       .select(col(idCol).as(s"id_$p"), col(vecCol).as(s"vec_$p"))
