@@ -435,32 +435,55 @@ object SimilaritySearch {
       .select(Seq("tbl", "bucket", "id", "vec", "nrm").map(col) ++
         (if (refineBits > 0) Seq(col("xbuckets")(col("tbl")).as("xb"))
          else Nil): _*)
-    // refineBits > 0: over-cap buckets re-key their members by the
-    // per-table extension signs BEFORE the cap (BucketCap.splitHot).
-    // The occupancy aggregation's input prunes to the bucket columns
-    // (partial-aggregated count, no vector bytes in that shuffle); the
-    // banded stream re-derives from the corpus scan — cheaper than
-    // materializing N·tables wide vector rows.
-    val (banded, joinKey) =
-      if (refineBits == 0) (banded0, Seq("tbl", "bucket"))
-      else (BucketCap.splitHot(banded0, Seq("tbl", "bucket"), "xb", maxBucket),
-            Seq("tbl", "bucket", "__sub"))
-    // candidate side frequency-capped: n members in a bucket emit
-    // n×cap scored pairs, never n² (identical results while cap ≥
-    // occupancy — the oracle-pinned configs are sized that way). The
-    // capped side is small (≤ cap·buckets·tables rows) → shuffle-hash
-    // build side: no sort of wide vector rows anywhere in the plan.
-    val capped = BucketCap.capMembers(banded, joinKey, "id", maxBucket)
-      .select(joinKey.map(col) ++ Seq(col("id").as("cid"),
-        col("vec").as("cvec"), col("nrm").as("cnrm")): _*)
-    banded.join(capped.hint("shuffle_hash"), joinKey)
-      .filter(col("id") =!= col("cid"))
+    cappedCandidateJoin(banded0, refineBits, maxBucket,
+        payload = Seq("vec", "nrm"))
       .withColumn("cosine", Vectors.cosineWithNorms(
         col("vec"), col("cvec"), col("nrm"), col("cnrm")))
       .filter(col("cosine") >= minCosine)
       .select(least(col("id"), col("cid")).as("id_a"),
         greatest(col("id"), col("cid")).as("id_b"), col("cosine"))
       .groupBy("id_a", "id_b").agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** Shared candidate-join skeleton of the refine-then-cap generators
+    * ([[lshNearDupPairs]] and [[pqNearDupPairs]]) — ONE definition so
+    * the two cannot silently diverge on the geometry contract their
+    * DuckDB oracles replicate (IncrementalAnn.pairsFromCodes keeps its
+    * own sibling: its probe side is the batch only and its replay
+    * semantics differ).
+    *
+    * Input `banded0` carries (id, <payload…>, tbl, bucket[, xb when
+    * refineBits > 0 — the per-table extension sign bits]). Steps:
+    * occupancy-conditional re-key of over-cap buckets on `xb`
+    * ([[BucketCap.splitHot]]; the occupancy aggregation's input prunes
+    * to the bucket columns — no payload bytes in that shuffle; the
+    * banded stream re-derives from its source, cheaper than
+    * materializing N·tables payload rows), then the deterministic
+    * smallest-hash cap, then the probe×capped equi-join with the
+    * self-pair filter. The candidate side's columns come back
+    * prefixed `c` (id → cid, payload p → cp).
+    *
+    * Plan shape honesty: the cap pass is a WindowGroupLimit — map
+    * tasks keep only `cap` members per bucket BEFORE the window
+    * shuffle (PlanSpec pins it), so the window sort touches ≤
+    * cap·buckets·tables rows, and that is also the shuffle-hash BUILD
+    * side's size in the scaled configs where the cap binds. In the
+    * pinned identity-cap regime (cap ≥ max occupancy) the build side
+    * is the full N·tables exploded stream — fine at the
+    * correctness-tier corpus sizes those configs are declared for,
+    * and exactly why the `_scaled` twins are the deployment tier. */
+  private def cappedCandidateJoin(banded0: DataFrame, refineBits: Int,
+                                  maxBucket: Int,
+                                  payload: Seq[String]): DataFrame = {
+    val (banded, joinKey) =
+      if (refineBits == 0) (banded0, Seq("tbl", "bucket"))
+      else (BucketCap.splitHot(banded0, Seq("tbl", "bucket"), "xb", maxBucket),
+            Seq("tbl", "bucket", "__sub"))
+    val capped = BucketCap.capMembers(banded, joinKey, "id", maxBucket)
+      .select(joinKey.map(col) ++
+        ("id" +: payload).map(c => col(c).as(s"c$c")): _*)
+    banded.join(capped.hint("shuffle_hash"), joinKey)
+      .filter(col("id") =!= col("cid"))
   }
 
   /** Embedding near-dup with PQ-COMPRESSED verification — the d5 shape
@@ -497,8 +520,10 @@ object SimilaritySearch {
     val codebook = pqTrainCodebook(corpus, idCol, vecCol, dim, m, codewords)
     // ONE corpus-wide pass: buckets (for blocking) + code (for approx
     // verification); the float vector is dropped immediately after.
-    // Materialized because it feeds two subtrees (banding + the code
-    // lookup) — without it the hash+encode pass runs once per subtree.
+    // Materialized because the banded stream fans out to THREE
+    // consumers (the probe side, the capMembers window, and — with
+    // refineBits — splitHot's occupancy aggregate); without it the
+    // hash+encode+decode-norm pass runs once per subtree.
     // Materialize.once, not df.persist: a persist entry on this
     // call-local frame would pin the CacheManager for the session's
     // life; cluster blocks stay recomputable + evictable
@@ -508,17 +533,23 @@ object SimilaritySearch {
     // cosine below references each decoded vector exactly once (a norm
     // recomputed per pair would make Catalyst inline a second decode
     // per reference, and a dnorm outside the materialization would
-    // re-decode N rows once per consuming subtree)
-    val code = graft.plans.VecExprs.pqEncode(col(vecCol), codebook)
+    // re-decode N rows once per consuming subtree). Two STACKED
+    // projections, not one: dnorm's decode must reference the stored
+    // `code` ATTRIBUTE, never the raw encode expression — nine inlined
+    // copies of the encode (one per element_at + the alias) would make
+    // "one codeword scan per vector" depend on subexpression
+    // elimination instead of plan structure (CollapseProject declines
+    // to inline a non-cheap producer referenced many times, so the
+    // structure holds).
     val uCols = Seq(col(idCol).as("id"),
       Vectors.lshBucketsAll(col(vecCol), bits, tables).as("buckets"),
-      code.as("code"),
-      Vectors.norm(pqDecode(code, codebook)).as("dnorm")) ++
+      graft.plans.VecExprs.pqEncode(col(vecCol), codebook).as("code")) ++
       (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
         refineBits, tables, BucketCap.RefineFamilyOffset).as("xbuckets"))
        else Nil)
     val u = Materialize.once(
-      graft.model.Tables.spread(corpus).select(uCols: _*))
+      graft.model.Tables.spread(corpus).select(uCols: _*)
+        .withColumn("dnorm", Vectors.norm(pqDecode(col("code"), codebook))))
     // codes + dnorm RIDE the banded stream into the bucket join and the
     // approx screen runs INSIDE it (the lshNearDupPairs shape, proven
     // spill-free at 60 GB shuffle where the former pair-list shape —
@@ -532,27 +563,10 @@ object SimilaritySearch {
     val banded0 = u.select(
       Seq(col("id"), col("code"), col("dnorm"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
-        (if (refineBits > 0) Seq(col("xbuckets")) else Nil): _*)
-    // refineBits > 0: over-cap buckets re-key their members by the
-    // per-table extension signs BEFORE the cap — the cap then only
-    // bites clone masses that refuse to split (BucketCap.splitHot).
-    val (banded, joinKey) =
-      if (refineBits == 0) (banded0, Seq("tbl", "bucket"))
-      else (BucketCap.splitHot(
-              banded0.withColumn("xb", col("xbuckets")(col("tbl")))
-                .drop("xbuckets"),
-              Seq("tbl", "bucket"), "xb", maxBucket),
-            Seq("tbl", "bucket", "__sub"))
-    // candidate side frequency-capped (n×cap pair rows per bucket, not
-    // n²) — identical to uncapped while maxBucket ≥ occupancy (the
-    // oracle-pinned config; see lshNearDupPairs scaladoc). Small
-    // (≤ cap·buckets·tables rows) → shuffle-hash build side: no sort
-    // of the candidate stream anywhere before the survivor distinct.
-    val capped = BucketCap.capMembers(banded, joinKey, "id", maxBucket)
-      .select(joinKey.map(col) ++ Seq(col("id").as("cid"),
-        col("code").as("ccode"), col("dnorm").as("cdnorm")): _*)
-    val screened = banded.join(capped.hint("shuffle_hash"), joinKey)
-      .filter(col("id") =!= col("cid"))
+        (if (refineBits > 0)
+           Seq(col("xbuckets")(col("tbl")).as("xb")) else Nil): _*)
+    val screened = cappedCandidateJoin(banded0, refineBits, maxBucket,
+        payload = Seq("code", "dnorm"))
       .filter(Vectors.cosineWithNorms(
         pqDecode(col("code"), codebook), pqDecode(col("ccode"), codebook),
         col("dnorm"), col("cdnorm")) >= threshold - margin)
