@@ -36,6 +36,7 @@ object Components {
       .distinct()
       .persist()
     var labels: DataFrame = null
+    var labelsH: Materialize.Handle = null
     var it = 0
     var converged = false
     // try/finally: a job failure in ANY eager step — the seed job
@@ -49,9 +50,10 @@ object Components {
       // — exactly what the first propagation round would produce from
       // the identity labeling, for the price of the groupBy that
       // builds the node set anyway: one fewer join round every call
-      labels = Materialize.once(sym.groupBy(col("u"))
+      labelsH = Materialize.onceReleasable(sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u").as("node"), least(col("u"), col("mv")).as("cluster")))
+      labels = labelsH.df
       while (!converged && it < maxIter) {
       // min label among each node's neighbors this round
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
@@ -64,17 +66,25 @@ object Components {
       // shrink and label(x) <= x, so following one hop of the label
       // chain halves its length; combined with the neighbor-min step
       // this closes in O(log diameter) rounds instead of O(diameter)
-      // Materialize.once, not raw localCheckpoint: per-round lineage
-      // truncation must stay RECOMPUTABLE on a real cluster (executor
-      // loss under dynamic allocation), where the master-aware wrapper
-      // persists instead of checkpointing
-      val next = Materialize.once(stepped
+      // onceReleasable (eager), not raw localCheckpoint: per-round
+      // lineage truncation must stay RECOMPUTABLE on a real cluster
+      // (executor loss under dynamic allocation), where the
+      // master-aware wrapper persists instead of checkpointing — and
+      // EAGER because the isEmpty probe below can stop at the first
+      // non-empty partition, which must not be what populates the
+      // round. The handle releases the PREVIOUS round's blocks once
+      // this round is populated, keeping O(1) rounds cached.
+      val nextH = Materialize.onceReleasable(stepped
         .join(stepped.select(col("node").as("jn"), col("c1").as("jc")),
           col("c1") === col("jn"), "left")
         .select(col("node"), coalesce(col("jc"), col("c1")).as("cluster"),
-          (coalesce(col("jc"), col("c1")) < col("old_cluster")).as("changed")))
+          (coalesce(col("jc"), col("c1")) < col("old_cluster")).as("changed")),
+        truncateLineage = it % TruncateLineageEvery == TruncateLineageEvery - 1)
+      val next = nextH.df
       converged = next.filter(col("changed")).isEmpty
+      labelsH.release() // round N's last reader was the join above
       labels = next.drop("changed")
+      labelsH = nextH
       it += 1
       }
     } finally sym.unpersist()
@@ -124,10 +134,11 @@ object Components {
     val nodes = Materialize.once(
       raw.select(explode(array(col("u"), col("v"))).as("node")).distinct())
     // canonical orientation big→small; self-loops carry no connectivity
-    var e = Materialize.once(raw.filter(col("u") =!= col("v"))
+    var eH = Materialize.onceReleasable(raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct())
+    var e = eH.df
 
     // Size-adaptive fast path: each distributed contraction round costs
     // a fixed ~5 tiny shuffles of plan compilation + scheduling — on a
@@ -183,10 +194,16 @@ object Components {
     var eCnt = eCnt0
     var converged = eCnt == 0
     while (!converged && it < maxIter) {
-      // LAZY materialization: the count() below is the materializing
-      // action, so lineage truncation costs no extra job per round
-      // (recomputable persist on a cluster — Materialize.lazily)
-      val next = Materialize.lazily(smallStar(largeStar(e)))
+      // LAZY materialization with a release handle: the count() below
+      // is the materializing action, so lineage truncation costs no
+      // extra job per round; once this round is populated AND compared,
+      // the previous round's blocks are dead weight — released below so
+      // a deep contraction keeps O(1) rounds cached, not O(rounds)
+      // (they stay recomputable; replay depth is reset by the periodic
+      // reliable checkpoint on deployments that armed a checkpoint dir)
+      val nextH = Materialize.lazilyReleasable(smallStar(largeStar(e)),
+        truncateLineage = it % TruncateLineageEvery == TruncateLineageEvery - 1)
+      val next = nextH.df
       // both sides are distinct sets, so equal counts are NECESSARY for
       // the fixed point — and counting freshly-checkpointed data is one
       // cheap job, while the exact symmetric-difference check is two
@@ -196,7 +213,9 @@ object Components {
       // difference is empty — the second anti-join would be redundant
       val nextCnt = next.count()
       converged = nextCnt == eCnt && next.exceptAll(e).isEmpty
+      eH.release() // last read of round N was the exceptAll above
       e = next
+      eH = nextH
       eCnt = nextCnt
       it += 1
     }
@@ -215,6 +234,15 @@ object Components {
     * while the batch-contracted graphs the fast path exists for are
     * thousands of rows. */
   val LocalIterationCap: Long = 200000L
+
+  /** Every this-many contraction/propagation rounds, ask the
+    * materializer for a reliable lineage truncation (active only on a
+    * cluster that armed `setCheckpointDir` — see
+    * [[Materialize.lazilyReleasable]]). Both loops converge in
+    * O(log diameter) rounds, so this fires at most once or twice on
+    * real graphs; it exists for the adversarially deep ones, bounding
+    * executor-loss replay to ≤ this many rounds of recompute. */
+  val TruncateLineageEvery: Int = 10
 
   /** Spark-semantics ordering for collected atomic id values: STRING
     * must compare as UTF-8 bytes (UTF8String's binary order), not

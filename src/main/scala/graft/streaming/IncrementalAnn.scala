@@ -57,8 +57,10 @@ object IncrementalAnn {
     if (refineBits > 0)
       graft.operators.BucketCap.requireIndependentFamilies(
         lshBits, lshTables, refineBits, lshTables)
-    requireStoreLayout(spark, codeStoreDir, lshBits, lshTables, refineBits)
-    adoptStoreLayout(spark, codeStoreDir, lshBits, lshTables, refineBits)
+    val verified = requireStoreLayout(spark, codeStoreDir,
+      lshBits, lshTables, refineBits)
+    adoptStoreLayout(spark, codeStoreDir, lshBits, lshTables, refineBits,
+      unverified = !verified)
     val in = spark.readStream.schema(schema).parquet(inputDir)
       .select(col(idCol), col(vecCol))
     val q = in.writeStream
@@ -170,7 +172,7 @@ object IncrementalAnn {
   private[graft] def requireStoreLayout(spark: SparkSession,
                                         codeStoreDir: String,
                                         lshBits: Int = 8, lshTables: Int = 4,
-                                        refineBits: Int): Unit = {
+                                        refineBits: Int): Boolean = {
     val root = new org.apache.hadoop.fs.Path(codeStoreDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(root, LayoutFile)
@@ -185,7 +187,7 @@ object IncrementalAnn {
           "family and refinement geometry are part of the store's layout " +
           "contract (bucket keys and extension signs are persisted, not " +
           "recomputable) and must stay constant for the store's lifetime")
-      return
+      return true
     }
     val paths = graft.sources.StoreManifest.latest(spark, codeStoreDir) match {
       case Some((_, dirs)) => dirs.map(n => s"$codeStoreDir/$n")
@@ -221,24 +223,54 @@ object IncrementalAnn {
           "bucket keys will agree only by chance and recall collapses " +
           "silently; confirm the original run's configuration before " +
           "trusting results from this store.")
+      return false // adopted, but NOT verified against the files
     }
+    true // brand-new store: first-writer truth, nothing to verify
   }
+
+  private val ProvenanceFile = "_layout_provenance"
 
   /** Record the layout tuple as the store's contract if none is
     * recorded yet — called by [[runOnce]] AFTER [[requireStoreLayout]]
     * passes, so the adopted values are either a brand-new store's
-    * first-writer truth or a pre-sidecar store's already-validated
-    * working configuration. Atomic create-then-rename; the single-
-    * writer contract makes the lost-race require a loud invariant. */
+    * first-writer truth or a pre-sidecar store's xbuckets-presence-
+    * checked declared configuration. Atomic create-then-rename; the
+    * single-writer contract makes the lost-race require a loud
+    * invariant.
+    *
+    * `unverified = true` (a non-empty pre-sidecar store, per
+    * [[requireStoreLayout]]'s return) ALSO writes a
+    * `_layout_provenance` sidecar saying the tuple was adopted WITHOUT
+    * file-level verification — so the one first contact where a wrong
+    * declaration could become the permanent contract leaves a durable,
+    * auditable trace next to the contract itself, not just a log line
+    * that scrolled away. A verified adoption (fresh store) writes no
+    * provenance: absence of the file means the contract is
+    * first-writer truth. */
   private[streaming] def adoptStoreLayout(spark: SparkSession,
                                           codeStoreDir: String,
                                           lshBits: Int, lshTables: Int,
-                                          refineBits: Int): Unit = {
+                                          refineBits: Int,
+                                          unverified: Boolean = false): Unit = {
     val root = new org.apache.hadoop.fs.Path(codeStoreDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = new org.apache.hadoop.fs.Path(root, LayoutFile)
     if (fs.exists(meta)) return
     fs.mkdirs(root)
+    if (unverified) {
+      val prov = new org.apache.hadoop.fs.Path(root, ProvenanceFile)
+      val pOut = fs.create(prov, true)
+      try pOut.write((
+        "adopted-unverified: declared geometry " +
+          s"(${layoutBody(lshBits, lshTables, refineBits).replace("\n", " ")}) " +
+          "was recorded as this pre-sidecar store's permanent layout " +
+          "contract with only xbuckets PRESENCE verifiable against the " +
+          "files. If the store was built under different values, probe " +
+          "and stored bucket keys agree only by chance and recall is " +
+          "silently collapsed — confirm the original run's configuration.\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally pOut.close()
+    }
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".tmp-$LayoutFile-${System.nanoTime()}")
     val out = fs.create(tmp, true)

@@ -54,4 +54,38 @@ class MaterializeSpec extends SparkSpec {
     assert(acc.value == afterFirst,
       "second action recomputed the lineage instead of reading persisted blocks")
   }
+
+  test("releasable handle frees the round's blocks and stays recomputable; truncateLineage checkpoints when a dir is armed") {
+    // the iterative-loop contract: round N's persisted RDD is held
+    // live by round N+1's lineage, so an explicit release is the only
+    // thing standing between a deep contraction and O(rounds) pinned
+    // storage. release() must (a) drop the entry from the context's
+    // persistent-RDD registry and (b) NOT invalidate the frame — the
+    // data stays recomputable through lineage.
+    val df = spark.range(80).select($"id", (col("id") % 3).as("g"))
+    val h = Materialize.clusterLazilyReleasable(df, truncateLineage = false)
+    assert(h.df.count() == 80)
+    val persistedId = h.backing.get.id
+    assert(spark.sparkContext.getPersistentRDDs.contains(persistedId),
+      "populated handle must be tracked as persisted")
+    h.release()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(persistedId),
+      "release() must drop the round's entry from the persistence registry")
+    assert(h.df.count() == 80,
+      "a released frame must stay recomputable — unpersist drops blocks, not lineage")
+
+    // truncateLineage: with a checkpoint dir armed, the round's RDD is
+    // reliably checkpointed by its materializing action — lineage (and
+    // executor-loss replay) resets to the checkpoint files
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-matckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val h2 = Materialize.clusterLazilyReleasable(
+      spark.range(40).toDF("id"), truncateLineage = true)
+    assert(h2.df.count() == 40)
+    assert(h2.backing.get.isCheckpointed,
+      "truncateLineage with an armed checkpoint dir must reliably checkpoint")
+    assert(h2.df.count() == 40)
+    h2.release()
+    assert(h2.df.count() == 40, "checkpointed frame survives release")
+  }
 }

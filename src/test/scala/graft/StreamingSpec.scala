@@ -479,6 +479,60 @@ class StreamingSpec extends SparkSpec {
       root.resolve("fresh").toString, refineBits = 8)
   }
 
+  test("pre-sidecar ANN store adoption records unverified provenance; fresh adoption records none") {
+    // The one first contact where a wrong declared geometry could be
+    // silently recorded as a store's permanent contract is a non-empty
+    // store from before the _layout sidecar existed: only xbuckets
+    // PRESENCE is checkable against the files. Adoption there must
+    // leave a durable trace next to the contract — not just a log
+    // line — and the presence check itself must still reject loudly.
+    val root = Files.createTempDirectory("graft-presidecar")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val codes = root.resolve("codes"); val codesS = codes.toString
+    Seq((1L, Seq(1f, 0f, 1f, 0f)), (2L, Seq(0f, 1f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    def run(refine: Int, ck: String): Unit =
+      IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+        codesS, root.resolve(s"pairs-$ck").toString, root.resolve(ck).toString,
+        dim = 4, m = 2, codewords = 4,
+        maxBucket = if (refine > 0) 2 else Int.MaxValue, refineBits = refine)
+    run(2, "ck1")
+    val layout = codes.resolve("_layout")
+    val prov = codes.resolve("_layout_provenance")
+    assert(Files.exists(layout), "first arm must record the contract")
+    assert(!Files.exists(prov),
+      "a fresh store's adoption is first-writer truth — provenance " +
+        "would wrongly mark it unverified")
+    // simulate a store written before the sidecar existed
+    Files.delete(layout)
+    // happy path: the same geometry re-adopts — loudly unverified
+    run(2, "ck2")
+    assert(Files.exists(layout), "re-adoption must restore the contract")
+    assert(Files.exists(prov),
+      "pre-sidecar adoption must leave a durable provenance trace")
+    val provText = new String(Files.readAllBytes(prov),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(provText.contains("adopted-unverified") &&
+      provText.contains("refineBits=2"),
+      s"provenance must name the unverified tuple, got: $provText")
+    // and the adopted tuple is now the enforced contract again
+    val eAfter = intercept[IllegalArgumentException] {
+      IncrementalAnn.requireStoreLayout(spark, codesS, refineBits = 4)
+    }
+    assert(eAfter.getMessage.contains("layout contract"))
+    // the one thing the files CAN say still rejects: declaring
+    // refineBits=0 against a store whose rows carry xbuckets
+    Files.delete(layout); Files.delete(prov)
+    val ePresence = intercept[IllegalArgumentException] {
+      run(0, "ck3")
+    }
+    assert(ePresence.getMessage.contains("layout contract"))
+    assert(!Files.exists(layout),
+      "a rejected adoption must not record a contract")
+  }
+
   test("streaming ANN drift policy: stable ingest keeps one codebook, drifted batch retrains; cross-generation pairs verify") {
     val root = Files.createTempDirectory("graft-anndrift")
     val in = root.resolve("in"); Files.createDirectories(in)

@@ -60,6 +60,13 @@ def main():
         if nm is None:
             if not o_skip:
                 fails.append(f"LOST    {label}:{q} — measured in {args.old}, absent in {args.new}")
+            else:
+                # a skipped cell vanishing entirely is dropped COVERAGE
+                # (query deleted, or the run died before emitting it) —
+                # surface it so it can't disappear silently, even though
+                # no measurement regressed
+                infos.append(f"GONE    {label}:{q} — skipped in {args.old}, "
+                             f"absent from {args.new} (coverage disappeared; verify the query still exists)")
             continue
         n_skip = nm.get("skipped", False)
         if o_skip or n_skip:
