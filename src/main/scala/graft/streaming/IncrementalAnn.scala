@@ -12,8 +12,9 @@ import graft.operators.SimilaritySearch
   * is PQ-encoded and sign-LSH-bucketed ONCE, candidates are generated
   * by bucket-joining the batch against the accumulated code store, and
   * surviving pairs are verified by the asymmetric PQ cosine (decoded
-  * codes on both sides) — so the store carries `m` small ints + a few
-  * bucket ints per vector, never the float embeddings, and per batch
+  * codes on both sides, screened INSIDE the bucket join) — so the
+  * store carries `m` small ints, a few bucket ints, and the 8-byte
+  * decoded norm per vector, never the float embeddings, and per batch
   * the work is O(batch + collisions), not O(corpus).
   *
   * Codebooks are GENERATIONAL: the first batch trains generation 0
@@ -95,6 +96,13 @@ object IncrementalAnn {
             (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
               refineBits, lshTables, graft.operators.BucketCap.RefineFamilyOffset)
               .as("xbuckets")) else Nil): _*)
+          // dnorm persisted WITH the codes (stacked projection — the
+          // decode references the stored code attribute): 8 bytes per
+          // row buys never re-decoding the store side for the in-join
+          // screen's norms; pre-dnorm store rows null-fill on read and
+          // pairsFromCodes recomputes them from the code
+          .withColumn("dnorm", Vectors.norm(
+            SimilaritySearch.pqDecode(col("code"), books(gen))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val existing = IncrementalDedup.readStore(
@@ -309,8 +317,23 @@ object IncrementalAnn {
                                         refineBits: Int = 0): DataFrame = {
     require(refineBits == 0 || maxBucket != Int.MaxValue,
       "refine without a cap has nothing to split on")
+    // dnorm once per id, BEFORE the per-table explode (a norm inside
+    // the banded stream would decode `tables` times per vector), in a
+    // STACKED projection so the decode references the stored `code`
+    // attribute (d10's one-codeword-scan rule). New batches persist
+    // dnorm in the store (8 bytes buys never re-decoding the store
+    // side); rows from batches written before dnorm existed null-fill
+    // on read and the coalesce recomputes them from the code —
+    // bit-identical, dnorm is a pure function of (gen, code).
+    def withNorm(df: DataFrame): DataFrame = {
+      val freshNorm = Vectors.norm(decodeOf(books, col("gen"), col("code")))
+      if (df.columns.contains("dnorm"))
+        df.withColumn("dnorm", coalesce(col("dnorm"), freshNorm))
+      else df.withColumn("dnorm", freshNorm)
+    }
     def banded(df: DataFrame, isNew: Boolean) = {
-      val b = df.select(Seq(col("id"), lit(isNew).as("is_new"),
+      val b = withNorm(df).select(Seq(col("id"), lit(isNew).as("is_new"),
+        col("gen"), col("code"), col("dnorm"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
         (if (refineBits > 0) Seq(col("xbuckets")) else Nil): _*)
       if (refineBits > 0)
@@ -343,46 +366,60 @@ object IncrementalAnn {
     val candBands =
       if (maxBucket == Int.MaxValue) refined
       else graft.operators.BucketCap.capMembers(refined, key, "id", maxBucket)
-    val pairs = refined.filter(col("is_new"))
-      .select(col("id").as("nid") +: key.map(col): _*)
-      .join(candBands.select(col("id") +: key.map(col): _*), key)
+    // Screen INSIDE the bucket join (the d10_scaled cure, SCALE.md
+    // round-11 "third decade", applied here in round 12): codes and
+    // the decoded norm RIDE the banded stream, each collision is
+    // scored map-side in the join task, and only the pair-collapsing
+    // aggregate ever sees survivors. The former pair-list shape —
+    // DISTINCT over every collision, then a decode semi-join and two
+    // corpus-sized joins by id — moved the candidate list through
+    // FIVE candidate-volume exchanges, one of them carrying a
+    // 512-byte decoded vector per pair: measured 2.70 GB of n8_scaled's
+    // 4.20 GB total shuffle written at x1000, and the candidate volume
+    // itself grows 11.7x/decade across the cap-regime transition
+    // (ExchangeProf, SCALE.md r12). Here the only candidate-volume
+    // shuffle is the join's own partitioning, payload ~90 bytes/row.
+    // Per-generation decode: each side's code expands under the
+    // codebook that produced it; a code whose generation has NO loaded
+    // codebook (store corruption, a deleted _SUCCESS marker) must fail
+    // the batch loudly, not decode to NULL and silently drop its pairs.
+    // The build side is the PROBE (batch bands — the small side;
+    // shuffle-hash, no sort of the corpus-sized candidate stream).
+    // Replay safety is structural now: no by-id join exists for a
+    // duplicate (store-already-holds-the-batch) id row to multiply —
+    // duplicate collisions collapse in the groupBy, whose max() folds
+    // bitwise-identical cosines (pure function of the two codes).
+    val probe = refined.filter(col("is_new"))
+      .select(col("id").as("nid") +: col("gen").as("ngen") +:
+        col("code").as("ncode") +: col("dnorm").as("nnorm") +: key.map(col): _*)
+    probe.hint("shuffle_hash").join(candBands, key)
       .filter(col("nid") =!= col("id"))
+      .withColumn("approx_cos", Vectors.cosineWithNorms(
+        decodeOf(books, col("ngen"), col("ncode")),
+        decodeOf(books, col("gen"), col("code")),
+        col("nnorm"), col("dnorm")))
+      .filter(col("approx_cos") >= minCosine)
+      // least/greatest is order-safe because the screen is symmetric
+      // BITWISE: elementwise multiply and the fixed-index sum fold
+      // commute in IEEE754, so (probe, cand) and (cand, probe) roles
+      // produce the identical double
       .select(least(col("nid"), col("id")).as("id_a"),
-        greatest(col("nid"), col("id")).as("id_b"))
-      .distinct()
-    // decode ONLY ids that appear in a candidate pair (semi-join first:
-    // per-batch decode work is O(collisions), not O(store)), and dedup
-    // by id so an at-least-once replay — where the store already holds
-    // the batch's own codes — cannot multiply verification rows
-    val pairIds = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val survivors = existing.unionByName(newCodes)
-      .join(pairIds, Seq("id"), "left_semi")
-      .dropDuplicates("id")
-    // per-generation decode: each code expands under the codebook that
-    // produced it (generation count is tiny — a driver-side union).
-    // A code whose generation has NO loaded codebook (store corruption,
-    // a deleted _SUCCESS marker) must fail the batch, not decode to
-    // NULL and silently drop its pairs — that would be unbounded
-    // invisible recall loss.
+        greatest(col("nid"), col("id")).as("id_b"), col("approx_cos"))
+      .groupBy("id_a", "id_b").agg(max(col("approx_cos")).as("approx_cos"))
+  }
+
+  /** Decode `codeC` under the generational codebook selected by `genC`
+    * — the when-chain is tiny (generation count is small, driver-side)
+    * and only the matching branch evaluates per row. A generation with
+    * no loaded codebook fails LOUDLY with the generation named. */
+  private def decodeOf(books: Map[Int, Codebook],
+                       genC: Column, codeC: Column): Column = {
     val noBook: Column = raise_error(concat(
       lit("no codebook loaded for stored code generation "),
-      col("gen").cast("string"))).cast("array<double>")
-    val decodeGen: Column = books.toSeq.sortBy(_._1)
-      .foldLeft(noBook) { case (acc, (g, cb)) =>
-        when(col("gen") === g, SimilaritySearch.pqDecode(col("code"), cb))
-          .otherwise(acc)
-      }
-    val all = survivors
-      .select(col("id"), decodeGen.as("dec"))
-      .withColumn("nrm", Vectors.norm(col("dec")))
-    val a = all.select(col("id").as("id_a"), col("dec").as("dec_a"), col("nrm").as("n_a"))
-    val b = all.select(col("id").as("id_b"), col("dec").as("dec_b"), col("nrm").as("n_b"))
-    pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("approx_cos", Vectors.cosineWithNorms(
-        col("dec_a"), col("dec_b"), col("n_a"), col("n_b")))
-      .filter(col("approx_cos") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("approx_cos"))
+      genC.cast("string"))).cast("array<double>")
+    books.toSeq.sortBy(_._1).foldLeft(noBook) { case (acc, (g, cb)) =>
+      when(genC === g, SimilaritySearch.pqDecode(codeC, cb)).otherwise(acc)
+    }
   }
 
   /** Train a codebook generation on `batch` and persist it under

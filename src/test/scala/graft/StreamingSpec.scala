@@ -373,6 +373,65 @@ class StreamingSpec extends SparkSpec {
     assert(store.select(size($"code")).as[Int].collect().forall(_ == 4))
   }
 
+  test("pre-dnorm ANN store rows null-fill on read and pair identically") {
+    // Round 12 added the persisted decoded norm (dnorm) to the code
+    // store so the in-join screen never re-decodes the store side for
+    // norms. Stores written BEFORE that column existed must keep
+    // working: readStore null-fills the missing column and
+    // pairsFromCodes recomputes dnorm from (gen, code) — a pure
+    // function, so the pairs must be BIT-IDENTICAL to an untampered
+    // store's. A silently-null dnorm would instead null every cosine
+    // involving a store row and drop all cross-batch pairs.
+    val root = Files.createTempDirectory("graft-prednorm")
+    val v1 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v2 = Array(0.98f, 0.02f, 1f, 0f, 1f, 0f, 1f, 0f)
+    val v3 = Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+    val v4 = Array(0.99f, 0.01f, 1f, 0f, 1f, 0f, 1f, 0f)
+    def mkRun(tag: String): (String, String, (Int, Seq[(Long, Array[Float])]) => Unit) = {
+      val in = root.resolve(s"in-$tag"); Files.createDirectories(in)
+      val codes = root.resolve(s"codes-$tag").toString
+      val pairs = root.resolve(s"pairs-$tag").toString
+      val ingest = (i: Int, rows: Seq[(Long, Array[Float])]) => {
+        rows.toDF("vec_id", "embedding")
+          .coalesce(1).write.mode("append").parquet(in.toString)
+        val schema = spark.read.parquet(in.toString).schema
+        // ONE checkpoint per run: AvailableNow must see only the new
+        // files each ingest, so batch ids advance (the sibling tests'
+        // scaffolding)
+        IncrementalAnn.runOnce(spark, schema, in.toString, "vec_id", "embedding",
+          codes, pairs, root.resolve(s"ckpt-$tag").toString,
+          dim = 8, m = 4, codewords = 16)
+      }
+      (codes, pairs, ingest)
+    }
+    val (codesA, pairsA, ingestA) = mkRun("legacy")
+    val (_, pairsB, ingestB) = mkRun("fresh")
+    ingestA(0, Seq(1L -> v1, 2L -> v2, 3L -> v3))
+    ingestB(0, Seq(1L -> v1, 2L -> v2, 3L -> v3))
+    // strip dnorm from the legacy store's batch files (simulating a
+    // store written before the column existed); keep _layout/_codebook
+    val batchDir = s"$codesA/batch_id=0"
+    val legacy = spark.read.parquet(batchDir).drop("dnorm").collect()
+    val legacySchema = spark.read.parquet(batchDir).drop("dnorm").schema
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(batchDir))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacy.toIndexedSeq), legacySchema)
+      .coalesce(1).write.parquet(batchDir)
+    assert(!spark.read.parquet(batchDir).columns.contains("dnorm"))
+    // next batch pairs against the stripped store
+    ingestA(1, Seq(4L -> v4))
+    ingestB(1, Seq(4L -> v4))
+    val a = spark.read.parquet(pairsA).filter($"batch_id" === 1)
+      .select($"id_a", $"id_b", $"approx_cos")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = spark.read.parquet(pairsB).filter($"batch_id" === 1)
+      .select($"id_a", $"id_b", $"approx_cos")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a.nonEmpty, "cross-batch pairs vanished against the pre-dnorm store")
+    assert(a == b,
+      "pre-dnorm store rows must pair bit-identically to a fresh store's")
+  }
+
   test("incremental ANN hot-bucket refinement recovers pairs a flat cap drops") {
     // The n8_scaled tail treatment (the d10_scaled cure on the
     // incremental path): a hot bucket of DISTINCT near-dup pairs is
