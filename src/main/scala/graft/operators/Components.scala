@@ -128,7 +128,19 @@ object Components {
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 40,
                               localCap: Long = LocalIterationCap): DataFrame = {
-    val raw = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    // Materialize the INPUT edge list once before deriving the node
+    // set and the canonical edge set from it: both derivations are
+    // eager materializations, and without this the edge-producing
+    // subtree — for c3/c6 the banding join + Jaccard verify behind the
+    // contracted merge, for c5_scaled the LSH generator itself — runs
+    // TWICE per closure call (measured: two bit-identical 7.91 GB
+    // executions inside one c3 run at x1000, 83% of the query's
+    // shuffle; ExchangeProf, SCALE.md r12). Released as soon as both
+    // derived frames are populated — O(pairs) storage for the window
+    // between the two checkpoints, zero after.
+    val rawH = Materialize.onceReleasable(
+      edges.select(col(aCol).as("u"), col(bCol).as("v")))
+    val raw = rawH.df
     // every node ever seen (incl. self-pair-only nodes) — the label
     // frame's row set, whatever the surviving star edges look like
     val nodes = Materialize.once(
@@ -139,6 +151,7 @@ object Components {
         least(col("u"), col("v")).as("v"))
       .distinct())
     var e = eH.df
+    rawH.release() // both derived frames are populated; raw is done
 
     // Size-adaptive fast path: each distributed contraction round costs
     // a fixed ~5 tiny shuffles of plan compilation + scheduling — on a
