@@ -266,8 +266,18 @@ object IncrementalAnn {
     if (fs.exists(meta)) return
     fs.mkdirs(root)
     if (unverified) {
+      // Same create-tmp-then-rename pattern as the _layout write below:
+      // a direct create leaves a truncated provenance file if the
+      // writer dies mid-write. Ordering: provenance lands BEFORE the
+      // layout rename — a crash between the two leaves provenance with
+      // no contract, and the next adopt simply rewrites both (the
+      // delete below clears that orphan); the reverse order would risk
+      // a contract with NO provenance, which by this file's protocol
+      // reads as verified first-writer truth.
       val prov = new org.apache.hadoop.fs.Path(root, ProvenanceFile)
-      val pOut = fs.create(prov, true)
+      val provTmp = new org.apache.hadoop.fs.Path(root,
+        s".tmp-$ProvenanceFile-${System.nanoTime()}")
+      val pOut = fs.create(provTmp, true)
       try pOut.write((
         "adopted-unverified: declared geometry " +
           s"(${layoutBody(lshBits, lshTables, refineBits).replace("\n", " ")}) " +
@@ -278,6 +288,10 @@ object IncrementalAnn {
           "silently collapsed — confirm the original run's configuration.\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally pOut.close()
+      if (fs.exists(prov)) fs.delete(prov, false) // orphan of a crashed prior adopt
+      require(fs.rename(provTmp, prov),
+        s"provenance adopt lost a race at $codeStoreDir — the store's " +
+          "single-writer contract was violated")
     }
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".tmp-$LayoutFile-${System.nanoTime()}")
@@ -321,10 +335,14 @@ object IncrementalAnn {
     // the banded stream would decode `tables` times per vector), in a
     // STACKED projection so the decode references the stored `code`
     // attribute (d10's one-codeword-scan rule). New batches persist
-    // dnorm in the store (8 bytes buys never re-decoding the store
-    // side); rows from batches written before dnorm existed null-fill
-    // on read and the coalesce recomputes them from the code —
-    // bit-identical, dnorm is a pure function of (gen, code).
+    // dnorm in the store; what the 8-byte column buys is SMALL and
+    // bounded: it skips THIS projection's decode+norm fold (one per
+    // store row per batch read) — the join screen below still decodes
+    // the store-side code once per COLLISION for the dot product, and
+    // that per-candidate decode dominates; the persisted norm never
+    // touches it. Rows from batches written before dnorm existed
+    // null-fill on read and the coalesce recomputes them from the
+    // code — bit-identical, dnorm is a pure function of (gen, code).
     def withNorm(df: DataFrame): DataFrame = {
       val freshNorm = Vectors.norm(decodeOf(books, col("gen"), col("code")))
       if (df.columns.contains("dnorm"))

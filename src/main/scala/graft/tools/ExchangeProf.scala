@@ -40,8 +40,17 @@ object ExchangeProf {
                              exception: Exception): Unit = ()
     })
 
+    // The main action runs through a Dataset we hold, so its
+    // QueryExecution can be tagged by IDENTITY below — listener
+    // delivery order is not guaranteed to match completion order, so
+    // "last captured" could mislabel a late side execution as the main
+    // plan. Dataset.collect() executes the dataset's own lazy
+    // `queryExecution`, so the listener's qe for this action is this
+    // exact object.
+    val countDf = graft.SparkEntry.queries(name)(spark, d).groupBy().count()
+    val mainQe = countDf.queryExecution
     val t0 = System.nanoTime()
-    val rows = graft.SparkEntry.queries(name)(spark, d).count()
+    val rows = countDf.collect().head.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
     println(f"QUERY $name rows=$rows wall=$sec%.1f dir=$d")
@@ -84,13 +93,16 @@ object ExchangeProf {
       own + sub
     }
 
-    // the main plan plus any side execution that itself shuffled >1 MB
+    // the main plan (tagged by QueryExecution identity, not capture
+    // order) plus any side execution that itself shuffled >1 MB
     // (tiny codebook-sample collects stay out of the way)
     val all = captured.toArray(Array.empty[QueryExecution])
     all.zipWithIndex.foreach { case (qe, i) =>
       val sh = anyShuffle(qe.executedPlan)
-      if (i == all.length - 1 || sh > (1L << 20)) {
-        println(s"\n=== execution $i (shuffle written ${fmt(sh)}) ===")
+      val isMain = qe eq mainQe
+      if (isMain || sh > (1L << 20)) {
+        println(s"\n=== execution $i${if (isMain) " MAIN" else ""} " +
+          s"(shuffle written ${fmt(sh)}) ===")
         totalShuffleWritten = 0L
         show(qe.executedPlan, 0)
         println(s"--- execution $i total shuffle written: ${fmt(totalShuffleWritten)}")

@@ -76,16 +76,29 @@ class MaterializeSpec extends SparkSpec {
 
     // truncateLineage: with a checkpoint dir armed, the round's RDD is
     // reliably checkpointed by its materializing action — lineage (and
-    // executor-loss replay) resets to the checkpoint files
+    // executor-loss replay) resets to the checkpoint files. The dir is
+    // armed on the SHARED session, so restore the prior value (and
+    // delete the temp dir) in a finally — otherwise every later test
+    // in this JVM silently runs with truncateLineage paths active and
+    // behavior becomes test-order dependent.
+    val prevCkpt = spark.sparkContext.getCheckpointDir
     val ckpt = java.nio.file.Files.createTempDirectory("graft-matckpt")
-    spark.sparkContext.setCheckpointDir(ckpt.toString)
-    val h2 = Materialize.clusterLazilyReleasable(
-      spark.range(40).toDF("id"), truncateLineage = true)
-    assert(h2.df.count() == 40)
-    assert(h2.backing.get.isCheckpointed,
-      "truncateLineage with an armed checkpoint dir must reliably checkpoint")
-    assert(h2.df.count() == 40)
-    h2.release()
-    assert(h2.df.count() == 40, "checkpointed frame survives release")
+    try {
+      spark.sparkContext.setCheckpointDir(ckpt.toString)
+      val h2 = Materialize.clusterLazilyReleasable(
+        spark.range(40).toDF("id"), truncateLineage = true)
+      assert(h2.df.count() == 40)
+      assert(h2.backing.get.isCheckpointed,
+        "truncateLineage with an armed checkpoint dir must reliably checkpoint")
+      assert(h2.df.count() == 40)
+      h2.release()
+      assert(h2.df.count() == 40, "checkpointed frame survives release")
+    } finally {
+      spark.sparkContext.setCheckpointDir(prevCkpt.orNull)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt.toString), true)
+      ()
+    }
   }
 }
