@@ -29,18 +29,18 @@ object Skew {
     * between (key, salt) buckets mid-shuffle and be double-counted or
     * lost.
     *
-    * KNOWN LIMITATION — clone-mass skew is NOT mitigated: identical
-    * duplicate rows hash to ONE salt (they cannot be told apart by any
-    * deterministic row function), so a hot key whose mass is exact
-    * clones — the dominant skew shape in a dedup-oriented corpus —
-    * still funnels through a single (key, salt) reducer. The
-    * retry-safe fix for that shape lives UPSTREAM: exact-dedup the
-    * clones first ([[Dedup.exactDedup]] + a count column) or attach a
-    * stable per-row ingest id and salt on it. Heterogeneous hot-key
-    * values spread fine. Map-typed columns are rejected loudly at
-    * operator-build time — `hash()` has no canonical order for map
-    * entries and Spark's analyzer rejects it with a generic message
-    * far from this call site. */
+    * KNOWN LIMITATION — clone-mass skew is NOT mitigated here:
+    * identical duplicate rows hash to ONE salt (they cannot be told
+    * apart by any deterministic row function), so a hot key whose mass
+    * is exact clones — the dominant skew shape in a dedup-oriented
+    * corpus — still funnels through a single (key, salt) reducer. The
+    * retry-safe fix for that shape is [[cloneSaltedSumCount]]:
+    * exact-dedup the clones first with a count column, then salt the
+    * now-distinct weighted rows. Heterogeneous hot-key values spread
+    * fine. Map-typed columns are rejected loudly at operator-build
+    * time — `hash()` has no canonical order for map entries and
+    * Spark's analyzer rejects it with a generic message far from this
+    * call site. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
@@ -49,6 +49,40 @@ object Skew {
       pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+    partial.groupBy(col(key))
+      .agg(sum(col("_psum")).as(s"sum_$valueCol"), sum(col("_pcnt")).as("n"))
+  }
+
+  /** The clone-mass cure [[saltedSumCount]]'s KNOWN LIMITATION points
+    * at, as a declared operator: when the hot key's mass is EXACT
+    * CLONES, no deterministic per-row salt can split it — so collapse
+    * the clones BEFORE any key-shaped shuffle. Stage 0 groups by every
+    * column with a count: Spark's map-side partial HashAggregate
+    * collapses clones inside each input partition, so each reducer
+    * receives at most one row per (distinct value, map partition) —
+    * the clone mass crosses the wire as #partitions weighted rows, not
+    * N payload rows. Stages 1-2 are [[saltedSumCount]]'s two-stage
+    * merge over the now-distinct rows, weighted by the carried count
+    * (sum(v·cnt), sum(cnt)) — and distinct rows DO spread across
+    * salts, which is exactly what the clone rows could not do.
+    *
+    * Same determinism contract as [[saltedSumCount]]: the salt hashes
+    * the full (now-distinct) row, never a random or monotonic id, so a
+    * recomputed map task re-derives identical buckets. Exactness: the
+    * weighted sum reorders FP addition, so gate it with an
+    * integral-valued measure (the x5 query uses l_quantity) or a
+    * decimal column. */
+  def cloneSaltedSumCount(df: DataFrame, key: String, valueCol: String,
+                          saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    rejectMapColumns(df, "cloneSaltedSumCount")
+    val weighted = df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val salted = weighted.withColumn("_salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val partial = salted.groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol) * col("_cnt")).as("_psum"),
+        sum(col("_cnt")).as("_pcnt"))
     partial.groupBy(col(key))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"), sum(col("_pcnt")).as("n"))
   }

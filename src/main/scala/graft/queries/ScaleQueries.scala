@@ -25,6 +25,20 @@ object ScaleQueries {
           "l_returnflag", "l_quantity", saltBuckets = 16)
         .orderBy(col("l_returnflag"))),
 
+    // Clone-mass skew cure (the shape x1's salt CANNOT mitigate):
+    // a narrow projection of lineitem is almost entirely exact clones
+    // (~150 distinct (l_linestatus, l_quantity) rows out of the whole
+    // table), so a full-row salt would funnel each clone group through
+    // one (key, salt) reducer. The declared cure dedups first — the
+    // map-side partial collapse bounds reducer fan-in — then runs the
+    // salted merge on distinct weighted rows. Oracle = the plain
+    // group-sum (exact: l_quantity is integral-valued).
+    "x5_clone_skew_agg" -> ((s, d) =>
+      Skew.cloneSaltedSumCount(
+          t(s, d, "lineitem").select(col("l_linestatus"), col("l_quantity")),
+          "l_linestatus", "l_quantity", saltBuckets = 16)
+        .orderBy(col("l_linestatus"))),
+
     // Approximate aggregates — the sketches any 100 TB analytics layer
     // leans on — via DETERMINISTIC cross-engine constructions (see
     // operators/Sketches): KMV bottom-k distinct estimates over 60-bit
@@ -103,6 +117,9 @@ object ScaleQueries {
     "x1_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x5_clone_skew_agg" ->
+      """SELECT l_linestatus, sum(l_quantity) AS sum_l_quantity, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
     "x2_salted_join" ->
       """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

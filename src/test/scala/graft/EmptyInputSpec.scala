@@ -166,6 +166,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sketches.kmvDistinctEstimate(kv0, "id", 16).collect()
       .forall(r => r.isNullAt(0) || r.getDouble(0) == 0.0))
     assert(Skew.saltedSumCount(kv0, "src", "v", 4).count() == 0)
+    assert(Skew.cloneSaltedSumCount(kv0, "src", "v", 4).count() == 0)
     // overlap of two empty sets is 0, never 0/0 = NaN
     val ov = Sketches.kmvOverlapEstimate(
       kv0.select($"src".as("key")), kv0.select($"src".as("key")), "key", 16).head()

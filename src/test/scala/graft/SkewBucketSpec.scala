@@ -23,6 +23,53 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("clone-mass skew: the naive salt funnels exact clones into one bucket; dedup-first collapses them and spreads") {
+    // the shape saltedSumCount's KNOWN LIMITATION names: a hot key
+    // whose mass is EXACT CLONES — no deterministic row function can
+    // tell identical rows apart, so no salt can split them
+    val clones = spark.range(20000).select(lit("hot").as("key"), lit(7L).as("v"))
+    val tail = (1 to 40).flatMap(k => (1 to 25).map(i => (s"k$k", i.toLong)))
+      .toDF("key", "v")
+    val df = clones.unionByName(tail).repartition(8)
+
+    // NAIVE full-row salt: all 20k clone rows carry ONE hash value —
+    // the entire mass lands in a single (key, salt) bucket (= a single
+    // reducer at scale), despite 16 requested buckets
+    val naive = df.withColumn("_salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(16)))
+    val hotDist = naive.filter($"key" === "hot").groupBy($"_salt").count().collect()
+    assert(hotDist.length == 1,
+      s"exact clones occupied ${hotDist.length} salts — they can only occupy one")
+    assert(hotDist.head.getLong(1) == 20000, "the funnel carries the full mass")
+
+    // DECLARED shape (cloneSaltedSumCount stage 0): the clone mass is
+    // collapsed BEFORE any key-shaped shuffle — map-side partial
+    // aggregation bounds reducer fan-in — and the hot key becomes ONE
+    // weighted row...
+    val weighted = df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("_cnt"))
+    assert(weighted.filter($"key" === "hot").count() == 1,
+      "20k clones must collapse to one weighted row")
+    // ...while DISTINCT rows spread: a tail key's 25 distinct values
+    // occupy many salts, and no (key, salt) bucket carries more than a
+    // handful of rows (vs the naive funnel's 20,000)
+    val saltedDistinct = weighted.withColumn("_salt",
+      pmod(hash($"key", $"v"), lit(16)))
+    assert(saltedDistinct.filter($"key" === "k1")
+      .select($"_salt").distinct().count() > 1,
+      "distinct rows of one key must spread across salts")
+    val maxBucket = saltedDistinct.groupBy($"key", $"_salt").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(maxBucket <= 8, s"declared shape's max (key,salt) bucket is $maxBucket")
+
+    // and the cured operator is exact: same result as the plain groupBy
+    val plain = df.groupBy($"key").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cured = Skew.cloneSaltedSumCount(df, "key", "v", 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cured == plain)
+  }
+
   test("salted join equals plain join on a skewed fact side") {
     val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
     val plain = skewed.join(dim, "key").groupBy($"label").count()
