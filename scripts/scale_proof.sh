@@ -36,6 +36,10 @@ SCALES=${SCALES:-"x1 x10 x100"}
 mkdir -p bench
 
 if [ "${1:-}" = check ]; then
+  # the gate tests itself before gating anything (tools/test_scale_check.py
+  # pins every verdict path: WALL flat/moved, SHUFFLE, SPILL, LOST, GONE,
+  # NEW, floors) — a silently-regressed enforcement tool is worse than none
+  python3 -m pytest tools/test_scale_check.py -q
   OLD=${2:-$PREV}; NEW=${3:-$ROUND}
   exec python3 tools/scale_check.py \
     "bench/scale_${OLD}_fresh.json" "bench/scale_${NEW}_fresh.json"
@@ -60,6 +64,47 @@ gen_if_absent() {
     scripts/run_tool.sh graft.tools.ScaleGen "$BASE" "target/scaledata/$lbl" "$mult"
   fi
 }
+
+# Incremental-capstone cells at a big scale label with first-touch and
+# steady state SEPARATED (SURVEY §13.6's two-column rule, made
+# mechanical): one FRESH JVM per query via graft.tools.CapstoneRun —
+# the store bootstrap ("build") is the JVM's first work, rep 1
+# ("first") and rep 2 ("steady") follow, so no cell inherits another
+# capstone's heap (round 12's c6 "cold" rep carried 5,900 s of task GC
+# from sharing a JVM with c3's build — harness artifact, not
+# deployment cost). u5/c3/c6 get their shared stores prebuilt and
+# timed as the build column; d16/d17/n8 build their stores inside the
+# query (their build cost is first − steady).
+#   scripts/scale_proof.sh capstone x1000
+#   QUERIES="d16_incremental_substring_scrub" scripts/scale_proof.sh capstone x1000
+if [ "${1:-}" = capstone ]; then
+  LBL=${2:-x1000}
+  QUERIES=${QUERIES:-"u5_incremental_ingest c3_incremental_clusters c6_label_resolution d16_incremental_substring_scrub d17_incremental_winnowing n8_incremental_ann_scaled"}
+  gen_if_absent "$LBL"
+  outs=""
+  for q in $QUERIES; do
+    pre=""
+    case "$q" in
+      u5_incremental_ingest|c3_incremental_clusters|c6_label_resolution) pre="prebuild" ;;
+    esac
+    out="bench/capstone_${ROUND}_${LBL}_${q}.json"
+    echo "[scale_proof] === capstone $LBL $q (fresh JVM${pre:+, timed prebuild}) ==="
+    MEM=${MEM:-48g} scripts/run_tool.sh graft.tools.CapstoneRun \
+      "$q" "$LBL" "$(dir_of "$LBL")" "$out" $pre
+    outs="$outs $out"
+  done
+  # merge per-query records into one per-label file
+  python3 - "$ROUND" "$LBL" $outs << 'EOF'
+import json, sys
+round_, lbl, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
+rows = [json.load(open(p)) for p in paths]
+out = {"metric": "capstone", "label": lbl, "queries": {r["query"]: r for r in rows}}
+path = f"bench/capstone_{round_}_{lbl}.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"[scale_proof] merged -> {path}")
+EOF
+  exit 0
+fi
 
 if [ "${1:-}" = mem8g ]; then
   # Constrained-memory discipline proof: the three heaviest non-pinned
