@@ -30,12 +30,16 @@ object ExchangeProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // every QueryExecution that completes (the codebook-training
-    // collects run as their own executions before the main count)
-    val captured = new java.util.concurrent.CopyOnWriteArrayList[QueryExecution]()
+    // every QueryExecution that completes, WITH its wall duration (the
+    // codebook-training collects and eager closure-round
+    // materializations run as their own executions before the main
+    // count — their durations are where an iterative query's wall
+    // actually goes, so print them rather than leaving the total
+    // unattributed)
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[(QueryExecution, Long)]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = { captured.add(qe); () }
+                             durationNs: Long): Unit = { captured.add((qe, durationNs)); () }
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     })
@@ -46,10 +50,12 @@ object ExchangeProf {
     // "last captured" could mislabel a late side execution as the main
     // plan. Dataset.collect() executes the dataset's own lazy
     // `queryExecution`, so the listener's qe for this action is this
-    // exact object.
+    // exact object. Query CONSTRUCTION stays inside the timed window:
+    // eager materializations (memoized pair frames, closure rounds)
+    // run at construction time and belong in the reported wall.
+    val t0 = System.nanoTime()
     val countDf = graft.SparkEntry.queries(name)(spark, d).groupBy().count()
     val mainQe = countDf.queryExecution
-    val t0 = System.nanoTime()
     val rows = countDf.collect().head.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
@@ -96,18 +102,23 @@ object ExchangeProf {
     // the main plan (tagged by QueryExecution identity, not capture
     // order) plus any side execution that itself shuffled >1 MB
     // (tiny codebook-sample collects stay out of the way)
-    val all = captured.toArray(Array.empty[QueryExecution])
-    all.zipWithIndex.foreach { case (qe, i) =>
+    val all = captured.toArray(Array.empty[(QueryExecution, Long)])
+    all.zipWithIndex.foreach { case ((qe, durNs), i) =>
       val sh = anyShuffle(qe.executedPlan)
       val isMain = qe eq mainQe
       if (isMain || sh > (1L << 20)) {
-        println(s"\n=== execution $i${if (isMain) " MAIN" else ""} " +
-          s"(shuffle written ${fmt(sh)}) ===")
+        println(f"\n=== execution $i${if (isMain) " MAIN" else ""} " +
+          f"(shuffle written ${fmt(sh)}, wall ${durNs / 1e9}%.1f s) ===")
         totalShuffleWritten = 0L
         show(qe.executedPlan, 0)
         println(s"--- execution $i total shuffle written: ${fmt(totalShuffleWritten)}")
       }
     }
+    val accounted = all.collect { case (qe, ns)
+      if (qe eq mainQe) || anyShuffle(qe.executedPlan) > (1L << 20) => ns }.sum
+    println(f"\nWALL $name total=$sec%.1f s, in printed executions " +
+      f"${accounted / 1e9}%.1f s (rest: sub-1MB executions, driver-side " +
+      "closure bookkeeping, plan/codegen time)")
     spark.stop()
   }
 }
