@@ -90,7 +90,7 @@ if [ "${1:-}" = capstone ]; then
     out="bench/capstone_${ROUND}_${LBL}_${q}.json"
     echo "[scale_proof] === capstone $LBL $q (fresh JVM${pre:+, timed prebuild}) ==="
     MEM=${MEM:-48g} scripts/run_tool.sh graft.tools.CapstoneRun \
-      "$q" "$LBL" "$(dir_of "$LBL")" "$out" $pre
+      "$q" "$LBL" "$(dir_of "$LBL")" "$out" $pre ${REPS:+reps=$REPS}
     outs="$outs $out"
   done
   # merge per-query records into one per-label file

@@ -19,15 +19,25 @@ import org.apache.spark.sql.SparkSession
   *   first  — rep 1 of the query: the first batch (pays query-internal
   *            store builds and in-JVM warming — codegen, parquet
   *            footers, memo population)
-  *   steady — rep 2: the continuously-running per-batch cost, the cell
-  *            scale-linearity claims are made on
+  *   steady — the LAST rep: the continuously-running per-batch cost,
+  *            the cell scale-linearity claims are made on. Default 2
+  *            reps total; pass reps=3 when a read path amortizes its
+  *            in-JVM cache population over two reps (measured: c6 at
+  *            x1000 ran 86.7 s cpu 1645 at rep 2 but 43.0 s cpu 1005
+  *            at rep 3 on identical shuffle — rep 2 was still paying
+  *            population, not the plan). All intermediate reps are
+  *            recorded under "reps" so the amortization curve is
+  *            auditable.
   *
-  * Usage: CapstoneRun <query> <label> <dir> <outJson> [prebuild]
+  * Usage: CapstoneRun <query> <label> <dir> <outJson> [prebuild] [reps=N]
   */
 object CapstoneRun {
   def main(args: Array[String]): Unit = {
     val Array(name, label, dir, outPath) = args.take(4)
-    val doPrebuild = args.length > 4 && args(4) == "prebuild"
+    val doPrebuild = args.contains("prebuild")
+    val reps = args.collectFirst { case a if a.startsWith("reps=") =>
+      a.stripPrefix("reps=").toInt }.getOrElse(2)
+    require(reps >= 2, s"need at least first+steady reps, got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,16 +69,22 @@ object CapstoneRun {
         System.err.println(f"[capstone] $label $name build  ${s}%8.2f s")
         mJson(s, m)
       } else "null"
-    val (fSec, fM) = timed { fn(spark, dir).count(); () }
-    System.err.println(f"[capstone] $label $name first  ${fSec}%8.2f s  " +
-      f"shuffle ${(fM(0) + fM(1)) / 1e6}%.0f MB  spill ${(fM(2) + fM(3)) / 1e6}%.0f MB")
-    val (sSec, sM) = timed { fn(spark, dir).count(); () }
-    System.err.println(f"[capstone] $label $name steady ${sSec}%8.2f s  " +
-      f"shuffle ${(sM(0) + sM(1)) / 1e6}%.0f MB  spill ${(sM(2) + sM(3)) / 1e6}%.0f MB")
+    val runs = (1 to reps).map { i =>
+      val (sec, m) = timed { fn(spark, dir).count(); () }
+      val stage = if (i == 1) "first" else if (i == reps) "steady" else s"rep$i"
+      System.err.println(f"[capstone] $label $name $stage%-6s ${sec}%8.2f s  " +
+        f"shuffle ${(m(0) + m(1)) / 1e6}%.0f MB  spill ${(m(2) + m(3)) / 1e6}%.0f MB")
+      (sec, m)
+    }
+    val (fSec, fM) = runs.head
+    val (sSec, sM) = runs.last
+    val mid = runs.drop(1).dropRight(1)
+    val midJson = if (mid.isEmpty) ""
+      else s""","reps":[${mid.map { case (s, m) => mJson(s, m) }.mkString(",")}]"""
 
     val out = s"""{"metric":"capstone","query":"$name","label":"$label",""" +
       s""""dir":"$dir","build":$build,"first":${mJson(fSec, fM)},""" +
-      s""""steady":${mJson(sSec, sM)}}"""
+      s""""steady":${mJson(sSec, sM)}$midJson}"""
     println(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

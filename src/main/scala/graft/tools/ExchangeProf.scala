@@ -114,11 +114,15 @@ object ExchangeProf {
         println(s"--- execution $i total shuffle written: ${fmt(totalShuffleWritten)}")
       }
     }
-    val accounted = all.collect { case (qe, ns)
-      if (qe eq mainQe) || anyShuffle(qe.executedPlan) > (1L << 20) => ns }.sum
-    println(f"\nWALL $name total=$sec%.1f s, in printed executions " +
-      f"${accounted / 1e9}%.1f s (rest: sub-1MB executions, driver-side " +
-      "closure bookkeeping, plan/codegen time)")
+    val (printed, unprinted) = all.partition { case (qe, _) =>
+      (qe eq mainQe) || anyShuffle(qe.executedPlan) > (1L << 20) }
+    val accounted = printed.map(_._2).sum
+    val restNs = unprinted.map(_._2).sum
+    println(f"\nWALL $name total=$sec%.1f s: printed executions " +
+      f"${accounted / 1e9}%.1f s, ${unprinted.length} sub-1MB executions " +
+      f"${restNs / 1e9}%.1f s (closure rounds, convergence counts), " +
+      f"unattributed ${sec - (accounted + restNs) / 1e9}%.1f s " +
+      "(driver-side bookkeeping, plan/codegen time)")
     spark.stop()
   }
 }
