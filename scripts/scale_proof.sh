@@ -93,15 +93,18 @@ if [ "${1:-}" = capstone ]; then
       "$q" "$LBL" "$(dir_of "$LBL")" "$out" $pre ${REPS:+reps=$REPS}
     outs="$outs $out"
   done
-  # merge per-query records into one per-label file
-  python3 - "$ROUND" "$LBL" $outs << 'EOF'
-import json, sys
-round_, lbl, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
-rows = [json.load(open(p)) for p in paths]
+  # merge ALL of this round+label's per-query records (glob, not just
+  # this invocation's $outs — a partial re-run of one or two queries
+  # must refresh their cells without clobbering the others)
+  python3 - "$ROUND" "$LBL" << 'EOF'
+import glob, json, sys
+round_, lbl = sys.argv[1], sys.argv[2]
+rows = [json.load(open(p))
+        for p in sorted(glob.glob(f"bench/capstone_{round_}_{lbl}_*.json"))]
 out = {"metric": "capstone", "label": lbl, "queries": {r["query"]: r for r in rows}}
 path = f"bench/capstone_{round_}_{lbl}.json"
 json.dump(out, open(path, "w"), indent=1)
-print(f"[scale_proof] merged -> {path}")
+print(f"[scale_proof] merged {len(rows)} -> {path}")
 EOF
   exit 0
 fi
