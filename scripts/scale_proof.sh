@@ -96,16 +96,51 @@ if [ "${1:-}" = capstone ]; then
   # merge ALL of this round+label's per-query records (glob, not just
   # this invocation's $outs — a partial re-run of one or two queries
   # must refresh their cells without clobbering the others)
-  python3 - "$ROUND" "$LBL" << 'EOF'
+  python3 - "$ROUND" "$LBL" $QUERIES << 'EOF'
 import glob, json, sys
-round_, lbl = sys.argv[1], sys.argv[2]
-rows = [json.load(open(p))
-        for p in sorted(glob.glob(f"bench/capstone_{round_}_{lbl}_*.json"))]
+round_, lbl, queries = sys.argv[1], sys.argv[2], set(sys.argv[3:])
+rows, stale = [], []
+for p in sorted(glob.glob(f"bench/capstone_{round_}_{lbl}_*.json")):
+    r = json.load(open(p))
+    # the glob can pick up a stale per-query file from an aborted run
+    # with a mislabeled record — drop on label mismatch; only WARN when
+    # the query is outside this invocation's set (a partial re-run via
+    # QUERIES=... must keep the other queries' cells, so absence from
+    # the current set is expected there but worth surfacing)
+    if r.get("label") != lbl:
+        stale.append(p)
+        continue
+    if r["query"] not in queries:
+        print(f"[scale_proof] note: {p} carries query {r['query']!r} not in "
+              f"this invocation's QUERIES set (kept — verify it still exists)",
+              file=sys.stderr)
+    rows.append(r)
+for p in stale:
+    print(f"[scale_proof] WARNING: skipping stale per-query file {p} "
+          f"(embedded label != {lbl})", file=sys.stderr)
 out = {"metric": "capstone", "label": lbl, "queries": {r["query"]: r for r in rows}}
 path = f"bench/capstone_{round_}_{lbl}.json"
 json.dump(out, open(path, "w"), indent=1)
 print(f"[scale_proof] merged {len(rows)} -> {path}")
 EOF
+  exit 0
+fi
+
+# Streaming-twin steady per-batch cells (round 14): the d16/d17 batch
+# twins rebuild their stores inside every call by construction, so
+# their capstone cells over-state the per-batch deployment cost; the
+# streaming twins maintain the store incrementally. One fresh JVM per
+# twin via graft.tools.StreamTwinRun (build -> batch1 -> steady).
+#   scripts/scale_proof.sh streamtwin x1000
+if [ "${1:-}" = streamtwin ]; then
+  LBL=${2:-x1000}
+  gen_if_absent "$LBL"
+  for w in d16 d17; do
+    out="bench/streamtwin_${ROUND}_${LBL}_${w}.json"
+    echo "[scale_proof] === streamtwin $LBL $w (fresh JVM) ==="
+    MEM=${MEM:-48g} scripts/run_tool.sh graft.tools.StreamTwinRun \
+      "$w" "$LBL" "$(dir_of "$LBL")" "$out" ${BATCHES:+batches=$BATCHES}
+  done
   exit 0
 fi
 

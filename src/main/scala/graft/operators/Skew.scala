@@ -70,8 +70,8 @@ object Skew {
     * the full (now-distinct) row, never a random or monotonic id, so a
     * recomputed map task re-derives identical buckets. Exactness: the
     * weighted sum reorders FP addition, so gate it with an
-    * integral-valued measure (the x5 query uses l_quantity) or a
-    * decimal column. */
+    * integral-valued measure (the x5 query sums the integral `dv`
+    * column of ScaleQueries.skewFacts) or a decimal column. */
   def cloneSaltedSumCount(df: DataFrame, key: String, valueCol: String,
                           saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")

@@ -16,28 +16,68 @@ object ScaleQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** The clone-skewed key/value relation the x1/x2/x5 skew cures are
+    * declared (and scale-measured) over, derived deterministically from
+    * lineitem — which [[graft.tools.ScaleGen]] replicates with strided
+    * orderkeys, so the relation GROWS with the scale multiplier while
+    * its skew shape is invariant:
+    *
+    *  - `k`:  'hot' for 75% of rows at every scale (orderkey % 4 ≠ 0 —
+    *          one key ≫ any reducer's fair share, the funnel shape),
+    *          'k<suppkey>' for the ~|supplier| tail keys.
+    *  - `v`:  distinct-valued per row within the hot key (strided
+    *          orderkey ⊗ linenumber) — the payload a full-row salt CAN
+    *          spread (x1/x2's shape). Bounded ≤ 2^23 so sums stay
+    *          ANSI-safe through x1000 (6e8 rows × 8.4e6 ≈ 5e15 < 2^63).
+    *  - `dv`: l_quantity mod 8 — eight distinct values, so the hot
+    *          key's mass is EXACT CLONES (clone mass ≈ 0.75·|lineitem|,
+    *          ≥ 10^6 rows per (k, dv) group at x100): the shape a
+    *          full-row salt CANNOT split and x5's dedup-first cure
+    *          exists for.
+    *
+    * Every column is integral and SQL-expressible, so the DuckDB oracle
+    * runs the identical derivation (see [[skewFactsSql]]).
+    * `private[graft]`: the ScaleRun skew-contrast block measures the
+    * naive shapes over the SAME relation the declared queries run on. */
+  private[graft] def skewFacts(li: DataFrame): DataFrame =
+    li.select(
+      when(col("l_orderkey") % 4 =!= 0, lit("hot"))
+        .otherwise(concat(lit("k"), col("l_suppkey"))).as("k"),
+      ((col("l_orderkey") % 1048576L) * 8 + col("l_linenumber")).as("v"),
+      (col("l_quantity").cast("bigint") % 8).as("dv"))
+
+  /** [[skewFacts]] as DuckDB SQL (l_quantity is integral-valued, so the
+    * bigint cast is exact in both engines). */
+  private val skewFactsSql: String =
+    """SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 'hot'
+      |            ELSE 'k' || CAST(l_suppkey AS VARCHAR) END AS k,
+      |       (l_orderkey % 1048576) * 8 + l_linenumber AS v,
+      |       CAST(l_quantity AS BIGINT) % 8 AS dv
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    // Two-stage salted aggregation (hot-key split): same result as the
-    // plain groupBy the oracle runs.
+    // Two-stage salted aggregation (hot-key split): one key owns 75%
+    // of the input but its rows are distinct-valued, so the full-row
+    // salt spreads them over 16 buckets. Same result as the plain
+    // groupBy the oracle runs (v is integral — exact in any order).
     "x1_salted_agg" -> ((s, d) =>
       Skew.saltedSumCount(
-          t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
-          "l_returnflag", "l_quantity", saltBuckets = 16)
-        .orderBy(col("l_returnflag"))),
+          skewFacts(t(s, d, "lineitem")).select(col("k"), col("v")),
+          "k", "v", saltBuckets = 16)
+        .orderBy(col("k"))),
 
-    // Clone-mass skew cure (the shape x1's salt CANNOT mitigate):
-    // a narrow projection of lineitem is almost entirely exact clones
-    // (~150 distinct (l_linestatus, l_quantity) rows out of the whole
-    // table), so a full-row salt would funnel each clone group through
-    // one (key, salt) reducer. The declared cure dedups first — the
-    // map-side partial collapse bounds reducer fan-in — then runs the
-    // salted merge on distinct weighted rows. Oracle = the plain
-    // group-sum (exact: l_quantity is integral-valued).
+    // Clone-mass skew cure (the shape x1's salt CANNOT mitigate): the
+    // hot key's mass is exact clones of eight (k, dv) rows, so a
+    // full-row salt funnels each clone group through ONE (key, salt)
+    // reducer. The declared cure dedups first — the map-side partial
+    // collapse bounds reducer fan-in to one row per (distinct value,
+    // map partition) — then runs the salted merge on distinct weighted
+    // rows. Oracle = the plain group-sum (exact: dv is integral).
     "x5_clone_skew_agg" -> ((s, d) =>
       Skew.cloneSaltedSumCount(
-          t(s, d, "lineitem").select(col("l_linestatus"), col("l_quantity")),
-          "l_linestatus", "l_quantity", saltBuckets = 16)
-        .orderBy(col("l_linestatus"))),
+          skewFacts(t(s, d, "lineitem")).select(col("k"), col("dv")),
+          "k", "dv", saltBuckets = 16)
+        .orderBy(col("k"))),
 
     // Approximate aggregates — the sketches any 100 TB analytics layer
     // leans on — via DETERMINISTIC cross-engine constructions (see
@@ -99,31 +139,48 @@ object ScaleQueries {
         grams(docs.filter(col("doc_id") % 97 =!= 0)), "key", 256)
     }),
 
-    // Salted fact×dim join (dimension replicated per salt, fact salted):
-    // same rows as the plain equi-join + aggregation.
+    // Salted fact×dim join (dimension replicated per salt, fact salted
+    // by full row — the hot key's distinct v values spread it): same
+    // rows as the plain equi-join + aggregation. The dimension stays
+    // |supplier|+1 rows at every scale (ScaleGen grows only the fact) —
+    // the realistic shape where AQE may still broadcast; the scale
+    // contrast cells (ScaleRun) disable broadcast to measure the
+    // shuffle-join funnel this operator exists for.
     "x2_salted_join" -> ((s, d) => {
-      val fact = t(s, d, "lineitem")
-        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
-      val dim = t(s, d, "supplier")
-        .select(col("s_suppkey").as("suppkey"), col("s_name"))
-      Skew.saltedJoin(fact, dim, "suppkey", saltBuckets = 8)
-        .groupBy(col("s_name"))
-        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("s_name"))
+      val fact = skewFacts(t(s, d, "lineitem")).select(col("k"), col("v"))
+      Skew.saltedJoin(fact, skewDim(s, d), "k", saltBuckets = 8)
+        .groupBy(col("dim_name"))
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+        .orderBy(col("dim_name"))
     })
   )
 
+  /** x2's dimension side: one row per tail key plus the hot key —
+    * |supplier|+1 rows at EVERY scale (ScaleGen grows only the fact). */
+  private[graft] def skewDim(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier")
+      .select(concat(lit("k"), col("s_suppkey")).as("k"))
+      .unionByName(s.range(1).select(lit("hot").as("k")))
+      .withColumn("dim_name", concat(lit("name_"), col("k")))
+
   val oracles: Map[String, String] = Map(
+    // CAST(sum(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT
+    // (decimal128); Spark's sum(bigint) stays bigint — align the
+    // physical type (values are < 2^53, the cast is exact)
     "x1_salted_agg" ->
-      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+      s"""SELECT k, CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n
+         |FROM ($skewFactsSql) GROUP BY 1 ORDER BY k""".stripMargin,
     "x5_clone_skew_agg" ->
-      """SELECT l_linestatus, sum(l_quantity) AS sum_l_quantity, count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+      s"""SELECT k, CAST(sum(dv) AS BIGINT) AS sum_dv, count(*) AS n
+         |FROM ($skewFactsSql) GROUP BY 1 ORDER BY k""".stripMargin,
     "x2_salted_join" ->
-      """SELECT s_name, sum(l_quantity) AS sum_qty, count(*) AS n
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY s_name""".stripMargin,
+      s"""WITH f AS ($skewFactsSql),
+         |dim AS (SELECT 'k' || CAST(s_suppkey AS VARCHAR) AS k FROM supplier
+         |        UNION ALL SELECT 'hot')
+         |SELECT 'name_' || dim.k AS dim_name,
+         |       CAST(sum(f.v) AS BIGINT) AS sum_v, count(*) AS n
+         |FROM f JOIN dim ON f.k = dim.k
+         |GROUP BY 1 ORDER BY dim_name""".stripMargin,
     "x4_zorder_stats" -> {
       val z = graft.sources.Layout.sqlZValue("x", "y", 10)
       s"""WITH b AS (SELECT o_custkey % 1024 AS x,

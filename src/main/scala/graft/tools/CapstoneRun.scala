@@ -33,6 +33,8 @@ import org.apache.spark.sql.SparkSession
   */
 object CapstoneRun {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: CapstoneRun <query> <label> <dir> <outJson> [prebuild] [reps=N]")
     val Array(name, label, dir, outPath) = args.take(4)
     val doPrebuild = args.contains("prebuild")
     val reps = args.collectFirst { case a if a.startsWith("reps=") =>
@@ -82,8 +84,17 @@ object CapstoneRun {
     val midJson = if (mid.isEmpty) ""
       else s""","reps":[${mid.map { case (s, m) => mJson(s, m) }.mkString(",")}]"""
 
-    val out = s"""{"metric":"capstone","query":"$name","label":"$label",""" +
-      s""""dir":"$dir","build":$build,"first":${mJson(fSec, fM)},""" +
+    // escape interpolated strings (a dir path with a quote/backslash
+    // would otherwise emit invalid JSON and break capstone_table.py)
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val out = s"""{"metric":"capstone","query":${js(name)},"label":${js(label)},""" +
+      s""""dir":${js(dir)},"build":$build,"first":${mJson(fSec, fM)},""" +
       s""""steady":${mJson(sSec, sM)}$midJson}"""
     println(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

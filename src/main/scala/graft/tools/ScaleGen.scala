@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *    pairing threshold in use).
   *  - customer: replica r suffixes the name with ` R<r>` — the fuzzy
   *    pipeline's blocking tokens stay intra-replica.
+  *  - lineitem (round 14): replica r strides `l_orderkey`; every other
+  *    column is kept verbatim, so the clone structure of narrow
+  *    projections ((l_linestatus, l_quantity) has ~150 distinct values
+  *    over the whole table) grows linearly in the multiplier — the
+  *    clone-mass skew relation the x1/x2/x5 scale cells derive their
+  *    hot key from (ScaleQueries.skewFacts: 'hot' = 75% of rows at any
+  *    multiplier, distinct-valued per row via the strided orderkey).
+  *    `supplier` stays symlinked on purpose: the fact grows, the
+  *    dimension does not — the realistic 100 TB join shape.
   *
   * Replica ids live at `base_id + r·1_000_000`, clear of every
   * testdata-derived id offset the queries use (≤ 800_000 on bases
@@ -95,9 +104,20 @@ object ScaleGen {
     cust.select(custCols.toIndexedSeq: _*).repartition(files)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
+    // lineitem: orderkey-strided replicas, all other columns verbatim
+    // (the clone mass of narrow projections grows linearly — the skew
+    // relation for the x1/x2/x5 scale cells; see class doc)
+    val li = replicate(spark.read.parquet(s"$baseDir/lineitem.parquet"))
+    val liCols = li.columns.filterNot(_ == "__r").map {
+      case "l_orderkey" => (col("l_orderkey") + col("__r") * IdStride).as("l_orderkey")
+      case other => col(other)
+    }
+    li.select(liCols.toIndexedSeq: _*).repartition(files)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
     // everything else: symlink to the base (read-only inputs)
     for (t <- graft.model.Tables.all
-         if !Set("documents", "embeddings", "customer").contains(t)) {
+         if !Set("documents", "embeddings", "customer", "lineitem").contains(t)) {
       val link = Paths.get(s"$outDir/$t.parquet")
       Files.deleteIfExists(link)
       Files.createSymbolicLink(link, Paths.get(s"$baseDir/$t.parquet"))

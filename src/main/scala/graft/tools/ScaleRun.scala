@@ -32,7 +32,13 @@ object ScaleRun {
     "d17_incremental_winnowing",
     "n7_knn_join", "n8_incremental_ann", "n8_incremental_ann_scaled",
     "u1_unified_pipeline", "u1_blocked_pipeline",
-    "u3_curation_pipeline", "u5_incremental_ingest")
+    "u3_curation_pipeline", "u5_incremental_ingest",
+    // round 14: the skew-cure family — declared over ScaleQueries
+    // .skewFacts (derived from lineitem, which ScaleGen now replicates
+    // with strided orderkeys), so the hot key's clone mass grows
+    // linearly with the label. Their naive counterparts are measured
+    // in the skew-contrast block below, never as declared queries.
+    "x1_salted_agg", "x2_salted_join", "x5_clone_skew_agg")
 
   def main(args: Array[String]): Unit = {
     val pairs = args(0).split(",").map { kv =>
@@ -171,11 +177,131 @@ object ScaleRun {
         System.err.println(f"[scale] $label recall@5 $name%-12s ${mean}%.3f")
         f""""$name":$mean%.4f"""
       }
+      // Skew-cure contrast block (round 14, VERDICT item 1): the NAIVE
+      // shapes of x1/x2/x5, measured over the SAME ScaleQueries.skewFacts
+      // relation the declared panel cells above just ran on, plus
+      // per-task straggler stats (a funneled hot key is ONE task whose
+      // duration dwarfs the stage median — invisible to aggregate
+      // counters). Not declared queries: they exist to QUANTIFY the
+      // funnel the declared cures avoid. Runs last within the label so
+      // its heap churn cannot heat the panel or recall cells.
+      val skewJson = {
+        import org.apache.spark.sql.functions._
+        val straggler =
+          org.apache.spark.graft.MetricsBridge.installDurations(spark.sparkContext)
+        def withConf[T](kvs: (String, String)*)(f: => T): T = {
+          val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+          kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+          try f
+          finally olds.foreach { case (k, o) =>
+            o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        }
+        // expose the shuffle join: AQE broadcasts a 1001-row dim long
+        // before any skew machinery matters (the declared x2 panel cell
+        // above keeps that plan — it IS the right plan at this dim
+        // size); the contrast is about the shuffle-join regime the
+        // operator exists for (dim too big / stats too stale to
+        // broadcast at 100 TB)
+        val shuffleJoinConf = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        def cell(name: String, extraConf: Seq[(String, String)])(f: => Unit): String = {
+          org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
+          straggler.reset()
+          val (sec, m) = withConf(extraConf: _*)(timedWithMetrics(f))
+          val (n, p50, mx) = straggler.stats()
+          System.err.println(f"[scale] $label skew $name%-24s ${sec}%8.2f s  " +
+            f"tasks $n  p50 ${p50}%d ms  max ${mx}%d ms  " +
+            f"shuffle ${(m(0) + m(1)) / 1e6}%.0f MB")
+          s""""$name":${mJson(sec, m).dropRight(1)},"tasks":$n,""" +
+            s""""task_p50_ms":$p50,"task_max_ms":$mx}"""
+        }
+        val li = graft.model.Tables.load(spark, dir, "lineitem")
+        val factV = graft.queries.ScaleQueries.skewFacts(li).select(col("k"), col("v"))
+        val factDv = graft.queries.ScaleQueries.skewFacts(li).select(col("k"), col("dv"))
+        val dim = graft.queries.ScaleQueries.skewDim(spark, dir)
+        val cells = Seq(
+          // x1's shape: combinable aggregate, distinct-valued hot key.
+          // EXPECTED flat vs the declared panel cell — map-side partial
+          // aggregation already bounds reducer fan-in for sum/count;
+          // the cell exists to say so with a number.
+          cell("x1_plain_groupby", Nil) {
+            factV.groupBy(col("k"))
+              .agg(sum(col("v")), count(lit(1))).count(); ()
+          },
+          // x2's funnel: unsalted shuffle join, AQE's own skew cure OFF
+          // — the hot key's entire mass sorts through ONE task
+          cell("x2_join_naive_funnel", shuffleJoinConf ++
+              Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
+            factV.join(dim, "k").groupBy(col("dim_name"))
+              .agg(sum(col("v")), count(lit(1))).count(); ()
+          },
+          // same join with AQE skew-join ON: Spark's runtime cure
+          cell("x2_join_naive_aqeskew", shuffleJoinConf) {
+            factV.join(dim, "k").groupBy(col("dim_name"))
+              .agg(sum(col("v")), count(lit(1))).count(); ()
+          },
+          // the declared salt under the same shuffle-join regime (AQE
+          // skew cure off, so the spread is attributable to the salt)
+          cell("x2_join_salted_shuffle", shuffleJoinConf ++
+              Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
+            graft.operators.Skew.saltedJoin(factV, dim, "k", 8)
+              .groupBy(col("dim_name"))
+              .agg(sum(col("v")), count(lit(1))).count(); ()
+          },
+          // x5's funnel needs a NON-combinable aggregate to ship rows
+          // (for sum/count the map-side partial hides it — x1's cell):
+          // collect the per-key value multiset three ways.
+          // No cure: one reducer receives the hot key's entire mass.
+          cell("x5_collect_unsalted", Nil) {
+            factDv.groupBy(col("k")).agg(collect_list(col("dv")).as("vs"))
+              .select(sum(size(col("vs")))).count(); ()
+          },
+          // naive salt (saltedSumCount's KNOWN LIMITATION): clones hash
+          // to ONE (key, salt) bucket — the straggler barely moves
+          cell("x5_collect_salt_naive", Nil) {
+            factDv.withColumn("_salt",
+                pmod(hash(col("k"), col("dv")), lit(16)))
+              .groupBy(col("k"), col("_salt"))
+              .agg(collect_list(col("dv")).as("vs"))
+              .select(sum(size(col("vs")))).count(); ()
+          },
+          // declared cure applied to the collect shape: dedup-first,
+          // then collect (value, count) pairs — ships ~|distinct| rows
+          cell("x5_collect_declared", Nil) {
+            factDv.groupBy(col("k"), col("dv")).agg(count(lit(1)).as("cnt"))
+              .groupBy(col("k"))
+              .agg(collect_list(struct(col("dv"), col("cnt"))).as("vs"))
+              .select(sum(size(col("vs")))).count(); ()
+          })
+        // bucket-occupancy numbers (the SkewBucketSpec contrast at real
+        // clone mass): rows a non-combinable aggregate would funnel
+        // into the fullest (key, salt) bucket, naive vs declared
+        val naiveMax = factDv.withColumn("_salt",
+            pmod(hash(col("k"), col("dv")), lit(16)))
+          .groupBy(col("k"), col("_salt")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        val declaredMax = factDv.groupBy(col("k"), col("dv")).count()
+          .withColumn("_salt", pmod(hash(col("k"), col("dv")), lit(16)))
+          .groupBy(col("k"), col("_salt")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        val cloneMass = factDv.groupBy(col("k"), col("dv")).count()
+          .agg(max(col("count"))).head().getLong(0)
+        System.err.println(s"[scale] $label skew occupancy: naive max " +
+          s"bucket $naiveMax rows, declared stage-1 max $declaredMax, " +
+          s"largest clone group $cloneMass")
+        org.apache.spark.graft.MetricsBridge.remove(spark.sparkContext, straggler)
+        s""""skew_contrast":{${cells.mkString(",")},""" +
+          s""""x5_bucket_occupancy":{"naive_max_bucket_rows":$naiveMax,""" +
+          s""""declared_stage1_max_bucket_rows":$declaredMax,""" +
+          s""""largest_clone_group_rows":$cloneMass}}"""
+      }
       s"""{"label":"$label","dir":"$dir","prebuild":${mJson(preSec, preM)},""" +
         s""""queries":{${qJsons.mkString(",")}},""" +
         s""""u5_checkpoint_variant":${mJson(u5ckSec, u5ckM)},""" +
         s""""u5_recompute_warm":${mJson(u5reSec, u5reM)},""" +
-        s""""recall_at_5":{${recalls.mkString(",")}}}"""
+        s""""recall_at_5":{${recalls.mkString(",")}},""" +
+        skewJson + "}"
       }
     }
     val out = s"""{"metric":"scale","cpus":$cpus,"scales":[${scaleJsons.mkString(",")}]}"""

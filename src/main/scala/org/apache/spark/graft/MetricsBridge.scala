@@ -41,6 +41,25 @@ class TaskMetricsTap extends SparkListener {
     memorySpillBytes.get, diskSpillBytes.get, gcTimeMs.get, cpuTimeNs.get)
 }
 
+/** Per-task duration capture for straggler attribution (the skew-cure
+  * scale cells): a funneled hot key shows up as ONE task whose duration
+  * dwarfs the stage median — aggregate counters (TaskMetricsTap) cannot
+  * see it. Callers [[reset]] before a measured block, [[MetricsBridge
+  * .drain]] the listener bus, then read [[stats]]. Durations are held
+  * in memory — fine for the contrast blocks' thousands of tasks, not
+  * meant to stay installed across a long benchmark. */
+class TaskDurationTap extends SparkListener {
+  private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+    if (taskEnd.taskInfo != null) durs.add(taskEnd.taskInfo.duration)
+  def reset(): Unit = durs.clear()
+  /** (task count, p50 ms, max ms) of task durations since [[reset]]. */
+  def stats(): (Int, Long, Long) = {
+    val a = durs.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+    if (a.isEmpty) (0, 0L, 0L) else (a.length, a(a.length / 2), a.last)
+  }
+}
+
 /** Hosted inside the spark namespace for ONE private[spark] member:
   * `LiveListenerBus.waitUntilEmpty`, the only reliable way to fence the
   * asynchronous listener queue before a metrics snapshot (the
@@ -51,6 +70,15 @@ object MetricsBridge {
     sc.addSparkListener(tap)
     tap
   }
+
+  def installDurations(sc: SparkContext): TaskDurationTap = {
+    val tap = new TaskDurationTap
+    sc.addSparkListener(tap)
+    tap
+  }
+
+  def remove(sc: SparkContext, tap: SparkListener): Unit =
+    sc.removeSparkListener(tap)
 
   /** Block until every queued listener event has been delivered (or
     * 10 s — a bench snapshot must never hang the run). */

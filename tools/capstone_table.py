@@ -57,7 +57,9 @@ def main(path, base_path=None, base_label=None):
                  fmt_b(spill(st) + spill(fi) + (spill(b) if b else 0))]
         if base:
             bm = base.get(q)
-            cells.append(f"{rw(st)/rw(bm):.2f}x/decade" if bm else "—")
+            # em-dash when the baseline cell is missing OR moved zero
+            # shuffle bytes (a no-shuffle query has no decade ratio)
+            cells.append(f"{rw(st)/rw(bm):.2f}x/decade" if bm and rw(bm) else "—")
         print("| " + " | ".join(cells) + " |")
 
 

@@ -8,7 +8,7 @@ a subprocess on synthetic old/new JSON so every verdict path (WALL flat
 NEW / floors) is pinned.
 
 Run:  python3 -m pytest tools/test_scale_check.py -q
-(or scripts/run_checks.sh, which the round discipline invokes)
+(scripts/scale_proof.sh check runs it automatically before gating)
 """
 import json
 import subprocess
