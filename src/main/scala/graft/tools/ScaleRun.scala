@@ -225,21 +225,28 @@ object ScaleRun {
           // EXPECTED flat vs the declared panel cell — map-side partial
           // aggregation already bounds reducer fan-in for sum/count;
           // the cell exists to say so with a number.
+          // Consumption rule for contrast cells: reference every
+          // aggregate in the consumed result (collect() of the small
+          // group list, or head() of a sum over it) — a trailing
+          // count() lets Catalyst PRUNE the aggregates (collect_list
+          // vanishes entirely; the cell then measures a distinct-shape
+          // plan with ~0 shuffle, which is exactly the work the funnel
+          // contrast exists to ship).
           cell("x1_plain_groupby", Nil) {
             factV.groupBy(col("k"))
-              .agg(sum(col("v")), count(lit(1))).count(); ()
+              .agg(sum(col("v")), count(lit(1))).collect(); ()
           },
           // x2's funnel: unsalted shuffle join, AQE's own skew cure OFF
           // — the hot key's entire mass sorts through ONE task
           cell("x2_join_naive_funnel", shuffleJoinConf ++
               Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
             factV.join(dim, "k").groupBy(col("dim_name"))
-              .agg(sum(col("v")), count(lit(1))).count(); ()
+              .agg(sum(col("v")), count(lit(1))).collect(); ()
           },
           // same join with AQE skew-join ON: Spark's runtime cure
           cell("x2_join_naive_aqeskew", shuffleJoinConf) {
             factV.join(dim, "k").groupBy(col("dim_name"))
-              .agg(sum(col("v")), count(lit(1))).count(); ()
+              .agg(sum(col("v")), count(lit(1))).collect(); ()
           },
           // the declared salt under the same shuffle-join regime (AQE
           // skew cure off, so the spread is attributable to the salt)
@@ -247,15 +254,17 @@ object ScaleRun {
               Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
             graft.operators.Skew.saltedJoin(factV, dim, "k", 8)
               .groupBy(col("dim_name"))
-              .agg(sum(col("v")), count(lit(1))).count(); ()
+              .agg(sum(col("v")), count(lit(1))).collect(); ()
           },
           // x5's funnel needs a NON-combinable aggregate to ship rows
           // (for sum/count the map-side partial hides it — x1's cell):
-          // collect the per-key value multiset three ways.
-          // No cure: one reducer receives the hot key's entire mass.
+          // collect the per-key value multiset three ways; consume via
+          // sum(size(vs)) so the lists are computed but never leave
+          // the executors. No cure: one reducer buffers the hot key's
+          // entire mass in a single collect_list.
           cell("x5_collect_unsalted", Nil) {
             factDv.groupBy(col("k")).agg(collect_list(col("dv")).as("vs"))
-              .select(sum(size(col("vs")))).count(); ()
+              .select(sum(size(col("vs")))).head(); ()
           },
           // naive salt (saltedSumCount's KNOWN LIMITATION): clones hash
           // to ONE (key, salt) bucket — the straggler barely moves
@@ -264,7 +273,7 @@ object ScaleRun {
                 pmod(hash(col("k"), col("dv")), lit(16)))
               .groupBy(col("k"), col("_salt"))
               .agg(collect_list(col("dv")).as("vs"))
-              .select(sum(size(col("vs")))).count(); ()
+              .select(sum(size(col("vs")))).head(); ()
           },
           // declared cure applied to the collect shape: dedup-first,
           // then collect (value, count) pairs — ships ~|distinct| rows
@@ -272,7 +281,7 @@ object ScaleRun {
             factDv.groupBy(col("k"), col("dv")).agg(count(lit(1)).as("cnt"))
               .groupBy(col("k"))
               .agg(collect_list(struct(col("dv"), col("cnt"))).as("vs"))
-              .select(sum(size(col("vs")))).count(); ()
+              .select(sum(size(col("vs")))).head(); ()
           })
         // bucket-occupancy numbers (the SkewBucketSpec contrast at real
         // clone mass): rows a non-combinable aggregate would funnel

@@ -81,14 +81,19 @@ object StreamTwinRun {
       .add("doc_id", LongType).add("text", StringType)
 
     // the batch-twin increment shape (DedupQueries d16/d17): fragments
-    // sliced from every doc_id % 13 == 0 corpus doc; per-batch id
+    // sliced from every doc_id % 13 == j corpus doc — a DISJOINT doc
+    // subset per batch, so batch j's fingerprints overlap the corpus
+    // (the match work being measured) but not earlier batches'
+    // (replaying the same docs would make batch j near-dup-match all
+    // j-1 prior batches: match output and wall then GROW with batch
+    // index and the last batch is not a steady state). Per-batch id
     // offsets stay inside each ScaleGen replica's free id zone
     // (< 1e6 above the replica base) and per-batch suffix tokens make
-    // each batch's trailing grams fresh — the same shape of work every
-    // batch, never a replay of the previous one
+    // each batch's trailing grams fresh — the same shape of fresh work
+    // every batch, never a replay of the previous one.
     def batchDf(j: Int): DataFrame = {
       val off = 500000L + j * 30000L
-      val frags = docs.filter(col("doc_id") % 13 === 0)
+      val frags = docs.filter(col("doc_id") % 13 === (j % 13))
         .select((col("doc_id") + off).as("doc_id"),
           concat(
             array_join(slice(graft.functions.Hashing.tokens(col("text")), 11, 25), " "),
