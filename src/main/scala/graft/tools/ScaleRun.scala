@@ -106,9 +106,20 @@ object ScaleRun {
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       Thread.sleep(2000) // let ContextCleaner's async unpersists drain
-      val (preSec, preM) = timedWithMetrics(
-        graft.queries.DedupQueries.prebuildStores(spark, dir))
-      System.err.println(f"[scale] $label prebuild ${preSec}%.1f s")
+      // SPARK_GRAFT_SCALE_NOPREBUILD=1 skips the dedup-store prebuild —
+      // for subset runs (SPARK_GRAFT_SCALE_ONLY) whose queries never
+      // touch the stores (the skew family reads only lineitem), paying
+      // minutes of store construction at a big label buys nothing.
+      // Recorded as null, never as a fake zero-cost cell.
+      val noPrebuild = sys.env.get("SPARK_GRAFT_SCALE_NOPREBUILD").contains("1")
+      val (preSec, preM) =
+        if (noPrebuild) (0.0, Array.fill(6)(0L))
+        else timedWithMetrics(
+          graft.queries.DedupQueries.prebuildStores(spark, dir))
+      val preJson = if (noPrebuild) "null" else mJson(preSec, preM)
+      System.err.println(
+        if (noPrebuild) s"[scale] $label prebuild SKIPPED (SPARK_GRAFT_SCALE_NOPREBUILD)"
+        else f"[scale] $label prebuild ${preSec}%.1f s")
       // No silent caps: SPARK_GRAFT_SCALE_SKIP=label:query,... excludes
       // a (scale, query) cell EXPLICITLY — logged here and recorded as
       // "skipped" in the JSON. Used for the pinned-geometry c5/d10/n8
@@ -141,51 +152,15 @@ object ScaleRun {
           s""""$name":${mJson(sec, m)}"""
         }
       }
-      if (only.isDefined) {
-        // constrained-proof mode: capstone cells only
-        s"""{"label":"$label","dir":"$dir","prebuild":${mJson(preSec, preM)},""" +
-          s""""queries":{${qJsons.mkString(",")}}}"""
-      } else {
-      // u5 variant: eager localCheckpoint of the scrub subtree instead
-      // of recomputing it into both consumers. The first (recompute)
-      // u5 run above pays first-touch costs the variant then rides on,
-      // so ALSO re-time the recompute form afterwards — the variant vs
-      // rerun comparison is warm-vs-warm.
-      System.setProperty("graft.u5.checkpoint", "true")
-      val (u5ckSec, u5ckM) = try timedWithMetrics {
-        graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
-      } finally System.clearProperty("graft.u5.checkpoint")
-      System.err.println(f"[scale] $label u5(+checkpoint)          ${u5ckSec}%8.2f s")
-      val (u5reSec, u5reM) = timedWithMetrics {
-        graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
-      }
-      System.err.println(f"[scale] $label u5(recompute, warm)      ${u5reSec}%8.2f s")
-      // (The ad-hoc scaled-geometry variant blocks that used to run
-      // here are gone: the scale-safe c5/d10 configurations are
-      // DECLARED queries since rounds 10-11 — c5_embedding_clusters_
-      // scaled / d10_pq_neardup_scaled — and are measured as capstone
-      // cells above, under the oracle gate, with their exact declared
-      // geometry instead of this block's approximation of it.)
-      // ANN recall@k against brute force, same corpus
-      val exact = topkSets("n1_ann_bruteforce", dir)
-      val recalls = Seq("n2_ann_lsh", "n3_ann_ivf", "n5_ann_pq").map { name =>
-        val got = topkSets(name, dir)
-        val r = exact.toSeq.map { case (q, ex) =>
-          got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-        }
-        val mean = r.sum / r.size
-        System.err.println(f"[scale] $label recall@5 $name%-12s ${mean}%.3f")
-        f""""$name":$mean%.4f"""
-      }
       // Skew-cure contrast block (round 14, VERDICT item 1): the NAIVE
       // shapes of x1/x2/x5, measured over the SAME ScaleQueries.skewFacts
       // relation the declared panel cells above just ran on, plus
       // per-task straggler stats (a funneled hot key is ONE task whose
       // duration dwarfs the stage median — invisible to aggregate
       // counters). Not declared queries: they exist to QUANTIFY the
-      // funnel the declared cures avoid. Runs last within the label so
+      // funnel the declared cures avoid. Invoked last within the label so
       // its heap churn cannot heat the panel or recall cells.
-      val skewJson = {
+      def skewContrastJson(): String = {
         import org.apache.spark.sql.functions._
         val straggler =
           org.apache.spark.graft.MetricsBridge.installDurations(spark.sparkContext)
@@ -205,7 +180,23 @@ object ScaleRun {
         val shuffleJoinConf = Seq(
           "spark.sql.autoBroadcastJoinThreshold" -> "-1",
           "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        // SPARK_GRAFT_SCALE_SKEW_SKIP=cell,... excludes a contrast cell
+        // EXPLICITLY (logged + recorded as skipped, same no-silent-caps
+        // rule as the panel's SCALE_SKIP). Exists because a funnel cell
+        // can be LETHAL rather than slow at a big label: at x1000 the
+        // unsalted collect_list funnel does not straggle — its map-side
+        // partial lists OOM-killed a 48 GiB JVM outright
+        // (bench/skew_x1000_oom_firstrun.log: BufferHolder.grow in the
+        // aggregate's result projection, 13 OutOfMemoryError). The skip
+        // records that outcome instead of re-paying the crash.
+        val skewSkip: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_SKEW_SKIP")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
         def cell(name: String, extraConf: Seq[(String, String)])(f: => Unit): String = {
+          if (skewSkip.contains(name)) {
+            System.err.println(s"[scale] $label skew $name SKIPPED (SPARK_GRAFT_SCALE_SKEW_SKIP)")
+            return s""""$name":{"skipped":true}"""
+          }
           org.apache.spark.graft.MetricsBridge.drain(spark.sparkContext)
           straggler.reset()
           val (sec, m) = withConf(extraConf: _*)(timedWithMetrics(f))
@@ -305,12 +296,56 @@ object ScaleRun {
           s""""declared_stage1_max_bucket_rows":$declaredMax,""" +
           s""""largest_clone_group_rows":$cloneMass}}"""
       }
-      s"""{"label":"$label","dir":"$dir","prebuild":${mJson(preSec, preM)},""" +
+      if (only.isDefined) {
+        // subset mode: capstone cells only — plus, with
+        // SPARK_GRAFT_SCALE_SKEW=1, the skew-contrast block (so the
+        // skew family's funnel-vs-cure cells can be taken at a label
+        // the full sweep doesn't visit, e.g. x1000, without paying the
+        // whole panel there).
+        val skewExtra =
+          if (sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1"))
+            "," + skewContrastJson()
+          else ""
+        s"""{"label":"$label","dir":"$dir","prebuild":$preJson,""" +
+          s""""queries":{${qJsons.mkString(",")}}$skewExtra}"""
+      } else {
+      // u5 variant: eager localCheckpoint of the scrub subtree instead
+      // of recomputing it into both consumers. The first (recompute)
+      // u5 run above pays first-touch costs the variant then rides on,
+      // so ALSO re-time the recompute form afterwards — the variant vs
+      // rerun comparison is warm-vs-warm.
+      System.setProperty("graft.u5.checkpoint", "true")
+      val (u5ckSec, u5ckM) = try timedWithMetrics {
+        graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
+      } finally System.clearProperty("graft.u5.checkpoint")
+      System.err.println(f"[scale] $label u5(+checkpoint)          ${u5ckSec}%8.2f s")
+      val (u5reSec, u5reM) = timedWithMetrics {
+        graft.SparkEntry.queries("u5_incremental_ingest")(spark, dir).count(); ()
+      }
+      System.err.println(f"[scale] $label u5(recompute, warm)      ${u5reSec}%8.2f s")
+      // (The ad-hoc scaled-geometry variant blocks that used to run
+      // here are gone: the scale-safe c5/d10 configurations are
+      // DECLARED queries since rounds 10-11 — c5_embedding_clusters_
+      // scaled / d10_pq_neardup_scaled — and are measured as capstone
+      // cells above, under the oracle gate, with their exact declared
+      // geometry instead of this block's approximation of it.)
+      // ANN recall@k against brute force, same corpus
+      val exact = topkSets("n1_ann_bruteforce", dir)
+      val recalls = Seq("n2_ann_lsh", "n3_ann_ivf", "n5_ann_pq").map { name =>
+        val got = topkSets(name, dir)
+        val r = exact.toSeq.map { case (q, ex) =>
+          got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+        }
+        val mean = r.sum / r.size
+        System.err.println(f"[scale] $label recall@5 $name%-12s ${mean}%.3f")
+        f""""$name":$mean%.4f"""
+      }
+      s"""{"label":"$label","dir":"$dir","prebuild":$preJson,""" +
         s""""queries":{${qJsons.mkString(",")}},""" +
         s""""u5_checkpoint_variant":${mJson(u5ckSec, u5ckM)},""" +
         s""""u5_recompute_warm":${mJson(u5reSec, u5reM)},""" +
         s""""recall_at_5":{${recalls.mkString(",")}},""" +
-        skewJson + "}"
+        skewContrastJson() + "}"
       }
     }
     val out = s"""{"metric":"scale","cpus":$cpus,"scales":[${scaleJsons.mkString(",")}]}"""
