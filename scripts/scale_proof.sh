@@ -45,6 +45,18 @@ if [ "${1:-}" = check ]; then
     "bench/scale_${OLD}_fresh.json" "bench/scale_${NEW}_fresh.json"
 fi
 
+# Capstone byte-stability gate: the x1000 cells' per-phase shuffle bytes
+# reproduce bit-for-bit round over round (SCALE.md r14 regeneration
+# table); this enforces exactly that invariant — bytes/coverage/spill,
+# never walls. Self-tests first, same discipline as `check`.
+#   scripts/scale_proof.sh capstone-check r13 r14   [label]
+if [ "${1:-}" = capstone-check ]; then
+  python3 -m pytest tools/test_capstone_check.py -q
+  OLD=${2:-$PREV}; NEW=${3:-$ROUND}; LBL=${4:-x1000}
+  exec python3 tools/capstone_check.py \
+    "bench/capstone_${OLD}_${LBL}.json" "bench/capstone_${NEW}_${LBL}.json"
+fi
+
 # compiled classes must exist (scripts/run_tool.sh runs on them)
 [ -d target/scala-2.13/classes/graft ] || sbt -batch compile
 
