@@ -247,6 +247,24 @@ object ScaleRun {
               .groupBy(col("dim_name"))
               .agg(sum(col("v")), count(lit(1))).collect(); ()
           },
+          // salt-width sensitivity (round 14): at x1000 the 8-bucket
+          // salt leaves 56 M-row per-bucket sorts that spill ~22 GB —
+          // "size the salt to the per-bucket sort budget" needs a
+          // measured knob, not a sentence. Wider salts pay more dim
+          // replication (rows = |dim| × width) to buy smaller bucket
+          // sorts; these cells record where the spill disappears.
+          cell("x2_join_salted32_shuffle", shuffleJoinConf ++
+              Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
+            graft.operators.Skew.saltedJoin(factV, dim, "k", 32)
+              .groupBy(col("dim_name"))
+              .agg(sum(col("v")), count(lit(1))).collect(); ()
+          },
+          cell("x2_join_salted128_shuffle", shuffleJoinConf ++
+              Seq("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
+            graft.operators.Skew.saltedJoin(factV, dim, "k", 128)
+              .groupBy(col("dim_name"))
+              .agg(sum(col("v")), count(lit(1))).collect(); ()
+          },
           // x5's funnel needs a NON-combinable aggregate to ship rows
           // (for sum/count the map-side partial hides it — x1's cell):
           // collect the per-key value multiset three ways; consume via
