@@ -100,7 +100,19 @@ object Skew {
     * that merely multiplies the build side by `saltBuckets`). AQE
     * still broadcasts when the replicated dimension is small enough —
     * and then the salt costs only the explode — but the operator's
-    * reason to exist is the case where it is not. */
+    * reason to exist is the case where it is not.
+    *
+    * Sizing `saltBuckets` (measured at x1000, SCALE.md "salt width is
+    * a measured knob"): the curve is NON-MONOTONE. Too narrow leaves
+    * giant per-bucket sorts AND gambles on partition assignment (8
+    * buckets into 162 partitions: max task varied 143-222 s across
+    * runs); too wide re-creates the pile-up by balls-in-bins collision
+    * (128 buckets into 162 partitions measured WORSE than 32) while
+    * multiplying the replicated dim and its GC. Keep the bucket count
+    * comfortably below `spark.sql.shuffle.partitions` — the measured
+    * optimum at 162 partitions was 32, i.e. roughly partitions/5. The
+    * salt moves the straggler only: per-task sort spill is governed by
+    * total fact bytes per task, not by the hot key. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
