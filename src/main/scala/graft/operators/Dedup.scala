@@ -632,16 +632,44 @@ object Dedup {
         coalesce(col(textCol), lit("")), k))
         .as(Seq("pos", "gh"))))
 
+  /** Corpus-store screen cap: the largest batch key set the in-join
+    * screens below broadcast (8 M longs ≈ 64 MB of key data). Under
+    * the cap the corpus-sized store side is SCANNED through a
+    * broadcast join instead of SHUFFLED through a sort-merge join —
+    * per-batch cost O(corpus scan + collisions) instead of O(corpus
+    * shuffle), the [[SimilaritySearch]] pairsFromCodes in-join-screen
+    * shape applied to the incremental stores (measured before the
+    * screen: the d16/d17 streaming twins re-shuffled ~6 GB of store
+    * per batch at x1000, growing with the corpus — SCALE.md). Above
+    * the cap the operators fall back to the full-shuffle plan,
+    * correct at any batch size. */
+  private val StoreScreenCap = 8L * 1000 * 1000
+
   /** The batch gram stream restricted to hashes the store lacks — the
     * ONE corpus-sized store join of an incremental scrub batch,
     * materialized so the scrub AND the store delta
     * (`fresh.select("gh").distinct()`) both read it without a second
     * full-store join per micro-batch (the [[freshSpanWinners]] shape;
     * the store is the corpus-sized side, so each redundant join is the
-    * dominant per-batch I/O once ingest has run for a while). */
+    * dominant per-batch I/O once ingest has run for a while).
+    *
+    * Membership only needs the store rows whose hash the BATCH
+    * mentions, so under [[StoreScreenCap]] the store is probed with a
+    * broadcast of the batch's distinct hashes (store side: pure scan,
+    * zero shuffle) and the grams anti-join the small HIT set — dups in
+    * the hit set would be harmless to an anti join, and the store is
+    * globally distinct by construction anyway. `grams` is materialized
+    * ([[substringGrams]] is eager), so the guard count recomputes
+    * nothing. */
   def freshSubstringGrams(grams: DataFrame, store: DataFrame): DataFrame =
-    graft.operators.Materialize.once(
-      grams.join(store.select(col("gh")), Seq("gh"), "left_anti"))
+    graft.operators.Materialize.once {
+      if (grams.count() <= StoreScreenCap) {
+        val batchGh = grams.select(col("gh")).distinct()
+        val hitGh = store.select(col("gh")).join(broadcast(batchGh), Seq("gh"))
+        grams.join(broadcast(hitGh), Seq("gh"), "left_anti")
+      } else
+        grams.join(store.select(col("gh")), Seq("gh"), "left_anti")
+    }
 
   /** [[incrementalSubstringScrub]] over an already-computed gram
     * stream. */
@@ -742,9 +770,28 @@ object Dedup {
                                          idCol: String, minShared: Long,
                                          fpDfCap: Long,
                                          uniqueFps: Boolean = false): DataFrame = {
+    // In-join store screen: only store rows whose fp occurs in the
+    // BATCH can ever reach the pair join (the fp equi-join against
+    // newFps kills every other row), and the df cap only matters for
+    // fps that reach it — so restricting the store side through a
+    // broadcast semi-join of the batch's fp set changes nothing in the
+    // result while turning the per-batch cost from O(corpus) shuffle
+    // (the full store re-sorted through the df agg and pair join every
+    // batch — measured 6 GB/batch at x1000, growing with the corpus)
+    // into O(corpus scan + collisions). df per surviving fp is still
+    // counted over ALL its occurrences (store rows with that fp all
+    // pass the screen). Guarded by [[StoreScreenCap]]; newFps is
+    // materialized by caller contract, so the guard count is free.
+    val screenedStore = {
+      if (newFps.count() <= StoreScreenCap) {
+        val batchFpSet = newFps.select(col("fp")).distinct()
+        storeFps.select(col(idCol), col("fp"))
+          .join(broadcast(batchFpSet), Seq("fp"))
+      } else storeFps.select(col(idCol), col("fp"))
+    }
     // the store side is a (bucketed) parquet read — scanning it twice
     // (df counts + pair join) beats checkpointing a corpus-sized frame
-    val allFps = storeFps.select(col(idCol), col("fp"))
+    val allFps = screenedStore
       .unionByName(newFps.select(col(idCol), col("fp")))
     // df = DISTINCT docs per fp: a store read taken mid-compaction
     // (snapshot written, folded partitions not yet deleted) holds each
@@ -782,9 +829,23 @@ object Dedup {
     * it once (persist in a streaming loop) and derive both. */
   def freshSpanWinners(incoming: DataFrame, store: DataFrame,
                        idCol: String, textCol: String,
-                       spanTokens: Int): DataFrame =
-    spanWinners(incoming, idCol, textCol, spanTokens)
-      .join(store.select(col("span_md5")), Seq("span_md5"), "left_anti")
+                       spanTokens: Int): DataFrame = {
+    // Same in-join store screen as [[freshSubstringGrams]]: membership
+    // only needs store rows whose span hash the BATCH produced. The
+    // winners pass is materialized here (eager, the [[substringGrams]]
+    // convention) so the guard count and both consumers (scrub + store
+    // delta via the caller) share one spans job instead of
+    // re-tokenizing.
+    val winners = graft.operators.Materialize.once(
+      spanWinners(incoming, idCol, textCol, spanTokens))
+    if (winners.count() <= StoreScreenCap) {
+      val batchMd5 = winners.select(col("span_md5")).distinct()
+      val hit = store.select(col("span_md5"))
+        .join(broadcast(batchMd5), Seq("span_md5"))
+      winners.join(broadcast(hit), Seq("span_md5"), "left_anti")
+    } else
+      winners.join(store.select(col("span_md5")), Seq("span_md5"), "left_anti")
+  }
 
   /** Rebuild each document of `incoming` from its kept spans
     * (`(id, span_idx, span_text)` rows) — the output shape of

@@ -33,17 +33,33 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *             ids and suffix tokens so every batch does the same
   *             shape of fresh work. steady = the LAST batch.
   *
+  * With `compactAfter=K` the run additionally times a mid-stream store
+  * compaction (the twin's `compactStore`, folded through stream batch
+  * K-2 so the newest replayable batch never folds) as its own cell
+  * after batch K — measuring both the fold's one-time cost and whether
+  * the post-compaction batches' shuffle resets (the "+3%/batch store
+  * growth is bounded by compaction" claim, as a number).
+  *
   * Usage: StreamTwinRun <d16|d17> <label> <dir> <outJson> [batches=N]
+  *        [compactAfter=K]
   */
 object StreamTwinRun {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: StreamTwinRun <d16|d17> <label> <dir> <outJson> [batches=N]")
+      "usage: StreamTwinRun <d16|d17> <label> <dir> <outJson> [batches=N] [compactAfter=K]")
     val Array(which, label, dir, outPath) = args.take(4)
     require(Set("d16", "d17").contains(which), s"unknown twin: $which")
     val nBatches = args.collectFirst { case a if a.startsWith("batches=") =>
       a.stripPrefix("batches=").toInt }.getOrElse(3)
     require(nBatches >= 2, s"need at least first+steady batches, got $nBatches")
+    val compactAfter: Option[Int] = args.collectFirst {
+      case a if a.startsWith("compactAfter=") =>
+        a.stripPrefix("compactAfter=").toInt }
+    compactAfter.foreach { k =>
+      require(k >= 2 && k < nBatches,
+        s"compactAfter must be in [2, batches), got $k of $nBatches " +
+          "(needs a foldable prefix and at least one post-compaction batch)")
+    }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -118,6 +134,7 @@ object StreamTwinRun {
     System.err.println(f"[streamtwin] $label $which build  ${bSec}%8.2f s  " +
       f"shuffle ${(bM(0) + bM(1)) / 1e6}%.0f MB")
 
+    var compactCell: Option[(Double, Array[Long])] = None
     val cells = (1 to nBatches).map { j =>
       // input prep is NOT part of the batch cell (a deployment's
       // upstream producer writes these files)
@@ -138,6 +155,26 @@ object StreamTwinRun {
       System.err.println(f"[streamtwin] $label $which $stage%-7s ${sec}%8.2f s  " +
         f"shuffle ${(m(0) + m(1)) / 1e6}%.0f MB  spill ${(m(2) + m(3)) / 1e6}%.0f MB  " +
         f"out $outRows%d rows")
+      if (compactAfter.contains(j)) {
+        // fold through stream batch j-2: after j micro-batches the
+        // newest stream batch id is j-1 — the only one structured
+        // streaming can still replay, so it never folds (the
+        // compactStore contract). The fold sweeps the batch_id=-1
+        // bootstrap snapshot and batches 0..j-2 into one fresh
+        // negative-id snapshot.
+        val (cSec, cM) = timed {
+          if (which == "d16")
+            graft.streaming.IncrementalSubstringScrub.compactStore(
+              spark, storeDir, uptoBatch = j - 2L)
+          else
+            graft.streaming.IncrementalWinnowing.compactStore(
+              spark, storeDir, uptoBatch = j - 2L)
+        }
+        compactCell = Some((cSec, cM))
+        System.err.println(f"[streamtwin] $label $which compact ${cSec}%8.2f s  " +
+          f"shuffle ${(cM(0) + cM(1)) / 1e6}%.0f MB (after batch $j, " +
+          f"folded through ${j - 2})")
+      }
       (sec, m, outRows)
     }
 
@@ -150,10 +187,15 @@ object StreamTwinRun {
     val batchJsons = cells.map { case (sec, m, rows) =>
       mJson(sec, m).dropRight(1) + s""","out_rows":$rows}"""
     }
+    val compactJson = (compactCell, compactAfter) match {
+      case (Some((cSec, cM)), Some(k)) =>
+        s""","compact":${mJson(cSec, cM).dropRight(1)},"after_batch":$k}"""
+      case _ => ""
+    }
     val out = s"""{"metric":"streamtwin","query":${js(which + "_streaming_twin")},""" +
       s""""label":${js(label)},"dir":${js(dir)},"build":${mJson(bSec, bM)},""" +
       s""""batches":[${batchJsons.mkString(",")}],""" +
-      s""""first":${batchJsons.head},"steady":${batchJsons.last}}"""
+      s""""first":${batchJsons.head},"steady":${batchJsons.last}$compactJson}"""
     println(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
