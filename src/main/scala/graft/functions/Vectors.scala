@@ -50,7 +50,15 @@ object Vectors {
     * top-k join so the pair stage only does the dot product). Same
     * corrupt-input contract as [[cosine]]: NULL, never NaN. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    nanvl(when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb)),
+    cosineFromDot(dot(a, b), na, nb)
+
+  /** [[cosineWithNorms]] with the dot product supplied as a column —
+    * the hook for kernels that compute the dot without materializing
+    * the vectors (e.g. [[graft.plans.PqPairDot]] over PQ codes).
+    * Identical when/nanvl structure, so `cosineWithNorms(a, b, na, nb)`
+    * ≡ `cosineFromDot(dot(a, b), na, nb)` by construction. */
+  def cosineFromDot(d: Column, na: Column, nb: Column): Column =
+    nanvl(when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb)),
       lit(null).cast("double"))
 
   /** Deterministic pseudo-random hyperplane component (j-th plane, i-th

@@ -547,9 +547,14 @@ object SimilaritySearch {
       (if (refineBits > 0) Seq(Vectors.lshBucketsAllOff(col(vecCol),
         refineBits, tables, BucketCap.RefineFamilyOffset).as("xbuckets"))
        else Nil)
+    // dnorm = ‖decode(code)‖ via the pair-dot kernel with itself —
+    // sqrt(pqPairDot(code, code)) ≡ sqrt(dot(dec, dec)) bitwise
+    // (KernelOps.pqPairDot parity contract) without materializing the
+    // decoded array once per corpus row.
     val u = Materialize.once(
       graft.model.Tables.spread(corpus).select(uCols: _*)
-        .withColumn("dnorm", Vectors.norm(pqDecode(col("code"), codebook))))
+        .withColumn("dnorm", sqrt(graft.plans.VecExprs.pqPairDot(
+          col("code"), col("code"), codebook, codebook))))
     // codes + dnorm RIDE the banded stream into the bucket join and the
     // approx screen runs INSIDE it (the lshNearDupPairs shape, proven
     // spill-free at 60 GB shuffle where the former pair-list shape —
@@ -565,10 +570,16 @@ object SimilaritySearch {
         posexplode(col("buckets")).as(Seq("tbl", "bucket"))) ++
         (if (refineBits > 0)
            Seq(col("xbuckets")(col("tbl")).as("xb")) else Nil): _*)
+    // per-collision screen: the pair-dot kernel replaces the two
+    // decode materializations (flatten + m element_at each) the
+    // declarative form paid per candidate — bitwise-identical cosine
+    // (same doubles, same fold order; PqKernelSpec pins it), so the
+    // approx-survivor set cannot move
     val screened = cappedCandidateJoin(banded0, refineBits, maxBucket,
         payload = Seq("code", "dnorm"))
-      .filter(Vectors.cosineWithNorms(
-        pqDecode(col("code"), codebook), pqDecode(col("ccode"), codebook),
+      .filter(Vectors.cosineFromDot(
+        graft.plans.VecExprs.pqPairDot(col("code"), col("ccode"),
+          codebook, codebook),
         col("dnorm"), col("cdnorm")) >= threshold - margin)
       .select(least(col("id"), col("cid")).as("id_a"),
         greatest(col("id"), col("cid")).as("id_b"))

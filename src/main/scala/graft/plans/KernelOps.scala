@@ -362,6 +362,71 @@ object KernelOps {
     new GenericArrayData(out)
   }
 
+  /** [[PqPairDot]]: dot product of two PQ-DECODED codes straight off
+    * the codebooks — bitwise-identical to
+    * `vecDot(decode(cbA, a), decode(cbB, b))` (same doubles in the same
+    * sequential fold order) without materializing either decoded
+    * array. The hot-path shape: near-dup screens evaluate this once
+    * per bucket COLLISION, so the two per-pair decode allocations
+    * (flatten + m element_at each) are the dominant candidate-stage
+    * cost at scale.
+    *
+    * Twin parity on the edges (`pqDecode` = flatten of per-subspace
+    * element_at):
+    *  - a null CODE element nulls its subspace entry and flatten then
+    *    nulls the whole decoded array → return boxed null;
+    *  - decoded lengths (mA·subA vs mB·subB) can differ across
+    *    codebook generations → vecDot's length-mismatch null;
+    *  - a code element outside [0, k) throws in ANSI element_at —
+    *    throw loudly too (unreachable for pqEncode-produced codes);
+    *  - geometries may differ side-to-side, so the fold walks ONE
+    *    global element index with per-side subspace counters — the
+    *    exact pairing vecDot sees over the two flattened arrays. */
+  def pqPairDot(a: ArrayData, b: ArrayData,
+                cbA: Array[Array[Array[Double]]],
+                cbB: Array[Array[Array[Double]]]): java.lang.Double = {
+    val mA = cbA.length; val subA = cbA(0)(0).length
+    val mB = cbB.length; val subB = cbB(0)(0).length
+    require(a.numElements() == mA && b.numElements() == mB,
+      s"PQ code length mismatch: got ${a.numElements()}/${b.numElements()} " +
+        s"codes for m=$mA/$mB codebooks")
+    if (mA.toLong * subA != mB.toLong * subB) return null // vecDot length null
+    var i = 0
+    while (i < mA) {
+      if (a.isNullAt(i)) return null
+      val c = a.getInt(i)
+      if (c < 0 || c >= cbA(i).length)
+        throw new IllegalArgumentException(
+          s"PQ code element $c out of range [0, ${cbA(i).length}) in subspace $i")
+      i += 1
+    }
+    i = 0
+    while (i < mB) {
+      if (b.isNullAt(i)) return null
+      val c = b.getInt(i)
+      if (c < 0 || c >= cbB(i).length)
+        throw new IllegalArgumentException(
+          s"PQ code element $c out of range [0, ${cbB(i).length}) in subspace $i")
+      i += 1
+    }
+    var acc = 0.0
+    var miA = 0; var jA = 0
+    var miB = 0; var jB = 0
+    var cwA = cbA(0)(a.getInt(0))
+    var cwB = cbB(0)(b.getInt(0))
+    val n = mA * subA
+    var g = 0
+    while (g < n) {
+      acc += cwA(jA) * cwB(jB)
+      jA += 1
+      if (jA == subA && g + 1 < n) { jA = 0; miA += 1; cwA = cbA(miA)(a.getInt(miA)) }
+      jB += 1
+      if (jB == subB && g + 1 < n) { jB = 0; miB += 1; cwB = cbB(miB)(b.getInt(miB)) }
+      g += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** [[PqEncode]] for a NULL vector: m null codes. */
   def pqEncodeNull(m: Int): ArrayData = new GenericArrayData(new Array[Any](m))
 

@@ -54,4 +54,12 @@ private[plans] object TypeChecks {
 
   def vecArray(name: String, dt: DataType): (String, DataType, DataType => Boolean, String) =
     (name, dt, isVecArray, "ARRAY<FLOAT> or ARRAY<DOUBLE>")
+
+  def isIntArray(dt: DataType): Boolean = dt match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  def intArray(name: String, dt: DataType): (String, DataType, DataType => Boolean, String) =
+    (name, dt, isIntArray, "ARRAY<INT>")
 }

@@ -128,6 +128,42 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Dot product of two PQ-decoded codes straight off their codebooks —
+  * bitwise-identical to `VecDot(pqDecode(left, cbLeft),
+  * pqDecode(right, cbRight))` (KernelOps.pqPairDot documents the
+  * parity contract) with zero per-pair array materialization. Children
+  * are the two `array<int>` code columns; the codebooks ride in the
+  * expression like [[PqEncode]]'s (a few KB of plain doubles, pinned
+  * in the generated class's reference array). */
+case class PqPairDot(left: Expression, right: Expression,
+                     cbLeft: Array[Array[Array[Double]]],
+                     cbRight: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_pq_pair_dot", Seq(
+      TypeChecks.intArray("code_a", left.dataType),
+      TypeChecks.intArray("code_b", right.dataType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    KernelOps.pqPairDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      cbLeft, cbRight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ca = ctx.addReferenceObj("pqPairCbA", cbLeft, "double[][][]")
+    val cb = ctx.addReferenceObj("pqPairCbB", cbRight, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("pairDot")
+      s"""
+         |java.lang.Double $boxed = graft.plans.KernelOps.pqPairDot($a, $b, $ca, $cb);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExprs {
   def dot(a: Column, b: Column): Column =
     ExprBridge.toColumn(VecDot(ExprBridge.toExpression(a), ExprBridge.toExpression(b)))
@@ -141,4 +177,10 @@ object VecExprs {
       LshBuckets(ExprBridge.toExpression(v), bits, tables, tableOffset))
   def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
     ExprBridge.toColumn(PqEncode(ExprBridge.toExpression(v), codebook))
+  /** dot(decode(cbA, a), decode(cbB, b)) without materializing either
+    * decoded array — the near-dup screens' per-collision hot path. */
+  def pqPairDot(a: Column, b: Column, cbA: Array[Array[Array[Double]]],
+                cbB: Array[Array[Array[Double]]]): Column =
+    ExprBridge.toColumn(PqPairDot(ExprBridge.toExpression(a),
+      ExprBridge.toExpression(b), cbA, cbB))
 }

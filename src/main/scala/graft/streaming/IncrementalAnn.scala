@@ -101,8 +101,8 @@ object IncrementalAnn {
           // row buys never re-decoding the store side for the in-join
           // screen's norms; pre-dnorm store rows null-fill on read and
           // pairsFromCodes recomputes them from the code
-          .withColumn("dnorm", Vectors.norm(
-            SimilaritySearch.pqDecode(col("code"), books(gen))))
+          .withColumn("dnorm", sqrt(graft.plans.VecExprs.pqPairDot(
+            col("code"), col("code"), books(gen), books(gen))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val existing = IncrementalDedup.readStore(
@@ -344,7 +344,8 @@ object IncrementalAnn {
     // null-fill on read and the coalesce recomputes them from the
     // code — bit-identical, dnorm is a pure function of (gen, code).
     def withNorm(df: DataFrame): DataFrame = {
-      val freshNorm = Vectors.norm(decodeOf(books, col("gen"), col("code")))
+      val freshNorm = sqrt(pairDotOf(books, col("gen"), col("code"),
+        col("gen"), col("code")))
       if (df.columns.contains("dnorm"))
         df.withColumn("dnorm", coalesce(col("dnorm"), freshNorm))
       else df.withColumn("dnorm", freshNorm)
@@ -412,9 +413,14 @@ object IncrementalAnn {
         col("code").as("ncode") +: col("dnorm").as("nnorm") +: key.map(col): _*)
     probe.hint("shuffle_hash").join(candBands, key)
       .filter(col("nid") =!= col("id"))
-      .withColumn("approx_cos", Vectors.cosineWithNorms(
-        decodeOf(books, col("ngen"), col("ncode")),
-        decodeOf(books, col("gen"), col("code")),
+      // pair-dot kernel: per-collision dot straight off the two
+      // generational codebooks — bitwise ≡ the former
+      // cosineWithNorms(decodeOf(...), decodeOf(...)) (VectorsSpec pins
+      // the kernel parity; the when-chain over generations is
+      // unchanged in structure), minus the two per-collision decode
+      // materializations that dominated the screen's CPU
+      .withColumn("approx_cos", Vectors.cosineFromDot(
+        pairDotOf(books, col("ngen"), col("ncode"), col("gen"), col("code")),
         col("nnorm"), col("dnorm")))
       .filter(col("approx_cos") >= minCosine)
       // least/greatest is order-safe because the screen is symmetric
@@ -430,13 +436,36 @@ object IncrementalAnn {
     * — the when-chain is tiny (generation count is small, driver-side)
     * and only the matching branch evaluates per row. A generation with
     * no loaded codebook fails LOUDLY with the generation named. */
-  private def decodeOf(books: Map[Int, Codebook],
-                       genC: Column, codeC: Column): Column = {
+  private[streaming] def decodeOf(books: Map[Int, Codebook],
+                                  genC: Column, codeC: Column): Column = {
     val noBook: Column = raise_error(concat(
       lit("no codebook loaded for stored code generation "),
       genC.cast("string"))).cast("array<double>")
     books.toSeq.sortBy(_._1).foldLeft(noBook) { case (acc, (g, cb)) =>
       when(genC === g, SimilaritySearch.pqDecode(codeC, cb)).otherwise(acc)
+    }
+  }
+
+  /** dot(decode(genA, codeA), decode(genB, codeB)) via the
+    * [[graft.plans.PqPairDot]] kernel, with the same generational
+    * when-chain (and the same loud no-codebook raise_error) as
+    * [[decodeOf]] on each side — bitwise-identical to
+    * `Vectors.dot(decodeOf(genA, codeA), decodeOf(genB, codeB))`
+    * without materializing either decoded array per collision. */
+  private[streaming] def pairDotOf(books: Map[Int, Codebook],
+                                   genA: Column, codeA: Column,
+                                   genB: Column, codeB: Column): Column = {
+    def noBook(genC: Column): Column = raise_error(concat(
+      lit("no codebook loaded for stored code generation "),
+      genC.cast("string"))).cast("double")
+    val gens = books.toSeq.sortBy(_._1)
+    gens.foldLeft(noBook(genA)) { case (accA, (ga, cbA)) =>
+      when(genA === ga,
+        gens.foldLeft(noBook(genB)) { case (accB, (gb, cbB)) =>
+          when(genB === gb,
+            graft.plans.VecExprs.pqPairDot(codeA, codeB, cbA, cbB))
+            .otherwise(accB)
+        }).otherwise(accA)
     }
   }
 

@@ -76,7 +76,9 @@ class CodegenSpec extends SparkSpec {
       // vector kernels
       VecExprs.dot(col("va"), col("vb")).as("dot"),
       VecExprs.lshBuckets(col("va"), 8, 2).as("lsh"),
-      VecExprs.pqEncode(col("va"), codebook).as("pq"))
+      VecExprs.pqEncode(col("va"), codebook).as("pq"),
+      VecExprs.pqPairDot(VecExprs.pqEncode(col("va"), codebook),
+        VecExprs.pqEncode(col("vb"), codebook), codebook, codebook).as("pqdot"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -85,7 +87,7 @@ class CodegenSpec extends SparkSpec {
       classOf[MinHashSig], classOf[JaccardLong100], classOf[RatioScore],
       classOf[FuzzyBestScore], classOf[NormalizeName], classOf[KeywordsArr],
       classOf[ExtractFromTitle], classOf[IsValidCompanyName],
-      classOf[VecDot], classOf[LshBuckets], classOf[PqEncode])
+      classOf[VecDot], classOf[LshBuckets], classOf[PqEncode], classOf[PqPairDot])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

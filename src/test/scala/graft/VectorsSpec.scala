@@ -234,6 +234,56 @@ class VectorsSpec extends SparkSpec {
     assert(nat == dec && nat.size == 8 && nat.forall(_ == null))
   }
 
+  test("PQ pair-dot kernel bitwise-equals decode-then-dot (incl. self-norm and null edges)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
+    val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
+    val codes = e.select($"vec_id",
+      graft.plans.VecExprs.pqEncode($"embedding", codebook).as("code"))
+    // cross a sample of code pairs: kernel dot must be BITWISE the
+    // declarative decode-then-dot (the d10 screen's survivor set
+    // depends on exact equality at the threshold)
+    val a = codes.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("ida"), $"code".as("ca"))
+    val b = codes.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("idb"), $"code".as("cb"))
+    val badPairs = a.crossJoin(b).select(
+        graft.plans.VecExprs.pqPairDot($"ca", $"cb", codebook, codebook).as("nat"),
+        Vectors.dot(SimilaritySearch.pqDecode($"ca", codebook),
+          SimilaritySearch.pqDecode($"cb", codebook)).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(badPairs == 0, "pair-dot kernel diverges from decode-then-dot")
+    // self-dot (the dnorm path): sqrt(pairDot(c, c)) == norm(decode(c))
+    val badNorm = codes.select(
+        sqrt(graft.plans.VecExprs.pqPairDot($"code", $"code", codebook, codebook)).as("nat"),
+        Vectors.norm(SimilaritySearch.pqDecode($"code", codebook)).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(badNorm == 0, "pair self-dot norm diverges from decode-then-norm")
+    // null edges: a NULL vector encodes to m null codes -> decode is
+    // NULL -> dot NULL; a NULL code column short-circuits the same way
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+      .select(graft.plans.VecExprs.pqEncode($"embedding", codebook).as("code"))
+      .crossJoin(codes.limit(1).select($"code".as("other")))
+      .select(
+        graft.plans.VecExprs.pqPairDot($"code", $"other", codebook, codebook).as("nat"),
+        Vectors.dot(SimilaritySearch.pqDecode($"code", codebook),
+          SimilaritySearch.pqDecode($"other", codebook)).as("dec"))
+      .collect().head
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1),
+      s"null-code pair must be NULL in both forms: $nullRow")
+    // cross-geometry lengths (8x8 vs 4x8 decode widths) -> vecDot's
+    // length-mismatch NULL, kernel included
+    val cb4 = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 32, 4, 16)
+    val mixed = e.limit(5).select(
+        graft.plans.VecExprs.pqEncode($"embedding", codebook).as("c8"),
+        graft.plans.VecExprs.pqEncode(slice($"embedding", 1, 32), cb4).as("c4"))
+      .select(
+        graft.plans.VecExprs.pqPairDot($"c8", $"c4", codebook, cb4).as("nat"),
+        Vectors.dot(SimilaritySearch.pqDecode($"c8", codebook),
+          SimilaritySearch.pqDecode($"c4", cb4)).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(mixed == 0, "cross-geometry pair-dot diverges from decode-then-dot")
+  }
+
   test("PQ top-k: compressed codes, decode distortion bounded, recall after re-rank") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
