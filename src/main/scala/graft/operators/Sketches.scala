@@ -138,6 +138,63 @@ object Sketches {
         .filter(col("h").isNotNull) // see kmvDistinctEstimate
         .distinct()
         .orderBy(col("h")).limit(k)
+    overlapFromSketches(sketch(a), sketch(b), k)
+  }
+
+  /** [[kmvOverlapEstimate]] when the two key sets arrive as ONE stream
+    * with a side flag — the one-scan form for sides carved out of the
+    * same corpus (x7: held-out vs training grams partition `documents`,
+    * so the two-frame form reads and tokenizes the corpus text TWICE;
+    * at 100 TB the second scan is a full extra I/O pass).
+    *
+    * Bit-identical to `kmvOverlapEstimate(df.filter(sideA),
+    * df.filter(!sideA))` by construction: per-side DISTINCT membership
+    * becomes one `groupBy(h)` carrying two membership flags (map-side
+    * partial aggregation bounds the exchange to O(n_distinct) rows —
+    * the same volume the two per-side distincts shuffled combined),
+    * and each side's sketch is the bottom-k of its flagged hashes —
+    * the identical set the per-side distinct produced. The two sketch
+    * branches share one canonical aggregate subtree, so Spark plans a
+    * single exchange and reuses it (one corpus pass, one shuffle).
+    * Null keys hash to null and are filtered exactly as before; rows
+    * with a null side flag belong to NEITHER side (a flag derived from
+    * a non-null column is never null — callers partitioning a corpus
+    * pass a total predicate).
+    *
+    * @param sideA boolean column: true = the key belongs to set A,
+    *              false = set B. */
+  def kmvOverlapEstimateSided(df: DataFrame, keyCol: String, sideA: Column,
+                              k: Int): DataFrame = {
+    require(k >= 2, "KMV sketch size k must be >= 2") // see kmvDistinctEstimate
+    // The grouped-KMV shape (x6): distinct (side, h), then the per-side
+    // bottom-k from a rank window Spark 4 rewrites with a
+    // WindowGroupLimit PARTIAL — each map task keeps only its k
+    // smallest hashes per side BEFORE the window exchange, so both
+    // sketches come out of ONE execution with one O(n_distinct)
+    // distinct-exchange plus one O(sides × k × partitions)-row window
+    // exchange. (Per-side filter branches over a shared flagged
+    // aggregate do NOT work: column pruning specializes each branch's
+    // aggregate to its own flag, the subtrees stop being canonically
+    // equal, exchange reuse misses, and the corpus is scanned and
+    // shuffled twice — measured 2× cpu and 2× shuffle bytes.)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__a")).orderBy(col("h").asc)
+    val both = Materialize.once(df
+      .select(hash60(col(keyCol)).as("h"), sideA.as("__a"))
+      .filter(col("h").isNotNull) // see kmvDistinctEstimate
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__a"), col("h")))
+    overlapFromSketches(
+      both.filter(col("__a")).select(col("h")),
+      both.filter(!col("__a")).select(col("h")), k)
+  }
+
+  /** Shared estimator tail of the two overlap forms (sketches in,
+    * one (est_a, est_b, est_union, est_inter) row out). */
+  private def overlapFromSketches(skA: DataFrame, skB: DataFrame,
+                                  k: Int): DataFrame = {
     def est(sk: DataFrame, name: String): DataFrame =
       sk.agg(max(col("h")).as("hk"), count(lit(1)).as("c"))
         .select(kmvEst(k).as(name))
@@ -145,8 +202,8 @@ object Sketches {
     // subtrees (estimate + semi-joins + union), but a df.persist entry
     // on these call-local frames would pin the CacheManager for the
     // session's life (the winnowingOverlap idiom). Each is ≤ k rows.
-    val sa = Materialize.once(sketch(a))
-    val sb = Materialize.once(sketch(b))
+    val sa = Materialize.once(skA)
+    val sb = Materialize.once(skB)
     val su = Materialize.once(
       sa.union(sb).distinct().orderBy(col("h")).limit(k))
     val inBoth = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")

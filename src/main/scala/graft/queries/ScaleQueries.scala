@@ -129,14 +129,18 @@ object ScaleQueries {
     // KMV set algebra: estimated gram overlap between the held-out set
     // and the training corpus (contamination TRIAGE — is it 0.01% or
     // 10%? — from two sketch builds, no corpus×heldout join; c1/c4 do
-    // the exact removal when triage says it matters)
+    // the exact removal when triage says it matters). The sided
+    // one-scan form: held-out vs training partition the SAME corpus,
+    // so the side rides the gram stream as a flag and the text is read
+    // and tokenized once (the two-frame form scanned documents twice —
+    // a full extra I/O pass at 100 TB); sketches, and therefore every
+    // estimate, are bit-identical to the two-frame form (SkewBucketSpec
+    // pins it).
     "x7_kmv_overlap" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def grams(df: org.apache.spark.sql.DataFrame) =
-        df.select(explode(graft.functions.Hashing.shingles(col("text"), 3)).as("key"))
-      Sketches.kmvOverlapEstimate(
-        grams(docs.filter(col("doc_id") % 97 === 0)),
-        grams(docs.filter(col("doc_id") % 97 =!= 0)), "key", 256)
+      val grams = docs.select((col("doc_id") % 97 === 0).as("is_held_out"),
+        explode(graft.functions.Hashing.shingles(col("text"), 3)).as("key"))
+      Sketches.kmvOverlapEstimateSided(grams, "key", col("is_held_out"), 256)
     }),
 
     // Salted fact×dim join (dimension replicated per salt, fact salted

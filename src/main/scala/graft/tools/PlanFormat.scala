@@ -26,15 +26,37 @@ object PlanFormat {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = Paths.get(s"plans/$tag")
     Files.createDirectories(dir)
+    // side executions (Materialize.once sketch/memo builds, closure
+    // rounds) carry the scans and exchanges the main plan then reads as
+    // checkpoints — capture them too, else a memoizing query's plan
+    // file shows none of its real work
+    val sides = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = { sides.add(qe); () }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     for (name <- names.split(",").map(_.trim).filter(_.nonEmpty)) {
+      sides.clear()
       val df = graft.SparkEntry.queries(name)(spark, d)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       df.count() // drive to completion so the AQE final plan exists
+      Thread.sleep(500) // listener delivery is async; let side QEs land
       val fin = df.queryExecution.executedPlan.toString
-      val out = s"== explain(formatted), pre-execution ==\n$formatted\n" +
-        s"== executedPlan after AQE (isFinalPlan) ==\n$fin\n"
-      Files.writeString(dir.resolve(s"${name}_$suffix.txt"), out)
+      val sb = new StringBuilder
+      sb.append(s"== explain(formatted), pre-execution ==\n$formatted\n")
+      sb.append(s"== executedPlan after AQE (isFinalPlan) ==\n$fin\n")
+      import scala.jdk.CollectionConverters._
+      for ((qe, i) <- sides.asScala.zipWithIndex if qe ne df.queryExecution)
+        sb.append(s"\n== side execution $i (construction-time " +
+          s"materialization / closure round) ==\n${qe.executedPlan.toString}\n")
+      Files.writeString(dir.resolve(s"${name}_$suffix.txt"), sb.toString)
       println(s"wrote plans/$tag/${name}_$suffix.txt")
     }
     spark.stop()

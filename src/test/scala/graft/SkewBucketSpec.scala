@@ -287,6 +287,29 @@ class SkewBucketSpec extends SparkSpec {
     assert(math.abs(estI - 2000) < 0.25 * 2000, s"est_inter $estI")
   }
 
+  test("sided KMV overlap is bitwise the two-frame form (incl. overlap, empty side, all-one-side)") {
+    // the one-scan x7 form must produce the IDENTICAL row: same
+    // bottom-k sets -> same estimates, bit for bit
+    val rng = new scala.util.Random(23)
+    val cases = Seq(
+      // random overlap, estimated regime (union > k at k=16)
+      (rng.shuffle((0 until 400).toList).take(120).map(_.toLong),
+        rng.shuffle((0 until 400).toList).take(150).map(_.toLong)),
+      // exact regime (union < k at k=256)
+      ((0L until 60L).toList, (40L until 90L).toList),
+      // one side empty
+      ((0L until 50L).toList, List.empty[Long]))
+    for ((aKeys, bKeys) <- cases; k <- Seq(16, 256)) {
+      val two = graft.operators.Sketches.kmvOverlapEstimate(
+        aKeys.toDF("key"), bKeys.toDF("key"), "key", k).head()
+      val tagged = (aKeys.map(x => (x, true)) ++ bKeys.map(x => (x, false)))
+        .toDF("key", "is_a")
+      val one = graft.operators.Sketches.kmvOverlapEstimateSided(
+        tagged, "key", $"is_a", k).head()
+      assert(two == one, s"sided diverged at k=$k: two=$two one=$one")
+    }
+  }
+
   test("zValue roundtrips: deinterleaving recovers (x, y) for random inputs") {
     val rng = new scala.util.Random(7)
     val bits = 10
