@@ -230,13 +230,13 @@ object Dedup {
     val sigA = allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sigB = allSig.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     sigB.join(sigA.join(pairs, "id_a"), "id_b")
-      // agreement count: codegen'd zip_with/aggregate over two short
-      // long-arrays — integer-exact on both engines
+      // agreement count: native kernel (graft.plans.SigAgree) — the
+      // zip_with/aggregate twin is CodegenFallback and ran INTERPRETED
+      // per candidate pair as this join's condition; the kernel is
+      // bitwise-identical (VectorsSpec pins value + null edges) and
+      // runs inside the codegen'd join
       .withColumn("n_agree",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x))
+        graft.plans.VecExprs.sigAgree(col("sig_a"), col("sig_b")))
       .withColumn("sig_agree100",
         expr(s"CAST((n_agree * 100) DIV $numHashes AS INT)"))
       .filter(col("sig_agree100") >= minAgree100)

@@ -362,6 +362,29 @@ object KernelOps {
     new GenericArrayData(out)
   }
 
+  /** [[SigAgree]]: MinHash signature agreement count — the number of
+    * positions where two long-array signatures carry the same hash.
+    * Twin parity with
+    * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)), 0, _+_)`
+    * on every edge: a null ARRAY on either side → boxed null
+    * (zip_with null-propagation); a null ELEMENT or a position past the
+    * shorter array compares null → the when's otherwise(0) — it counts
+    * as disagreement, never null; the fold length is max(len_a, len_b)
+    * (zip_with pads), which only matters for the (never-produced)
+    * ragged-signature edge the twin would also score 0 on. */
+  def sigAgree(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.min(la, lb)
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        agree += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(agree)
+  }
+
   /** [[PqPairDot]]: dot product of two PQ-DECODED codes straight off
     * the codebooks — bitwise-identical to
     * `vecDot(decode(cbA, a), decode(cbB, b))` (same doubles in the same

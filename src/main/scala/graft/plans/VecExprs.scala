@@ -164,6 +164,29 @@ case class PqPairDot(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** MinHash signature agreement count over two `array<bigint>`
+  * signatures — bitwise-identical to the declarative
+  * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)), 0, _+_)`
+  * (KernelOps.sigAgree documents the edge parity), but codegen'd: the
+  * HOF pair is CodegenFallback and was evaluated interpreted per
+  * candidate pair inside the d8 verification join's condition. */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_sig_agree", Seq(
+      TypeChecks.longArray("sig_a", left.dataType),
+      TypeChecks.longArray("sig_b", right.dataType)))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    KernelOps.sigAgree(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.KernelOps.sigAgree($a, $b).intValue();")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExprs {
   def dot(a: Column, b: Column): Column =
     ExprBridge.toColumn(VecDot(ExprBridge.toExpression(a), ExprBridge.toExpression(b)))
@@ -177,6 +200,10 @@ object VecExprs {
       LshBuckets(ExprBridge.toExpression(v), bits, tables, tableOffset))
   def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
     ExprBridge.toColumn(PqEncode(ExprBridge.toExpression(v), codebook))
+  /** agreement count of two minhash signatures (codegen'd HOF twin) */
+  def sigAgree(a: Column, b: Column): Column =
+    ExprBridge.toColumn(SigAgree(ExprBridge.toExpression(a),
+      ExprBridge.toExpression(b)))
   /** dot(decode(cbA, a), decode(cbB, b)) without materializing either
     * decoded array — the near-dup screens' per-collision hot path. */
   def pqPairDot(a: Column, b: Column, cbA: Array[Array[Array[Double]]],

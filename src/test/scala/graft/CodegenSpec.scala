@@ -78,7 +78,9 @@ class CodegenSpec extends SparkSpec {
       VecExprs.lshBuckets(col("va"), 8, 2).as("lsh"),
       VecExprs.pqEncode(col("va"), codebook).as("pq"),
       VecExprs.pqPairDot(VecExprs.pqEncode(col("va"), codebook),
-        VecExprs.pqEncode(col("vb"), codebook), codebook, codebook).as("pqdot"))
+        VecExprs.pqEncode(col("vb"), codebook), codebook, codebook).as("pqdot"),
+      VecExprs.sigAgree(MinHashSig.column(ShingleHashes64.column(col("text"), 3), 8),
+        MinHashSig.column(ShingleHashes64.column(col("text"), 2), 8)).as("sigagree"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -87,7 +89,8 @@ class CodegenSpec extends SparkSpec {
       classOf[MinHashSig], classOf[JaccardLong100], classOf[RatioScore],
       classOf[FuzzyBestScore], classOf[NormalizeName], classOf[KeywordsArr],
       classOf[ExtractFromTitle], classOf[IsValidCompanyName],
-      classOf[VecDot], classOf[LshBuckets], classOf[PqEncode], classOf[PqPairDot])
+      classOf[VecDot], classOf[LshBuckets], classOf[PqEncode], classOf[PqPairDot],
+      classOf[SigAgree])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

@@ -284,6 +284,37 @@ class VectorsSpec extends SparkSpec {
     assert(mixed == 0, "cross-geometry pair-dot diverges from decode-then-dot")
   }
 
+  test("sig-agree kernel bitwise-equals the zip_with/aggregate twin (incl. null/ragged edges)") {
+    def twin(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+    // real signatures from the corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16, 4)
+      .select($"doc_id", $"sig")
+    val pairs = sigs.select($"doc_id".as("ia"), $"sig".as("sa"))
+      .crossJoin(sigs.select($"doc_id".as("ib"), $"sig".as("sb")))
+      .filter($"ia" % 17 === 0)
+    val bad = pairs.select(
+        graft.plans.VecExprs.sigAgree($"sa", $"sb").as("nat"),
+        twin($"sa", $"sb").as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(bad == 0, "sig-agree kernel diverges from the HOF twin")
+    // edges: null array, null element, ragged lengths, empty
+    val edges = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(NULL AS ARRAY<BIGINT>), array(1L, 2L)),
+        |  (array(1L, CAST(NULL AS BIGINT)), array(1L, NULL)),
+        |  (array(1L, 2L, 3L), array(1L, 2L)),
+        |  (array(), array(1L)),
+        |  (array(7L), array(7L)) AS t(sa, sb)""".stripMargin)
+    val badEdge = edges.select(
+        graft.plans.VecExprs.sigAgree($"sa", $"sb").as("nat"),
+        twin($"sa", $"sb").as("dec"))
+      .filter(!($"nat" <=> $"dec")).collect()
+    assert(badEdge.isEmpty, s"edge divergence: ${badEdge.mkString("; ")}")
+  }
+
   test("PQ top-k: compressed codes, decode distortion bounded, recall after re-rank") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
