@@ -55,8 +55,13 @@ object Dedup {
       // PAIR per side — a doc in a duplicate cluster of size c is
       // otherwise re-sorted O(c) times; distinct also shrinks the
       // shuffled arrays exactly on the duplicate-heavy documents.
-      .withColumn("sh", array_sort(array_distinct(
-        graft.plans.ShingleHashes64.column(col(textCol), shingleK))))
+      // sorted-distinct via one kernel pass: array_sort is a
+      // higher-order function whose default comparator runs as an
+      // interpreted boxed lambda per comparison per document
+      // (CodegenFallback); SortedDistinctLongs is bitwise-identical
+      // (VectorsSpec pins value + null edges) inside the codegen stage
+      .withColumn("sh", graft.plans.SortedDistinctLongs.column(
+        graft.plans.ShingleHashes64.column(col(textCol), shingleK)))
       .withColumn("sig", graft.plans.MinHashSig.column(col("sh"), numHashes))
     (0 until bands).foldLeft(withSig) { (df, b) =>
       df.withColumn(s"band_$b", Hashing.bandKey(col("sig"), b, rows))

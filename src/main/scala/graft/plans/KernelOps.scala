@@ -362,6 +362,42 @@ object KernelOps {
     new GenericArrayData(out)
   }
 
+  /** [[SortedDistinctLongs]]: sorted-distinct of a long array in one
+    * primitive pass. Twin parity with `array_sort(array_distinct(a))`:
+    * distinct keeps at most ONE null, and array_sort's default
+    * comparator places it LAST; non-null values sort ascending (total
+    * order on longs — no tie ambiguity). */
+  def sortedDistinctLongs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val buf = new Array[Long](n)
+    var m = 0
+    var hadNull = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) hadNull = true
+      else { buf(m) = a.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(buf, 0, m)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || buf(w - 1) != buf(i)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    if (!hadNull) {
+      val out = new Array[Long](w)
+      System.arraycopy(buf, 0, out, 0, w)
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](w + 1)
+      i = 0
+      while (i < w) { out(i) = buf(i); i += 1 }
+      out(w) = null
+      new GenericArrayData(out)
+    }
+  }
+
   /** [[SigAgree]]: MinHash signature agreement count — the number of
     * positions where two long-array signatures carry the same hash.
     * Twin parity with

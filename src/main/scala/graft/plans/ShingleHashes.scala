@@ -120,6 +120,34 @@ object WinnowFingerprints64 {
     ExprBridge.toColumn(WinnowFingerprints64(ExprBridge.toExpression(text), k, w))
 }
 
+/** `array_sort(array_distinct(<array<bigint>>))` as one primitive pass —
+  * bitwise-identical output (longs have a total order; array_distinct
+  * keeps at most one null, which array_sort's default comparator places
+  * LAST; a null input array propagates), but without the per-comparison
+  * interpreted lambda `array_sort` wraps around its default comparator
+  * (ArraySort is a higher-order function — CodegenFallback, boxed
+  * comparator call per comparison per row) or array_distinct's
+  * intermediate array. Used where sorted-distinct gram/shingle sets are
+  * built once per document (the minhash `sh` column). */
+case class SortedDistinctLongs(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_sorted_distinct",
+      Seq(TypeChecks.longArray("hashes", child.dataType)))
+  override def dataType: DataType = child.dataType
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.sortedDistinctLongs(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.sortedDistinctLongs($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SortedDistinctLongs {
+  def column(arr: Column): Column =
+    ExprBridge.toColumn(SortedDistinctLongs(ExprBridge.toExpression(arr)))
+}
+
 object ShingleHashes64 {
   val M31 = 2147483647L
 

@@ -80,7 +80,8 @@ class CodegenSpec extends SparkSpec {
       VecExprs.pqPairDot(VecExprs.pqEncode(col("va"), codebook),
         VecExprs.pqEncode(col("vb"), codebook), codebook, codebook).as("pqdot"),
       VecExprs.sigAgree(MinHashSig.column(ShingleHashes64.column(col("text"), 3), 8),
-        MinHashSig.column(ShingleHashes64.column(col("text"), 2), 8)).as("sigagree"))
+        MinHashSig.column(ShingleHashes64.column(col("text"), 2), 8)).as("sigagree"),
+      SortedDistinctLongs.column(ShingleHashes64.column(col("text"), 3)).as("sorteddistinct"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -90,7 +91,7 @@ class CodegenSpec extends SparkSpec {
       classOf[FuzzyBestScore], classOf[NormalizeName], classOf[KeywordsArr],
       classOf[ExtractFromTitle], classOf[IsValidCompanyName],
       classOf[VecDot], classOf[LshBuckets], classOf[PqEncode], classOf[PqPairDot],
-      classOf[SigAgree])
+      classOf[SigAgree], classOf[SortedDistinctLongs])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

@@ -315,6 +315,29 @@ class VectorsSpec extends SparkSpec {
     assert(badEdge.isEmpty, s"edge divergence: ${badEdge.mkString("; ")}")
   }
 
+  test("sorted-distinct kernel bitwise-equals array_sort(array_distinct(...))") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+    val bad = docs.select(
+        graft.plans.SortedDistinctLongs.column(
+          graft.plans.ShingleHashes64.column($"text", 3)).as("nat"),
+        array_sort(array_distinct(
+          graft.plans.ShingleHashes64.column($"text", 3))).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(bad == 0, "sorted-distinct kernel diverges on corpus shingles")
+    val edges = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(NULL AS ARRAY<BIGINT>)),
+        |  (array(3L, 1L, 3L, CAST(NULL AS BIGINT), 2L, NULL)),
+        |  (array()),
+        |  (array(CAST(NULL AS BIGINT))),
+        |  (array(5L, 5L, 5L)) AS t(a)""".stripMargin)
+    val badEdge = edges.select(
+        graft.plans.SortedDistinctLongs.column($"a").as("nat"),
+        array_sort(array_distinct($"a")).as("dec"))
+      .filter(!($"nat" <=> $"dec")).collect()
+    assert(badEdge.isEmpty, s"edge divergence: ${badEdge.mkString("; ")}")
+  }
+
   test("PQ top-k: compressed codes, decode distortion bounded, recall after re-rank") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
