@@ -152,11 +152,21 @@ object DedupQueries {
     * all consumers see byte-identical inputs. */
   private[graft] def embeddingUniverse(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val orig = e.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // array-level Cast + element_at/slice/concat instead of the
+    // transform/zip_with HOFs: the HOF pair is CodegenFallback, so the
+    // whole-corpus universe construction ran its per-element lambdas
+    // INTERPRETED once per row per consuming subtree. The non-HOF form
+    // is value-identical: Cast(array<float> → array<double>) is the
+    // same elementwise widening (null elements preserved), +0.05 on
+    // the double is the same addition, and the empty/NULL-array edges
+    // are guarded to the zip_with results (empty → empty, NULL → NULL;
+    // DedupSpec's d10⊂d5 invariant and the d5/c5/d10 oracles pin it).
+    def dv = col("embedding").cast("array<double>")
+    val orig = e.select(col("vec_id"), dv.as("vec"))
     val mut = e.select((col("vec_id") + 100000).as("vec_id"),
-      zip_with(col("embedding"), sequence(lit(1), size(col("embedding"))),
-        (x, i) => when(i === 1, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("vec"))
+      when(size(dv) >= 1,
+        concat(array(element_at(dv, 1) + 0.05), slice(dv, lit(2), size(dv) - 1)))
+        .otherwise(dv).as("vec"))
     orig.unionByName(mut)
   }
 
