@@ -321,10 +321,15 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d10 must block and verify via equi-joins, never a cross product:\n$p")
-    // the screen filter (approx cosine on decoded codes) must sit below
-    // the exact-cosine filter in the final plan — i.e. both exist
-    assert("Filter .*aggregate".r.findAllIn(p).nonEmpty || p.contains("zip_with"),
-      s"expected the decoded-code cosine screen in the plan:\n$p")
+    // the approx screen (PqPairDot kernel over the codes) must sit below
+    // the exact-cosine (vecdot) filter in the final plan — i.e. both exist
+    // (r14: the screen's decode-then-dot expression forest became the
+    // pqpairdot kernel, and the last HOF left the universe construction,
+    // so the old "Filter .*aggregate || zip_with" anchor is gone)
+    assert(p.contains("pqpairdot"),
+      s"expected the PQ-code cosine screen (pqpairdot kernel) in the plan:\n$p")
+    assert(p.contains("vecdot"),
+      s"expected the exact-cosine (vecdot) verification in the plan:\n$p")
   }
 
   test("w7: funnel reuses the user_id partitioning — one event-stream exchange") {
