@@ -79,8 +79,15 @@ object Hashing {
   }
 
   /** Character n-gram set (distinct, sorted) of the first `maxLen` chars;
-    * a string shorter than n contributes itself as one gram. */
-  def charNgrams(text: Column, n: Int, maxLen: Int): Column = {
+    * a string shorter than n contributes itself as one gram. Kernel
+    * expression — the declarative form below runs a `transform` lambda
+    * per gram plus array_sort's interpreted comparator per comparison,
+    * per pair side (CodegenFallback); twin pinned in DedupSpec. */
+  def charNgrams(text: Column, n: Int, maxLen: Int): Column =
+    graft.plans.TokenExprs.charNgramSet(text, n, maxLen)
+
+  /** [[charNgrams]]'s declarative twin (parity tests only). */
+  def charNgramsDeclarative(text: Column, n: Int, maxLen: Int): Column = {
     val s = substring(text, 1, maxLen)
     val len = length(s)
     when(len >= n,

@@ -56,19 +56,37 @@ object Similarity {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Tokens sorted then re-joined — word order insensitivity. */
-  def tokenSortJoin(c: Column): Column = array_join(array_sort(tokens(c)), " ")
+  /** Tokens sorted then re-joined — word order insensitivity. Kernel
+    * expression (one pass); array_sort's default comparator would run
+    * as an interpreted boxed lambda per comparison per row
+    * (CodegenFallback). Declarative twin below, pinned equal in
+    * SimilaritySpec. */
+  def tokenSortJoin(c: Column): Column = graft.plans.TokenExprs.tokenSortJoin(c)
+
+  /** [[tokenSortJoin]]'s declarative twin (parity tests only). */
+  def tokenSortJoinDeclarative(c: Column): Column = array_join(array_sort(tokens(c)), " ")
 
   def tokenSortRatio(a: Column, b: Column): Column =
     ratio(tokenSortJoin(a), tokenSortJoin(b))
 
   /** Sorted distinct token array — precompute ONCE per side before a
-    * similarity join so the per-pair work is only set ops + levenshtein. */
-  def tokenSet(c: Column): Column = array_sort(array_distinct(tokens(c)))
+    * similarity join so the per-pair work is only set ops + levenshtein.
+    * Kernel expression; declarative twin below. */
+  def tokenSet(c: Column): Column = graft.plans.TokenExprs.tokenSet(c)
+
+  /** [[tokenSet]]'s declarative twin (parity tests only). */
+  def tokenSetDeclarative(c: Column): Column = array_sort(array_distinct(tokens(c)))
 
   /** token_set_ratio over precomputed [[tokenSet]] arrays: max ratio over
-    * {intersection, intersection+restA, intersection+restB} joins. */
-  def tokenSetRatioFromSets(ta: Column, tb: Column): Column = {
+    * {intersection, intersection+restA, intersection+restB} joins.
+    * Kernel expression (the per-pair set-op merge + banded levenshtein
+    * of [[graft.plans.FuzzyBestScore]] at floor 0); ASCII-domain
+    * contract as [[sql.ratio]] — call sites feed normalizeName output. */
+  def tokenSetRatioFromSets(ta: Column, tb: Column): Column =
+    graft.plans.TokenExprs.tokenSetRatio100(ta, tb)
+
+  /** [[tokenSetRatioFromSets]]'s declarative twin (parity tests only). */
+  def tokenSetRatioFromSetsDeclarative(ta: Column, tb: Column): Column = {
     val inter = array_join(array_sort(array_intersect(ta, tb)), " ")
     val restA = array_join(array_sort(array_except(ta, tb)), " ")
     val restB = array_join(array_sort(array_except(tb, ta)), " ")

@@ -533,4 +533,122 @@ object KernelOps {
     }
     new GenericArrayData(out)
   }
+
+  // ───── token-string kernels ─────
+
+  /** Byte-slice split on 0x20 == `split(s, " ")` (regex " ", limit -1:
+    * empty tokens kept, including leading/trailing). Exact for valid
+    * UTF-8, where the space byte never occurs inside a multi-byte
+    * sequence; the slices wrap one shared byte copy (no per-token
+    * copying). */
+  private def splitSpace(u: UTF8String): Array[UTF8String] = {
+    val b = u.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) spaces += 1; i += 1 }
+    val out = new Array[UTF8String](spaces + 1)
+    var k = 0
+    var start = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) {
+        out(k) = UTF8String.fromBytes(b, start, i - start); k += 1; start = i + 1
+      }
+      i += 1
+    }
+    out(k) = UTF8String.fromBytes(b, start, b.length - start)
+    out
+  }
+
+  /** In-place adjacent dedupe of a SORTED UTF8String array; returns the
+    * distinct count (== array_distinct-then-sort: equal strings are
+    * bitwise equal, so first-occurrence-then-sort and sort-then-dedupe
+    * agree). */
+  private def dedupeSorted(a: Array[UTF8String], n0: Int): Int = {
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      if (n == 0 || a(i).binaryCompare(a(n - 1)) != 0) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    n
+  }
+
+  /** [[TokenSortJoinExpr]]: `array_join(array_sort(split(s," ")), " ")`
+    * in one pass. Sorting is UTF8String binary order — exactly
+    * array_sort's string order — and rejoining single-space-split
+    * tokens with single spaces reproduces the input byte count, so the
+    * output buffer is exact-sized. */
+  def tokenSortJoin(u: UTF8String): UTF8String = {
+    val toks = splitSpace(u)
+    if (toks.length == 1) return toks(0)
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    val out = new Array[Byte](u.numBytes)
+    var pos = 0
+    var i = 0
+    while (i < toks.length) {
+      if (i > 0) { out(pos) = 0x20; pos += 1 }
+      toks(i).writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += toks(i).numBytes
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** [[TokenSetStrings]]: `array_sort(array_distinct(split(s," ")))` —
+    * the sorted distinct token set in one pass. */
+  def tokenSet(u: UTF8String): ArrayData = {
+    val toks = splitSpace(u)
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    val n = dedupeSorted(toks, toks.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = toks(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[CharNgramSet]]: graft.functions.Hashing.charNgrams — the sorted
+    * distinct character-n-gram set of the first `maxLen` chars; a
+    * string shorter than n contributes itself as one gram. Code-point
+    * boundaries are walked with the same `numBytesForFirstByte` stride
+    * `numChars`/`substring` use, so gram slicing is bitwise Spark's
+    * `substr(i, n)`. */
+  def charNgramSet(text: UTF8String, n: Int, maxLen: Int): ArrayData = {
+    val s = text.substringSQL(1, maxLen)
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array[Any](s))
+    val bytes = s.getBytes
+    // bounds(c) = byte offset of code point c; bounds(len) = end
+    val bounds = new Array[Int](len + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      bounds(c) = i; c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    bounds(len) = bytes.length
+    val m = len - n + 1
+    val grams = new Array[UTF8String](m)
+    i = 0
+    while (i < m) {
+      grams(i) = UTF8String.fromBytes(bytes, bounds(i), bounds(i + n) - bounds(i))
+      i += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    val k = dedupeSorted(grams, m)
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) { out(i) = grams(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[TokenSetRatio100]]: token_set_ratio over pre-sorted distinct
+    * token arrays — [[FuzzyBestScore.tokenSetRatioAtLeast]] at floor 0,
+    * where every length gate passes and every banded levenshtein runs
+    * to completion (lev <= maxlen == the floor-0 band), so the result
+    * is exactly `greatest(ratio(inter,t1), ratio(inter,t2),
+    * ratio(t1,t2))`. ASCII-domain contract as FuzzyBestScore: byte
+    * distance == codepoint distance only on normalized names. */
+  def tokenSetRatio100(ta: ArrayData, tb: ArrayData): Int =
+    FuzzyBestScore.tokenSetRatioAtLeast(ta, tb, 0)
 }

@@ -81,7 +81,12 @@ class CodegenSpec extends SparkSpec {
         VecExprs.pqEncode(col("vb"), codebook), codebook, codebook).as("pqdot"),
       VecExprs.sigAgree(MinHashSig.column(ShingleHashes64.column(col("text"), 3), 8),
         MinHashSig.column(ShingleHashes64.column(col("text"), 2), 8)).as("sigagree"),
-      SortedDistinctLongs.column(ShingleHashes64.column(col("text"), 3)).as("sorteddistinct"))
+      SortedDistinctLongs.column(ShingleHashes64.column(col("text"), 3)).as("sorteddistinct"),
+      // token-string kernels
+      TokenExprs.tokenSortJoin(col("left_norm")).as("toksortjoin"),
+      TokenExprs.tokenSet(col("left_norm")).as("tokset"),
+      TokenExprs.charNgramSet(col("text"), 3, 60).as("charngrams"),
+      TokenExprs.tokenSetRatio100(col("left_set"), col("right_set")).as("toksetratio"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -91,7 +96,9 @@ class CodegenSpec extends SparkSpec {
       classOf[FuzzyBestScore], classOf[NormalizeName], classOf[KeywordsArr],
       classOf[ExtractFromTitle], classOf[IsValidCompanyName],
       classOf[VecDot], classOf[LshBuckets], classOf[PqEncode], classOf[PqPairDot],
-      classOf[SigAgree], classOf[SortedDistinctLongs])
+      classOf[SigAgree], classOf[SortedDistinctLongs],
+      classOf[TokenSortJoinExpr], classOf[TokenSetStrings],
+      classOf[CharNgramSet], classOf[TokenSetRatio100])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

@@ -309,6 +309,25 @@ class DedupSpec extends SparkSpec {
       s"refinement recall too low: ${refined.size}/${truth.size}")
   }
 
+  test("charNgrams kernel bitwise-equals the declarative twin (corpus + edges)") {
+    import graft.functions.Hashing
+    // edges: null, empty, shorter-than-n, exactly n, multi-byte UTF-8
+    // (code-point substr semantics), longer than maxLen, space runs,
+    // all-duplicate grams
+    val edges = Seq(
+      null, "", "a", "ab", "abc", "abcd", "日本語のテキストです確認用",
+      "aaaaaaaaaa", "x y z w", ("long" * 40) + " tail beyond the maxLen cut")
+      .toDF("t")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text".as("t"))
+    for ((n, maxLen) <- Seq((3, 60), (1, 5), (4, 4))) {
+      val mismatched = edges.union(corpus).select(
+        Hashing.charNgrams($"t", n, maxLen).as("k"),
+        Hashing.charNgramsDeclarative($"t", n, maxLen).as("d"))
+        .filter(!($"k" <=> $"d"))
+      assert(mismatched.count() == 0, s"charNgrams($n, $maxLen) diverged from twin")
+    }
+  }
+
   test("ngram jaccard: identical=100, disjoint=0") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("text_a", "text_b")
     val out = Dedup.ngramJaccard(pairs, "text_a", "text_b", 3, 60)

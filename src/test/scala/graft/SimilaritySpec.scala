@@ -33,6 +33,48 @@ class SimilaritySpec extends SparkSpec {
     assert(score(Similarity.keywordScore)("The Co", "Acme Bolt") == 0) // empty left set
   }
 
+  test("token kernels bitwise-equal their declarative twins (corpus + edges)") {
+    // raw corpus names (punctuation, casing) + adversarial edges: empty,
+    // space runs (empty tokens kept by split's limit -1), duplicates,
+    // multi-byte UTF-8 (split/sort exactness is NOT ASCII-limited), null
+    val edges = Seq(
+      "", " ", "  ", "a", "a b", "b a", " a b ", "a  b", "a a a b",
+      "ACME PTY LTD", "zz aa mm", "café müller zürich", "☃ snow ☃ man",
+      "multi  space   runs", "trailing space ", " leading", null)
+      .toDF("t")
+    val corpus = spark.read.parquet(s"$sf/part.parquet").select($"p_name".as("t"))
+    val all = edges.union(corpus)
+    val mismatched = all.select(
+      Similarity.tokenSortJoin($"t").as("ks"),
+      Similarity.tokenSortJoinDeclarative($"t").as("ds"),
+      Similarity.tokenSet($"t").as("kt"),
+      Similarity.tokenSetDeclarative($"t").as("dt"))
+      .filter(!($"ks" <=> $"ds") || !($"kt" <=> $"dt"))
+    assert(mismatched.count() == 0)
+  }
+
+  test("tokenSetRatio100 kernel bitwise-equals the declarative set-ratio (+ null edge)") {
+    // ASCII domain (the kernel's levenshtein is byte-level): normalized
+    // corpus names, self/cross pairs
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .select(graft.functions.Names.normalizeName($"c_name").as("n")).limit(200)
+    val pairs = names.select(Similarity.tokenSet($"n").as("ta"))
+      .crossJoin(names.select(Similarity.tokenSet($"n").as("tb")).limit(23))
+    val mismatched = pairs.select(
+      Similarity.tokenSetRatioFromSets($"ta", $"tb").as("k"),
+      Similarity.tokenSetRatioFromSetsDeclarative($"ta", $"tb").as("d"))
+      .filter(!($"k" <=> $"d"))
+    assert(mismatched.count() == 0)
+    // the null edge both forms score 100 (see TokenSetRatio100 scaladoc)
+    val nullEdge = Seq(Tuple1(Seq("a", "b"))).toDF("ta")
+      .select($"ta", lit(null).cast("array<string>").as("tb"))
+    val r = nullEdge.select(
+      Similarity.tokenSetRatioFromSets($"ta", $"tb").as("k"),
+      Similarity.tokenSetRatioFromSets($"tb", $"ta").as("k2"),
+      Similarity.tokenSetRatioFromSetsDeclarative($"ta", $"tb").as("d")).head()
+    assert(r.getInt(0) == 100 && r.getInt(1) == 100 && r.getInt(2) == 100)
+  }
+
   test("properties on corpus: bounds 0..100 and symmetry") {
     val names = spark.read.parquet(s"$sf/part.parquet").select($"p_name")
     val pairs = names.select($"p_name".as("a"))
