@@ -103,10 +103,17 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()
-    // The full line above grows with the query census (>2k chars) and a
-    // tail-limited log capture can clip its head, losing the total. Emit a
-    // short self-contained summary as the FINAL stdout line so the headline
-    // numbers always survive truncation from either end.
+    // The full line above grows with the query census (>15k chars with
+    // task_metrics inline) and a tail-limited log capture can clip its
+    // head — BENCH_r13 was unparseable for exactly this reason. Emit the
+    // per-query seconds again WITHOUT the bulky task_metrics map (~4x
+    // shorter), so a tail window that clips the full record still
+    // carries every per-query number; task_metrics stay available on
+    // the full line above and in bench_last.json. Nothing is removed
+    // from the full record — this line is additive redundancy.
+    println(s"""{"metric":"queries","value":$total,"unit":"sec","prebuild_sec":$prebuildSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Emit a short self-contained summary as the FINAL stdout line so the
+    // headline numbers always survive truncation from either end.
     val nOk = results.count(_._3.isEmpty)
     // distinct metric name: a consumer keying on "total" must not see
     // two records; tail-parsers take this last self-contained line

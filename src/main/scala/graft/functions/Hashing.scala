@@ -24,8 +24,15 @@ object Hashing {
 
   /** Word k-shingles; a document shorter than k tokens contributes its
     * whole text as one shingle; NULL text propagates to NULL (matching
-    * the native kernels — AdversarialTextSpec pins the agreement). */
-  def shingles(text: Column, k: Int): Column = {
+    * the native kernels — AdversarialTextSpec pins the agreement).
+    * Kernel expression — the declarative twin below runs a `transform`
+    * lambda (slice + array_join) interpreted per SHINGLE per document;
+    * twin pinned in DedupSpec. */
+  def shingles(text: Column, k: Int): Column =
+    graft.plans.TokenExprs.wordShingles(text, k)
+
+  /** [[shingles]]'s declarative twin (parity tests only). */
+  def shinglesDeclarative(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
     when(n >= k,
@@ -106,8 +113,15 @@ object Hashing {
 
   /** Rolling polynomial fingerprint of the first `maxLen` chars:
     * fold(acc*31 + ascii(char)) mod 1e9+7 (reference-style document
-    * fingerprinting; overflow-free under ANSI mode). */
-  def fingerprint(text: Column, maxLen: Int): Column = {
+    * fingerprinting; overflow-free under ANSI mode). Kernel
+    * expression — the declarative twin below materializes a per-char
+    * position sequence and runs interpreted transform + aggregate
+    * lambdas per char; twin pinned in TextStatsSpec. */
+  def fingerprint(text: Column, maxLen: Int): Column =
+    graft.plans.TokenExprs.polyFingerprint(text, maxLen)
+
+  /** [[fingerprint]]'s declarative twin (parity tests only). */
+  def fingerprintDeclarative(text: Column, maxLen: Int): Column = {
     val s = substring(text, 1, maxLen)
     val codes = transform(sequence(lit(1), greatest(length(s), lit(1))),
       i => ascii(s.substr(i, lit(1))).cast("long"))

@@ -156,12 +156,15 @@ object CorpusStats {
       .withColumn("__cov", coalesce(col("__covered"), array().cast("array<int>")))
       .withColumn("__keptpos",
         array_except(sequence(lit(0), size(col("__toks")) - 1), col("__cov")))
-      .withColumn("__kept",
-        transform(col("__keptpos"), p => element_at(col("__toks"), p + 1)))
+      // kernel rebuild: the transform(p => element_at(toks, p+1)) +
+      // array_join chain ran its lambda INTERPRETED once per kept token
+      // per document (HOF CodegenFallback); PickJoin is one codegen'd
+      // pass, and n_kept == size(__keptpos) (transform is
+      // length-preserving), so __kept never materializes at all
       .select(col(idCol),
         size(col("__toks")).as("n_tokens"),
-        size(col("__kept")).as("n_kept"),
-        array_join(col("__kept"), " ").as("cleaned"))
+        size(col("__keptpos")).as("n_kept"),
+        graft.plans.TokenExprs.pickJoin(col("__toks"), col("__keptpos")).as("cleaned"))
   }
 
   /** EXACT corpus heavy hitters — every token whose corpus frequency
@@ -316,25 +319,21 @@ object CorpusStats {
       .select(col("tok"))
     val oovPos = pos.join(broadcast(vocab), Seq("tok"), "left_anti")
       .groupBy(col(idCol)).agg(collect_set(col("pos")).as("__oov"))
-    // linear rewrite: kept positions via hash-based array_except, then
-    // the kept (pos, token) pairs and the (pos, <unk>) pairs merge and
-    // sort back into document order — a per-token array_contains over
-    // the OOV set would be O(tokens × oov), quadratic exactly on the
-    // rare-token-heavy documents this operator exists to clean (the
-    // same reasoning as removeSharedSpans' kept-position idiom)
+    // linear rewrite, one kernel pass: position p emits <unk> when
+    // p ∈ oov, else toks[p] — bitwise the declarative merge (kept
+    // (pos, token) structs + (pos, <unk>) structs, array_sort by pos,
+    // project, join), which ran FOUR interpreted HOF passes per doc
+    // (two struct-building transforms, the struct sort's comparator,
+    // the projection transform); a per-token array_contains over the
+    // OOV set would likewise be O(tokens × oov), quadratic exactly on
+    // the rare-token-heavy documents this operator exists to clean
     toks.join(oovPos, Seq(idCol), "left")
       .withColumn("__oovArr", coalesce(col("__oov"), array().cast("array<int>")))
-      .withColumn("__keptPos",
-        array_except(sequence(lit(0), size(col("__toks")) - 1), col("__oovArr")))
       .select(col(idCol),
         size(col("__toks")).as("n_tokens"),
         size(col("__oovArr")).as("n_oov"),
-        array_join(transform(array_sort(concat(
-          transform(col("__keptPos"),
-            p => struct(p.as("pos"), element_at(col("__toks"), p + 1).as("t"))),
-          transform(col("__oovArr"),
-            p => struct(p.as("pos"), lit("<unk>").as("t"))))),
-          x => x("t")), " ").as("unk_text"))
+        graft.plans.TokenExprs.unkText(col("__toks"), col("__oovArr"))
+          .as("unk_text"))
   }
 
   /** Linear-model document scoring — applying a TRAINED classifier at

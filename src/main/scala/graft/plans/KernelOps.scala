@@ -651,4 +651,158 @@ object KernelOps {
     * distance == codepoint distance only on normalized names. */
   def tokenSetRatio100(ta: ArrayData, tb: ArrayData): Int =
     FuzzyBestScore.tokenSetRatioAtLeast(ta, tb, 0)
+
+  /** [[WordShingles]]: word-k-shingle STRINGS (position order, not the
+    * hashes [[shingleHashes]] computes). Splitting on single spaces and
+    * rejoining with single spaces means shingle i is exactly the input
+    * bytes from the start of token i to the end of token i+k-1 — the
+    * shingles are zero-copy slices of one shared byte copy. A doc
+    * shorter than k tokens contributes its whole text as one shingle
+    * (graft.functions.Hashing.shingles semantics). */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val b = text.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) spaces += 1; i += 1 }
+    val n = spaces + 1
+    if (n < k) return new GenericArrayData(Array[Any](text))
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    starts(0) = 0
+    var t = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(n - 1) = b.length
+    val m = n - k + 1
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(b, starts(i), ends(i + k - 1) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[PickJoin]]: `array_join(transform(pos, p => element_at(toks,
+    * p+1)), " ")` — the scrub-tail rebuild (t9/d15/d16), which runs the
+    * transform lambda interpreted once per KEPT TOKEN per document.
+    * Contract (guaranteed by scrubCovered's construction, checked
+    * loudly): positions are non-null and in [0, |toks|), tokens are
+    * non-null — the unreachable edges where the declarative chain
+    * would skip a null in array_join. */
+  def pickJoin(toks: ArrayData, pos: ArrayData): UTF8String = {
+    val m = pos.numElements()
+    if (m == 0) return UTF8String.EMPTY_UTF8
+    val nt = toks.numElements()
+    var total = m - 1 // separators
+    var i = 0
+    while (i < m) {
+      if (pos.isNullAt(i))
+        throw new IllegalArgumentException("pickJoin: null position")
+      val p = pos.getInt(i)
+      if (p < 0 || p >= nt)
+        throw new IllegalArgumentException(
+          s"pickJoin: position $p out of range [0, $nt)")
+      if (toks.isNullAt(p))
+        throw new IllegalArgumentException(s"pickJoin: null token at $p")
+      total += toks.getUTF8String(p).numBytes
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < m) {
+      if (i > 0) { out(off) = 0x20; off += 1 }
+      val tok = toks.getUTF8String(pos.getInt(i))
+      tok.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+      off += tok.numBytes
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private val UNK: UTF8String = UTF8String.fromString("<unk>")
+
+  /** [[UnkTextExpr]]: rebuild a document with every OOV position
+    * replaced by `<unk>` — the oovScrub (t11) rewrite, declaratively a
+    * kept-position transform + an oov transform + a struct array_sort +
+    * a projection transform (four interpreted HOF passes per doc).
+    * Position p emits `<unk>` when p ∈ oov, else toks[p]; joined with
+    * " ". Contract (oovScrub's construction — collect_set over
+    * posexplode positions — checked loudly): oov positions are
+    * non-null, distinct, in [0, |toks|); tokens non-null. */
+  def unkText(toks: ArrayData, oov: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val m = oov.numElements()
+    val inOov = new Array[Boolean](n)
+    var i = 0
+    while (i < m) {
+      if (oov.isNullAt(i))
+        throw new IllegalArgumentException("unkText: null oov position")
+      val p = oov.getInt(i)
+      if (p < 0 || p >= n)
+        throw new IllegalArgumentException(
+          s"unkText: oov position $p out of range [0, $n)")
+      if (inOov(p))
+        throw new IllegalArgumentException(s"unkText: duplicate oov position $p")
+      inOov(p) = true
+      i += 1
+    }
+    var total = if (n > 0) n - 1 else 0
+    i = 0
+    while (i < n) {
+      if (inOov(i)) total += UNK.numBytes
+      else {
+        if (toks.isNullAt(i))
+          throw new IllegalArgumentException(s"unkText: null token at $i")
+        total += toks.getUTF8String(i).numBytes
+      }
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { out(off) = 0x20; off += 1 }
+      val tok = if (inOov(i)) UNK else toks.getUTF8String(i)
+      tok.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+      off += tok.numBytes
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** [[PolyFingerprint]]: rolling polynomial fingerprint of the first
+    * `maxLen` chars — `fold(acc*31 + codepoint) mod 1e9+7`, one pass.
+    * The declarative twin materializes a per-char position sequence,
+    * runs an interpreted `transform` lambda per char (substr + ascii),
+    * then an interpreted `aggregate` fold. Empty string folds the
+    * single code 0 (ascii("") == 0 at the padded position), which is
+    * 0 — matching `greatest(length, 1)`'s one-position floor. */
+  def polyFingerprint(text: UTF8String, maxLen: Int): Long = {
+    val s = text.substringSQL(1, maxLen)
+    val b = s.getBytes
+    if (b.length == 0) return 0L
+    var acc = 0L
+    var i = 0
+    while (i < b.length) {
+      val b0 = b(i) & 0xFF
+      var cp = 0
+      var step = 1
+      if (b0 < 0x80) cp = b0
+      else {
+        step = UTF8String.numBytesForFirstByte(b(i))
+        if (step > b.length - i) step = b.length - i
+        // Spark's ascii() reads String.codePointAt(0) of the one-char
+        // substring — decode the same way on the multi-byte path
+        cp = UTF8String.fromBytes(b, i, step).toString.codePointAt(0)
+      }
+      acc = (acc * 31 + cp) % 1000000007L
+      i += step
+    }
+    acc
+  }
 }

@@ -119,6 +119,91 @@ case class TokenSetRatio100(left: Expression, right: Expression) extends BinaryE
     copy(left = l, right = r)
 }
 
+/** Word-k-shingle strings in position order — zero-copy slices of the
+  * input (see [[KernelOps.wordShingles]]); a doc shorter than k tokens
+  * contributes its whole text as one shingle. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  // k = 0 would emit n+1 empty-window shingles of nonsense spans; the
+  // declarative twin's sequence(0, n-k) would likewise misbehave
+  require(k >= 1, s"need shingle size k >= 1, got $k")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_word_shingles", Seq(TypeChecks.string("text", child.dataType)))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.wordShingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.wordShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `array_join(transform(pos, p => element_at(toks, p+1)), " ")` — the
+  * scrub-tail rebuild. Null edges pinned to the declarative chain:
+  * null pos → null; null toks with non-null pos → "" (every element_at
+  * nulls and array_join skips them all). Out-of-range or null POSITIONS
+  * are a loud error (unreachable from scrubCovered's construction;
+  * the ANSI element_at would also error past the array end). */
+case class PickJoin(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_pick_join",
+      Seq(TypeChecks.stringArray("toks", left.dataType),
+        TypeChecks.intArray("pos", right.dataType)))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = right.nullable
+  override def eval(input: InternalRow): Any = {
+    val pos = right.eval(input)
+    if (pos == null) return null
+    val toks = left.eval(input)
+    if (toks == null) UTF8String.EMPTY_UTF8
+    else KernelOps.pickJoin(toks.asInstanceOf[ArrayData], pos.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val resultCode = code"""
+      |${r.code}
+      |boolean ${ev.isNull} = ${r.isNull};
+      |UTF8String ${ev.value} = null;
+      |if (!${ev.isNull}) {
+      |  ${l.code}
+      |  ${ev.value} = ${l.isNull}
+      |    ? UTF8String.EMPTY_UTF8
+      |    : graft.plans.KernelOps.pickJoin(${l.value}, ${r.value});
+      |}
+    """.stripMargin
+    ev.copy(code = resultCode)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** The oovScrub `<unk>` rewrite (see [[KernelOps.unkText]]). */
+case class UnkTextExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_unk_text",
+      Seq(TypeChecks.stringArray("toks", left.dataType),
+        TypeChecks.intArray("oov", right.dataType)))
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(toks: Any, oov: Any): Any =
+    KernelOps.unkText(toks.asInstanceOf[ArrayData], oov.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, o) => s"graft.plans.KernelOps.unkText($t, $o)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Rolling polynomial fingerprint (see [[KernelOps.polyFingerprint]]). */
+case class PolyFingerprint(child: Expression, maxLen: Int) extends UnaryExpression {
+  require(maxLen >= 1, s"need maxLen >= 1, got $maxLen")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_fingerprint", Seq(TypeChecks.string("text", child.dataType)))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.polyFingerprint(v.asInstanceOf[UTF8String], maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.polyFingerprint($c, $maxLen)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TokenExprs {
   def tokenSortJoin(c: Column): Column =
     ExprBridge.toColumn(TokenSortJoinExpr(ExprBridge.toExpression(c)))
@@ -128,4 +213,12 @@ object TokenExprs {
     ExprBridge.toColumn(CharNgramSet(ExprBridge.toExpression(c), n, maxLen))
   def tokenSetRatio100(ta: Column, tb: Column): Column =
     ExprBridge.toColumn(TokenSetRatio100(ExprBridge.toExpression(ta), ExprBridge.toExpression(tb)))
+  def wordShingles(c: Column, k: Int): Column =
+    ExprBridge.toColumn(WordShingles(ExprBridge.toExpression(c), k))
+  def pickJoin(toks: Column, pos: Column): Column =
+    ExprBridge.toColumn(PickJoin(ExprBridge.toExpression(toks), ExprBridge.toExpression(pos)))
+  def unkText(toks: Column, oov: Column): Column =
+    ExprBridge.toColumn(UnkTextExpr(ExprBridge.toExpression(toks), ExprBridge.toExpression(oov)))
+  def polyFingerprint(c: Column, maxLen: Int): Column =
+    ExprBridge.toColumn(PolyFingerprint(ExprBridge.toExpression(c), maxLen))
 }

@@ -86,7 +86,13 @@ class CodegenSpec extends SparkSpec {
       TokenExprs.tokenSortJoin(col("left_norm")).as("toksortjoin"),
       TokenExprs.tokenSet(col("left_norm")).as("tokset"),
       TokenExprs.charNgramSet(col("text"), 3, 60).as("charngrams"),
-      TokenExprs.tokenSetRatio100(col("left_set"), col("right_set")).as("toksetratio"))
+      TokenExprs.tokenSetRatio100(col("left_set"), col("right_set")).as("toksetratio"),
+      TokenExprs.wordShingles(col("text"), 2).as("wordshingles"),
+      TokenExprs.pickJoin(split(col("text"), " "),
+        sequence(lit(0), size(split(col("text"), " ")) - 1)).as("pickjoin"),
+      TokenExprs.unkText(split(col("text"), " "),
+        slice(sequence(lit(0), size(split(col("text"), " ")) - 1), 1, 2)).as("unktext"),
+      TokenExprs.polyFingerprint(col("text"), 64).as("polyfp"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -98,7 +104,9 @@ class CodegenSpec extends SparkSpec {
       classOf[VecDot], classOf[LshBuckets], classOf[PqEncode], classOf[PqPairDot],
       classOf[SigAgree], classOf[SortedDistinctLongs],
       classOf[TokenSortJoinExpr], classOf[TokenSetStrings],
-      classOf[CharNgramSet], classOf[TokenSetRatio100])
+      classOf[CharNgramSet], classOf[TokenSetRatio100],
+      classOf[WordShingles], classOf[PickJoin],
+      classOf[UnkTextExpr], classOf[PolyFingerprint])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

@@ -57,6 +57,44 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0L, 0.0)))
   }
 
+  test("pickJoin and unkText kernels bitwise-equal their declarative chains") {
+    // corpus-derived token arrays with synthetic position sets covering:
+    // empty picks, all picks, head/tail-only, null toks (pickJoin's
+    // array_join-skips-null edge), empty oov, all-oov
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("pos_all", sequence(lit(0), $"n" - 1))
+      .withColumn("pos_none", array().cast("array<int>"))
+      .withColumn("pos_evens", filter($"pos_all", p => p % 2 === 0))
+      .withColumn("pos_head", slice($"pos_all", 1, 3))
+    for (posCol <- Seq("pos_all", "pos_none", "pos_evens", "pos_head")) {
+      val badPick = docs.select(
+          graft.plans.TokenExprs.pickJoin($"toks", col(posCol)).as("nat"),
+          array_join(transform(col(posCol),
+            p => element_at($"toks", p + 1)), " ").as("dec"))
+        .filter(!($"nat" <=> $"dec")).count()
+      assert(badPick == 0, s"pickJoin diverged from twin on $posCol")
+      val badUnk = docs.select(
+          graft.plans.TokenExprs.unkText($"toks", col(posCol)).as("nat"),
+          array_join(transform(array_sort(concat(
+            transform(array_except($"pos_all", col(posCol)),
+              p => struct(p.as("pos"), element_at($"toks", p + 1).as("t"))),
+            transform(col(posCol),
+              p => struct(p.as("pos"), lit("<unk>").as("t"))))),
+            x => x("t")), " ").as("dec"))
+        .filter(!($"nat" <=> $"dec")).count()
+      assert(badUnk == 0, s"unkText diverged from twin on $posCol")
+    }
+    // pickJoin null edges: null pos -> null; null toks + non-null pos ->
+    // "" (the declarative element_at nulls are all skipped by array_join)
+    val nullEdges = Seq((Seq("a", "b"), Seq(0)), (null, Seq(0)), (Seq("a"), null))
+      .toDF("toks", "pos")
+      .select(graft.plans.TokenExprs.pickJoin($"toks", $"pos".cast("array<int>")).as("nat"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(nullEdges.toSeq == Seq("a", "", null))
+  }
+
   test("removeSharedSpans scrubs covered tokens, keeps unique tail in order") {
     // docs 1-3 share a 5-token template: trigram starts 0..2 are shared
     // by 3 docs, covering token positions 0..4 exactly — the unique

@@ -100,6 +100,23 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0, "native jaccard diverges from declarative")
   }
 
+  test("wordShingles kernel bitwise-equals the declarative twin (corpus + edges)") {
+    // edges: null, empty, single token, space runs (empty tokens kept),
+    // exactly k tokens, multi-byte UTF-8, leading/trailing spaces
+    val edges = Seq(
+      null, "", "one", "one two", "one two three", "a  b", " lead trail ",
+      "日本語 の テキスト です", "x " * 20 + "y")
+      .toDF("text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    for (k <- Seq(1, 2, 3, 7)) {
+      val bad = edges.union(corpus).select(
+          graft.functions.Hashing.shingles($"text", k).as("nat"),
+          graft.functions.Hashing.shinglesDeclarative($"text", k).as("dec"))
+        .filter(!($"nat" <=> $"dec")).count()
+      assert(bad == 0, s"wordShingles($k) diverged from twin")
+    }
+  }
+
   test("native shingle-hash expression equals declarative chain") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select($"text").limit(200)
@@ -108,7 +125,7 @@ class DedupSpec extends SparkSpec {
       val bad = texts.select(
           graft.plans.ShingleHashes64.column($"text", k).as("nat"),
           graft.functions.Hashing.shingleHashes(
-            graft.functions.Hashing.shingles($"text", k)).as("dec"))
+            graft.functions.Hashing.shinglesDeclarative($"text", k)).as("dec"))
         .filter($"nat" =!= $"dec").count()
       assert(bad == 0, s"shingle hashes diverge at k=$k")
     }

@@ -35,6 +35,22 @@ class TextStatsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("fingerprint kernel bitwise-equals the declarative twin (corpus + edges)") {
+    // edges: null, empty (one padded 0 code), single char, multi-byte
+    // UTF-8 (ascii() reads the code point), exactly/over maxLen
+    val edges = Seq(null, "", "a", " ", "é", "日本語のテキスト",
+      "x" * 64, "y" * 200, "mixed ascii and 日本語 text")
+      .toDF("text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    for (maxLen <- Seq(1, 64)) {
+      val bad = edges.union(corpus).select(
+          Hashing.fingerprint($"text", maxLen).as("nat"),
+          Hashing.fingerprintDeclarative($"text", maxLen).as("dec"))
+        .filter(!($"nat" <=> $"dec")).count()
+      assert(bad == 0, s"fingerprint($maxLen) diverged from twin")
+    }
+  }
+
   test("fingerprint: deterministic, prefix-sensitive") {
     val fps = Seq("abcdef", "abcdef", "abcdeg").toDF("text")
       .select(Hashing.fingerprint($"text", 64)).as[Long].collect().toSeq
