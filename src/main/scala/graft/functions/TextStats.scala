@@ -21,8 +21,15 @@ object TextStats {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  /** Token hits against a wordlist (with multiplicity). */
+  /** Token hits against a wordlist (with multiplicity). Kernel
+    * expression — the declarative filter below is a HOF whose lambda
+    * runs interpreted per token per row (and classify's argmax inlines
+    * it once per class comparison); twin pinned in TextStatsSpec. */
   def wordlistHits(text: Column, words: Seq[String]): Column =
+    graft.plans.TokenExprs.wordlistHits(text, words)
+
+  /** [[wordlistHits]]'s declarative twin (parity tests only). */
+  def wordlistHitsDeclarative(text: Column, words: Seq[String]): Column =
     size(filter(toks(text), t => t.isin(words: _*)))
 
   /** Class label by argmax of wordlist hits (ties → earlier class). */
@@ -46,7 +53,10 @@ object TextStats {
     val t = toks(text)
     val nTok = size(t).cast("double")
     val stopHits = wordlistHits(text, classes.head._2).cast("double")
-    val sumLen = aggregate(t, lit(0L), (a, w) => a + length(w)).cast("double")
+    // kernel: the aggregate fold ran its lambda interpreted per token
+    // per row; Σ length(token) == numChars − spaces (one byte pass).
+    // Declarative twin pinned in TextStatsSpec.
+    val sumLen = graft.plans.TokenExprs.sumTokenChars(text).cast("double")
     val volume = least(lit(1.0), nTok / 50.0)
     val stopRatio = stopHits / greatest(nTok, lit(1.0))
     val meanLen = least(lit(1.0), (sumLen / greatest(nTok, lit(1.0))) / 6.0)

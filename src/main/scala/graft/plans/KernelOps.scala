@@ -775,6 +775,53 @@ object KernelOps {
     UTF8String.fromBytes(out)
   }
 
+  /** [[WordlistHitsExpr]]: `size(filter(split(text," "), t =>
+    * t.isin(words)))` — token hits against a small wordlist, WITH
+    * multiplicity, in one byte pass. The declarative filter is a HOF
+    * (interpreted lambda per token per row — per CLASS per row in
+    * classify's 4-armed argmax). Byte equality == UTF8String equality,
+    * and an invalid-UTF-8 token can never equal an ASCII wordlist word
+    * under either representation, so the count is exact on any input. */
+  def wordlistHits(text: UTF8String, words: Array[Array[Byte]]): Int = {
+    val b = text.getBytes
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        val len = i - start
+        var w = 0
+        var found = false
+        while (w < words.length && !found) {
+          val cand = words(w)
+          if (cand.length == len) {
+            var j = 0
+            while (j < len && cand(j) == b(start + j)) j += 1
+            found = j == len
+          }
+          w += 1
+        }
+        if (found) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** [[SumTokenChars]]: `aggregate(split(text," "), 0L, (a,w) => a +
+    * length(w))` — the summed token lengths of qualityScore's mean-
+    * length term. Tokens partition the text's code points minus the
+    * splitting spaces, so the sum is numChars − spaces: two counters,
+    * no token materialization, no interpreted fold. */
+  def sumTokenChars(text: UTF8String): Long = {
+    val b = text.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) spaces += 1; i += 1 }
+    text.numChars().toLong - spaces
+  }
+
   /** [[PolyFingerprint]]: rolling polynomial fingerprint of the first
     * `maxLen` chars — `fold(acc*31 + codepoint) mod 1e9+7`, one pass.
     * The declarative twin materializes a per-char position sequence,

@@ -191,6 +191,36 @@ case class UnkTextExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Wordlist token hits with multiplicity (see
+  * [[KernelOps.wordlistHits]]); the wordlist rides in the generated
+  * class's reference array like [[PqEncode]]'s codebook. */
+case class WordlistHitsExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_wordlist_hits", Seq(TypeChecks.string("text", child.dataType)))
+  override def dataType: DataType = IntegerType
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.wordlistHits(v.asInstanceOf[UTF8String], wordBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("wordlist", wordBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.wordlistHits($c, $w)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Summed token code-point lengths (see [[KernelOps.sumTokenChars]]). */
+case class SumTokenChars(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_sum_token_chars", Seq(TypeChecks.string("text", child.dataType)))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.sumTokenChars(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.sumTokenChars($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Rolling polynomial fingerprint (see [[KernelOps.polyFingerprint]]). */
 case class PolyFingerprint(child: Expression, maxLen: Int) extends UnaryExpression {
   require(maxLen >= 1, s"need maxLen >= 1, got $maxLen")
@@ -221,4 +251,8 @@ object TokenExprs {
     ExprBridge.toColumn(UnkTextExpr(ExprBridge.toExpression(toks), ExprBridge.toExpression(oov)))
   def polyFingerprint(c: Column, maxLen: Int): Column =
     ExprBridge.toColumn(PolyFingerprint(ExprBridge.toExpression(c), maxLen))
+  def wordlistHits(c: Column, words: Seq[String]): Column =
+    ExprBridge.toColumn(WordlistHitsExpr(ExprBridge.toExpression(c), words))
+  def sumTokenChars(c: Column): Column =
+    ExprBridge.toColumn(SumTokenChars(ExprBridge.toExpression(c)))
 }

@@ -32,18 +32,40 @@ object PlanStats {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    println(f"${"query"}%-34s exch reuse smj shj bhj bnlj win sortN")
+    // side executions (Materialize.once memo/store builds) carry real
+    // plan shapes too — count their interpreted lambdas alongside the
+    // main plan's (the same reasoning as PlanFormat's side capture)
+    val sides = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = { sides.add(qe.executedPlan.toString); () }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+    def lambdas(s: String): Int = {
+      var n = 0; var i = s.indexOf("lambdafunction")
+      while (i >= 0) { n += 1; i = s.indexOf("lambdafunction", i + 1) }
+      n
+    }
+    println(f"${"query"}%-34s exch reuse smj shj bhj bnlj win sortN hof")
     for (name <- names) {
       try {
+        sides.clear()
         val df = graft.SparkEntry.queries(name)(spark, d)
         df.count()
         val nodes = walk(df.queryExecution.executedPlan).map(_.nodeName)
         def c(sub: String) = nodes.count(_.contains(sub))
         val exch = walk(df.queryExecution.executedPlan)
           .count { case _: ShuffleExchangeLike => true; case _ => false }
+        import scala.jdk.CollectionConverters._
+        val hof = lambdas(df.queryExecution.executedPlan.toString) +
+          sides.asScala.map(lambdas).sum
         println(f"$name%-34s $exch%4d ${c("ReusedExchange")}%5d ${c("SortMergeJoin")}%3d " +
           f"${c("ShuffledHashJoin")}%3d ${c("BroadcastHashJoin")}%3d ${c("BroadcastNestedLoopJoin")}%4d " +
-          f"${c("Window")}%3d ${c("Sort")}%5d")
+          f"${c("Window")}%3d ${c("Sort")}%5d $hof%3d")
       } catch { case e: Throwable =>
         println(f"$name%-34s ERR ${e.toString.take(80)}")
       }

@@ -92,7 +92,9 @@ class CodegenSpec extends SparkSpec {
         sequence(lit(0), size(split(col("text"), " ")) - 1)).as("pickjoin"),
       TokenExprs.unkText(split(col("text"), " "),
         slice(sequence(lit(0), size(split(col("text"), " ")) - 1), 1, 2)).as("unktext"),
-      TokenExprs.polyFingerprint(col("text"), 64).as("polyfp"))
+      TokenExprs.polyFingerprint(col("text"), 64).as("polyfp"),
+      TokenExprs.wordlistHits(col("text"), Seq("the", "over", "two")).as("wlhits"),
+      TokenExprs.sumTokenChars(col("text")).as("sumtok"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -106,7 +108,8 @@ class CodegenSpec extends SparkSpec {
       classOf[TokenSortJoinExpr], classOf[TokenSetStrings],
       classOf[CharNgramSet], classOf[TokenSetRatio100],
       classOf[WordShingles], classOf[PickJoin],
-      classOf[UnkTextExpr], classOf[PolyFingerprint])
+      classOf[UnkTextExpr], classOf[PolyFingerprint],
+      classOf[WordlistHitsExpr], classOf[SumTokenChars])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

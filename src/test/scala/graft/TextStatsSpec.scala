@@ -35,6 +35,21 @@ class TextStatsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("wordlistHits and sumTokenChars kernels bitwise-equal the declarative forms") {
+    val edges = Seq(null, "", " ", "the", "the the the", "a the b of to",
+      "多字节 the 文本", "no hits here at", "  the  ")
+      .toDF("text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    val words = TextStats.classes.head._2
+    val bad = edges.union(corpus).select(
+        TextStats.wordlistHits($"text", words).as("nh"),
+        TextStats.wordlistHitsDeclarative($"text", words).as("dh"),
+        graft.plans.TokenExprs.sumTokenChars($"text").as("nl"),
+        aggregate(split($"text", " "), lit(0L), (a, w) => a + length(w)).as("dl"))
+      .filter(!($"nh" <=> $"dh") || !($"nl" <=> $"dl")).count()
+    assert(bad == 0)
+  }
+
   test("fingerprint kernel bitwise-equals the declarative twin (corpus + edges)") {
     // edges: null, empty (one padded 0 code), single char, multi-byte
     // UTF-8 (ascii() reads the code point), exactly/over maxLen
