@@ -428,9 +428,12 @@ object Curation {
     df.withColumn("__toks", Hashing.tokens(col(textCol)))
       .filter(col("__toks").isNotNull)
       .withColumn("__n", size(col("__toks")))
-      .withColumn("__s", explode(filter(
-        sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)),
-        s => s === 0 || s + (chunkSize - stride) < col("__n"))))
+      // kernel: the declarative filter(sequence(...)) ran its lambda
+      // interpreted per candidate start (~n/stride per doc) and
+      // materialized the unfiltered sequence; ChunkStartsExpr emits the
+      // kept starts in one pass (twin pinned in CurationSpec)
+      .withColumn("__s", explode(
+        graft.plans.TokenExprs.chunkStarts(col("__n"), chunkSize, stride)))
       .withColumn("__chunk", slice(col("__toks"), col("__s") + 1, lit(chunkSize)))
       .select(col(idCol),
         expr(s"__s DIV $stride").cast("int").as("chunk_idx"),

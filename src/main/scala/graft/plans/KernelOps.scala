@@ -775,6 +775,32 @@ object KernelOps {
     UTF8String.fromBytes(out)
   }
 
+  /** [[ChunkStartsExpr]]: the chunkDocuments start positions —
+    * `filter(sequence(0, greatest(n-1, 0), stride), s => s === 0 ||
+    * s + (chunkSize - stride) < n)` without the interpreted per-element
+    * filter lambda or the candidate-sequence materialization. Keeps
+    * start 0 always and every further stride multiple whose chunk
+    * reaches past the previous one's coverage. */
+  def chunkStarts(n: Int, chunkSize: Int, stride: Int): ArrayData = {
+    val cand = math.max(n - 1, 0) / stride + 1
+    var cnt = 0
+    var i = 0
+    while (i < cand) {
+      val s = i * stride
+      if (s == 0 || s + (chunkSize - stride) < n) cnt += 1
+      i += 1
+    }
+    val out = new Array[Int](cnt)
+    var k = 0
+    i = 0
+    while (i < cand) {
+      val s = i * stride
+      if (s == 0 || s + (chunkSize - stride) < n) { out(k) = s; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[WordlistHitsExpr]]: `size(filter(split(text," "), t =>
     * t.isin(words)))` — token hits against a small wordlist, WITH
     * multiplicity, in one byte pass. The declarative filter is a HOF

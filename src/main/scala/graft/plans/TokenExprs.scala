@@ -191,6 +191,22 @@ case class UnkTextExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Sliding-window chunk start positions (see
+  * [[KernelOps.chunkStarts]]). */
+case class ChunkStartsExpr(child: Expression, chunkSize: Int, stride: Int)
+    extends UnaryExpression {
+  require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+    "need 0 < stride <= chunkSize")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_chunk_starts", Seq(TypeChecks.integer("n", child.dataType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.chunkStarts(v.asInstanceOf[Int], chunkSize, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelOps.chunkStarts($c, $chunkSize, $stride)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Wordlist token hits with multiplicity (see
   * [[KernelOps.wordlistHits]]); the wordlist rides in the generated
   * class's reference array like [[PqEncode]]'s codebook. */
@@ -255,4 +271,6 @@ object TokenExprs {
     ExprBridge.toColumn(WordlistHitsExpr(ExprBridge.toExpression(c), words))
   def sumTokenChars(c: Column): Column =
     ExprBridge.toColumn(SumTokenChars(ExprBridge.toExpression(c)))
+  def chunkStarts(n: Column, chunkSize: Int, stride: Int): Column =
+    ExprBridge.toColumn(ChunkStartsExpr(ExprBridge.toExpression(n), chunkSize, stride))
 }

@@ -62,4 +62,7 @@ private[plans] object TypeChecks {
 
   def intArray(name: String, dt: DataType): (String, DataType, DataType => Boolean, String) =
     (name, dt, isIntArray, "ARRAY<INT>")
+
+  def integer(name: String, dt: DataType): (String, DataType, DataType => Boolean, String) =
+    (name, dt, _ == IntegerType, "INT")
 }

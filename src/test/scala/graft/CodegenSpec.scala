@@ -94,7 +94,8 @@ class CodegenSpec extends SparkSpec {
         slice(sequence(lit(0), size(split(col("text"), " ")) - 1), 1, 2)).as("unktext"),
       TokenExprs.polyFingerprint(col("text"), 64).as("polyfp"),
       TokenExprs.wordlistHits(col("text"), Seq("the", "over", "two")).as("wlhits"),
-      TokenExprs.sumTokenChars(col("text")).as("sumtok"))
+      TokenExprs.sumTokenChars(col("text")).as("sumtok"),
+      TokenExprs.chunkStarts(size(split(col("text"), " ")), 6, 4).as("chunkstarts"))
   }
 
   test("no kernel expression falls back to interpreted codegen") {
@@ -109,7 +110,8 @@ class CodegenSpec extends SparkSpec {
       classOf[CharNgramSet], classOf[TokenSetRatio100],
       classOf[WordShingles], classOf[PickJoin],
       classOf[UnkTextExpr], classOf[PolyFingerprint],
-      classOf[WordlistHitsExpr], classOf[SumTokenChars])
+      classOf[WordlistHitsExpr], classOf[SumTokenChars],
+      classOf[ChunkStartsExpr])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

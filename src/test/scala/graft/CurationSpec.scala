@@ -111,6 +111,21 @@ class CurationSpec extends SparkSpec {
     assert(nulls == Set((5, false), (50, true)))
   }
 
+  test("chunkStarts kernel bitwise-equals the declarative filtered sequence") {
+    // n spanning: 0 (the greatest(n-1,0) floor), 1, below/at/above one
+    // chunk, stride-boundary values, large
+    val ns = (Seq(0, 1, 2, 23, 24, 25, 31, 32, 33, 47, 48, 49, 100, 1000)
+      ++ (0 to 200 by 7)).toDF("n")
+    for ((chunkSize, stride) <- Seq((32, 24), (6, 4), (5, 5), (8, 1))) {
+      val bad = ns.select(
+          graft.plans.TokenExprs.chunkStarts($"n", chunkSize, stride).as("nat"),
+          filter(sequence(lit(0), greatest($"n" - 1, lit(0)), lit(stride)),
+            s => s === 0 || s + (chunkSize - stride) < $"n").as("dec"))
+        .filter(!($"nat" <=> $"dec")).count()
+      assert(bad == 0, s"chunkStarts($chunkSize, $stride) diverged from twin")
+    }
+  }
+
   test("chunkDocuments: NULL text yields no chunks, not a phantom row") {
     val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
