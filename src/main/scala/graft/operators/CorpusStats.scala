@@ -47,7 +47,19 @@ object CorpusStats {
     // twice. Materialize.once, not df.persist: a persist entry on this
     // call-local frame would pin the CacheManager for the session's
     // life; and on a cluster the blocks stay recomputable + evictable
+    // one exchange for the whole per-doc side (guide §2.4): hash the
+    // DOCUMENTS by id first — HashPartitioning(id) satisfies the
+    // groupBy(id, token) clustering (id ⊆ {id, token}) so the count
+    // aggregates exchange-free, localCheckpoint preserves the
+    // partitioning through Materialize.once, and the top-k window
+    // (partitionBy id) then reads tf without re-shuffling. The text
+    // column crosses the wire once; previously the (id, token, cnt)
+    // pair stream crossed once for the aggregate and the scored rows
+    // again for the window. (On the cluster Materialize branch the
+    // df.rdd round-trip drops partitioning metadata and the window
+    // re-exchanges — the groupBy exchange saving still holds.)
     val tf = Materialize.once(df
+      .repartition(col(idCol))
       .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf")))

@@ -231,6 +231,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast doc-freq join in:\n$p")
   }
 
+  test("t7: tf builds on the document partitioning — no (doc_id, token) exchange") {
+    // r15 §2.4 restructure: the docs hash-repartition by id once, and
+    // HashPartitioning(id) satisfies the groupBy(id, token) clustering,
+    // so the full token-pair stream never crosses an exchange — only
+    // the raw (id, text) rows do. The tf build runs as a Materialize
+    // side execution, so capture it via a listener.
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("t7_tfidf_topk")(spark, sf).collect()
+      // listener delivery is async; poll for the side build's plan
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+        !plans.asScala.exists(_.contains("explode(split"))) Thread.sleep(50)
+      val tfBuilds = plans.asScala.filter(p =>
+        p.contains("explode(split") && p.contains("REPARTITION_BY_COL"))
+      assert(tfBuilds.nonEmpty, s"expected the tf side build among:\n${plans.asScala.mkString("\n---\n")}")
+      for (p <- tfBuilds)
+        assert(!"hashpartitioning\\(doc_id#\\d+L, token".r.unanchored.matches(p),
+          s"tf must aggregate on the doc partitioning, not re-exchange by (id, token):\n$p")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("t8: shared-gram head set joins broadcast, text never hash-shuffles") {
     val df = SparkEntry.queries("t8_boilerplate")(spark, sf)
     df.collect()
@@ -322,14 +354,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d10 must block and verify via equi-joins, never a cross product:\n$p")
     // the approx screen (PqPairDot kernel over the codes) must sit below
-    // the exact-cosine (vecdot) filter in the final plan — i.e. both exist
-    // (r14: the screen's decode-then-dot expression forest became the
-    // pqpairdot kernel, and the last HOF left the universe construction,
-    // so the old "Filter .*aggregate || zip_with" anchor is gone)
-    assert(p.contains("pqpairdot"),
-      s"expected the PQ-code cosine screen (pqpairdot kernel) in the plan:\n$p")
-    assert(p.contains("vecdot"),
+    // the exact-cosine (vecdot) verify in the final plan: the verify
+    // consumes the screen's survivors, so the screen is the deeper
+    // node — its line prints LATER in the tree string (r15: pinned as
+    // relative position, not mere presence)
+    val finalLines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toVector
+    val verifyIdx = finalLines.indexWhere(l => l.contains("vecdot(") && l.contains(">="))
+    val screenIdx = finalLines.indexWhere(_.contains("pqpairdot("))
+    assert(verifyIdx >= 0,
       s"expected the exact-cosine (vecdot) verification in the plan:\n$p")
+    assert(screenIdx >= 0,
+      s"expected the PQ-code cosine screen (pqpairdot kernel) in the plan:\n$p")
+    assert(screenIdx > verifyIdx,
+      s"pqpairdot screen (line $screenIdx) must sit below the vecdot verify (line $verifyIdx):\n$p")
   }
 
   test("w7: funnel reuses the user_id partitioning — one event-stream exchange") {
