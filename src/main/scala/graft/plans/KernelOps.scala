@@ -534,6 +534,64 @@ object KernelOps {
     new GenericArrayData(out)
   }
 
+  /** [[PqReconSqErr]]: ‖v − decode(encode(v))‖² in one pass — the
+    * PQ-staleness statistic, bitwise the declarative
+    * `aggregate(zip_with(v, pqDecode(pqEncode(v))), 0.0, _+_)` chain:
+    * per subspace the encode loop below is [[pqEncode]]'s
+    * (Double.compare NaN order, first-match ties), and the error then
+    * accumulates (x − cw)² ELEMENTWISE in one global left fold — the
+    * exact association the zip_with/aggregate fold uses. Null edges:
+    * any null element, or a vector whose length differs from
+    * m × subDim, returns boxed null (a short vector nulls a code
+    * element → flatten nulls the decode; a long one makes zip_with pad
+    * with nulls → the fold poisons — both null). */
+  def pqReconSqErr(a: ArrayData, isFloat: Boolean,
+                   cb: Array[Array[Array[Double]]]): java.lang.Double = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    if (a.numElements() != m * subDim) return null
+    var i = 0
+    while (i < m * subDim) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      val cws = cb(mi)
+      var bestK = 0
+      var bestD = 0.0
+      var first = true
+      var ki = 0
+      while (ki < cws.length) {
+        val cw = cws(ki)
+        var d2 = 0.0
+        var t = 0
+        while (t < subDim) {
+          val x = if (isFloat) a.getFloat(base + t).toDouble else a.getDouble(base + t)
+          val d = x - cw(t)
+          d2 += d * d
+          t += 1
+        }
+        if (first || java.lang.Double.compare(d2, bestD) < 0) {
+          bestD = d2; bestK = ki; first = false
+        }
+        ki += 1
+      }
+      val cw = cws(bestK)
+      var t = 0
+      while (t < subDim) {
+        val x = if (isFloat) a.getFloat(base + t).toDouble else a.getDouble(base + t)
+        val d = x - cw(t)
+        acc += d * d
+        t += 1
+      }
+      mi += 1
+    }
+    acc
+  }
+
   // ───── token-string kernels ─────
 
   /** Byte-slice split on 0x20 == `split(s, " ")` (regex " ", limit -1:

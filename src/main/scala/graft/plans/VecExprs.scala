@@ -187,6 +187,37 @@ case class SigAgree(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PQ reconstruction squared error ‖v − decode(encode(v))‖² — the
+  * codebook-staleness statistic, evaluated once per batch ROW by the
+  * incremental-ANN drift check. The declarative chain materializes the
+  * code, the decoded array (flatten + m element_at), an elementwise
+  * zip_with product array, and folds it with an interpreted aggregate
+  * lambda — per row; this is one primitive pass reading the codebook
+  * directly (parity contract in [[KernelOps.pqReconSqErr]]). */
+case class PqReconSqErr(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect("graft_pq_recon_sqerr",
+      Seq(TypeChecks.vecArray("vec", child.dataType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val vf = VecUtil.isFloatArr(child)
+  override protected def nullSafeEval(v: Any): Any =
+    KernelOps.pqReconSqErr(v.asInstanceOf[ArrayData], vf, codebook)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqReconCb", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("sqerr")
+      s"""
+         |java.lang.Double $boxed = graft.plans.KernelOps.pqReconSqErr($a, $vf, $cb);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VecExprs {
   def dot(a: Column, b: Column): Column =
     ExprBridge.toColumn(VecDot(ExprBridge.toExpression(a), ExprBridge.toExpression(b)))
@@ -210,4 +241,7 @@ object VecExprs {
                 cbB: Array[Array[Array[Double]]]): Column =
     ExprBridge.toColumn(PqPairDot(ExprBridge.toExpression(a),
       ExprBridge.toExpression(b), cbA, cbB))
+  /** ‖v − decode(encode(v))‖² — the drift statistic's per-row kernel. */
+  def pqReconSqErr(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    ExprBridge.toColumn(PqReconSqErr(ExprBridge.toExpression(v), codebook))
 }

@@ -79,6 +79,7 @@ class CodegenSpec extends SparkSpec {
       VecExprs.pqEncode(col("va"), codebook).as("pq"),
       VecExprs.pqPairDot(VecExprs.pqEncode(col("va"), codebook),
         VecExprs.pqEncode(col("vb"), codebook), codebook, codebook).as("pqdot"),
+      VecExprs.pqReconSqErr(col("va"), codebook).as("pqrecon"),
       VecExprs.sigAgree(MinHashSig.column(ShingleHashes64.column(col("text"), 3), 8),
         MinHashSig.column(ShingleHashes64.column(col("text"), 2), 8)).as("sigagree"),
       SortedDistinctLongs.column(ShingleHashes64.column(col("text"), 3)).as("sorteddistinct"),
@@ -111,7 +112,7 @@ class CodegenSpec extends SparkSpec {
       classOf[WordShingles], classOf[PickJoin],
       classOf[UnkTextExpr], classOf[PolyFingerprint],
       classOf[WordlistHitsExpr], classOf[SumTokenChars],
-      classOf[ChunkStartsExpr])
+      classOf[ChunkStartsExpr], classOf[PqReconSqErr])
     for (k <- kernels)
       assert(!classOf[CodegenFallback].isAssignableFrom(k),
         s"${k.getSimpleName} still extends CodegenFallback")

@@ -234,6 +234,25 @@ class VectorsSpec extends SparkSpec {
     assert(nat == dec && nat.size == 8 && nat.forall(_ == null))
   }
 
+  test("PQ recon-sqerr kernel bitwise-equals the encode/decode/zip_with twin (incl. edges)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
+    val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
+    // corpus vectors + edges: null vector, a null ELEMENT (nulls one
+    // code -> decode nulls -> fold nulls), short and LONG vectors
+    // (zip_with pads the long one with nulls -> fold nulls)
+    val edges = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding
+        |UNION ALL SELECT transform(sequence(1, 64), i -> CASE WHEN i = 7 THEN CAST(NULL AS FLOAT) ELSE CAST(i AS FLOAT) END)
+        |UNION ALL SELECT transform(sequence(1, 32), i -> CAST(i AS FLOAT))
+        |UNION ALL SELECT transform(sequence(1, 70), i -> CAST(i AS FLOAT))
+        |UNION ALL SELECT transform(sequence(1, 64), i -> CAST('NaN' AS FLOAT))""".stripMargin)
+    val bad = e.select($"embedding").unionByName(edges).select(
+        graft.plans.VecExprs.pqReconSqErr($"embedding", codebook).as("nat"),
+        graft.streaming.IncrementalAnn.reconSqErrDeclarative("embedding", codebook).as("dec"))
+      .filter(!($"nat" <=> $"dec")).count()
+    assert(bad == 0, "recon-sqerr kernel diverges from the declarative chain")
+  }
+
   test("PQ pair-dot kernel bitwise-equals decode-then-dot (incl. self-norm and null edges)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(300)
     val codebook = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding", 64, 8, 16)
